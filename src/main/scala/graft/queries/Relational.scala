@@ -1,0 +1,371 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator coverage (SURVEY.md §2.2–§2.8).
+  *
+  * Each query is declarative DataFrame code — Catalyst handles pushdown,
+  * pruning, join strategy and AQE; we only add explicit `broadcast()` on
+  * known-tiny dimension sides (reference analog: the manual tiny-side
+  * handling in src/main/scala/ws/vinta/albedo/recommenders/PopularityRecommender.scala:22-34).
+  *
+  * Determinism rules (SURVEY.md §7.4): every query ends in a total
+  * `orderBy`; floating aggregates are rounded in BOTH engines; list
+  * aggregations are sorted then joined to strings so the DuckDB oracle
+  * hash is stable.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: scan → pushed filter → hash agg →
+    * sort. Ref ops: groupBy+count/sum (UserProfileBuilder.scala:94-97),
+    * global sort (DatasetUtils.scala:157). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= to_timestamp(lit("2000-12-01 00:00:00")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Projection + range/equality predicates, pushed to the parquet scan.
+    * Ref ops #11/#15/#16 (DatasetUtils.scala:117; RepoProfileBuilder.scala:75-77). */
+  def filterProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_quantity".between(10, 20) && $"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** 3-way join + agg + top-k (TPC-H Q3 shape). customer is the small
+    * dimension side → explicit broadcast. Ref op #23 joins
+    * (LogisticRegressionRanker.scala:151-154), top-k #40/#41. */
+  def topRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  /** Left-semi join (EXISTS). Ref: `isin` membership semantics
+    * (CurationRecommender.scala:27) generalized to semi-join at scale. */
+  def orderPrioritySemi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bigLines = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" > 45).select($"l_orderkey")
+    Tables.orders(spark, dir)
+      .join(bigLines, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders.
+    * Ref op #25 (common.py:60). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Cross join with broadcast tiny side. Ref op #26: every user × top-k
+    * candidates (PopularityRecommender.scala:34). */
+  def crossJoinRegions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.nation(spark, dir).select($"n_name")
+      .crossJoin(broadcast(Tables.region(spark, dir).select($"r_name")))
+      .orderBy($"n_name", $"r_name")
+  }
+
+  /** Deterministic per-key top-k via row_number window.
+    * Ref op #38/#39 (RankingEvaluator.scala:125-135). */
+  def windowTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** rank() (not row_number) ≤ k — preserves the reference's tie
+    * semantics where >k rows can survive (SURVEY.md §7.4;
+    * RankingEvaluator.scala:125). */
+  def rankRecentOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".desc)
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+      .withColumn("rk", rank().over(w))
+      .filter($"rk" <= 2)
+      .orderBy($"o_custkey", $"o_orderdate".desc, $"o_orderkey")
+  }
+
+  /** count / count distinct / sum per group. Ref op #30/#34
+    * (common.py:17-24). */
+  def customerNationStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .groupBy($"c_nationkey".as("nationkey"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        countDistinct($"c_mktsegment").as("n_segments"),
+        round(sum($"c_acctbal"), 2).as("total_bal"))
+      .orderBy($"nationkey")
+  }
+
+  /** distinct / dropDuplicates. Ref op #35 (LogisticRegressionRanker.scala:401). */
+  def distinctStatusPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderstatus", $"o_orderpriority")
+      .distinct()
+      .orderBy($"o_orderstatus", $"o_orderpriority")
+  }
+
+  /** union + distinct + except. Ref ops #44/#45
+    * (NegativeBalancer.scala:109-111; DatasetUtils.scala:30). */
+  def unionExceptCustkeys(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val building = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey".as("custkey"))
+    val bigSpenders = Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 200000)
+      .select($"o_custkey".as("custkey"))
+    val finished = Tables.orders(spark, dir)
+      .filter($"o_orderstatus" === "F")
+      .select($"o_custkey".as("custkey"))
+    building.unionByName(bigSpenders).distinct()
+      .except(finished)
+      .orderBy($"custkey")
+  }
+
+  /** String function battery: lower / concat_ws / LIKE-any flag /
+    * substring / regexp_replace. Ref ops #18/#47-50/#62
+    * (UserProfileBuilder.scala:128-139; closures/UDFs.scala:32-46 —
+    * expressed as pure column exprs, no UDFs). */
+  def stringOpsParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val likeAny = graft.ops.exprs.likeAny($"p_type", Seq("%ECO%", "%PROMO%"))
+    Tables.part(spark, dir)
+      .select(
+        $"p_partkey",
+        lower($"p_name").as("name_lower"),
+        concat_ws("/", $"p_brand", $"p_type").as("brand_type"),
+        when(likeAny, 1.0).otherwise(0.0).as("is_cheap"),
+        substring($"p_name", 1, 5).as("name_prefix"),
+        regexp_replace($"p_brand", "[^0-9]", "").as("brand_num"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Date/math battery: year/month extraction, datediff against a frozen
+    * date (determinism — SURVEY.md §7.4), and the reference's
+    * log-popularity score shape round(log10(x)*1000)/1000
+    * (PopularityRecommender.scala:26-30). */
+  def dateMathOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").as("order_year"),
+        month($"o_orderdate").as("order_month"),
+        datediff(to_date(lit("2002-01-01")), $"o_orderdate").cast("long").as("days_before"),
+        (round(log10($"o_totalprice") * 1000) / 1000).as("log_price"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** when/otherwise binning + agg over the bin. Ref op #21
+    * (UserProfileBuilder.scala:192-194 binning). */
+  def priceBins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .withColumn("price_bin",
+        when($"o_totalprice" < 50000, "small")
+          .when($"o_totalprice" < 150000, "medium")
+          .otherwise("large"))
+      .groupBy($"price_bin")
+      .agg(count(lit(1)).as("n"), round(avg($"o_totalprice"), 2).as("avg_price"))
+      .orderBy($"price_bin")
+  }
+
+  /** IN-list filter on a broadcast dimension join. Ref op #17
+    * (CurationRecommender.scala:27). */
+  def suppliersInNations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nations = Tables.nation(spark, dir)
+      .filter($"n_name".isin("NATION_0", "NATION_3", "NATION_7"))
+    Tables.supplier(spark, dir)
+      .join(broadcast(nations), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"n_name")
+      .orderBy($"s_suppkey")
+  }
+
+  /** Order-deterministic list aggregation: sort-then-join so the result
+    * is hash-stable (SURVEY.md §7.4 fix for the reference's
+    * order-sensitive collect_list, RankingEvaluator.scala:121-139). */
+  def orderKeysPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_custkey".as("custkey"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list($"o_orderkey")), _.cast("string")),
+          ",").as("order_keys"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"custkey")
+  }
+
+  /** Equi-join on differently-named keys + non-equi residual predicate.
+    * Ref op #24 (common.py:67). */
+  def thetaJoinOrdersCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        $"o_custkey" === $"c_custkey" && $"o_totalprice" > $"c_acctbal" * 50)
+      .select($"o_orderkey", $"c_custkey")
+      .orderBy($"o_orderkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_agg_pricing_summary", pricingSummary, Some(
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    QueryDef("q02_filter_project", filterProject, Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+    QueryDef("q03_join_top_revenue", topRevenueOrders, Some(
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin)),
+    QueryDef("q04_semi_join_priority", orderPrioritySemi, Some(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)),
+    QueryDef("q05_anti_join_customers", customersWithoutOrders, Some(
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+    QueryDef("q06_cross_join_regions", crossJoinRegions, Some(
+      """SELECT n_name, r_name
+        |FROM nation CROSS JOIN region
+        |ORDER BY n_name, r_name""".stripMargin)),
+    QueryDef("q07_window_topk", windowTopOrders, Some(
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin)),
+    QueryDef("q08_rank_ties", rankRecentOrders, Some(
+      """SELECT o_custkey, o_orderkey, o_orderdate, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 2
+        |ORDER BY o_custkey, o_orderdate DESC, o_orderkey""".stripMargin)),
+    QueryDef("q09_group_count_distinct", customerNationStats, Some(
+      """SELECT c_nationkey AS nationkey, count(*) AS n_customers,
+        | count(DISTINCT c_mktsegment) AS n_segments,
+        | round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY nationkey""".stripMargin)),
+    QueryDef("q10_distinct", distinctStatusPriority, Some(
+      """SELECT DISTINCT o_orderstatus, o_orderpriority
+        |FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+    QueryDef("q11_union_except", unionExceptCustkeys, Some(
+      """SELECT custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+        |  EXCEPT
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY custkey""".stripMargin)),
+    QueryDef("q12_string_ops", stringOpsParts, Some(
+      """SELECT p_partkey,
+        | lower(p_name) AS name_lower,
+        | concat_ws('/', p_brand, p_type) AS brand_type,
+        | CASE WHEN p_type LIKE '%ECO%' OR p_type LIKE '%PROMO%'
+        |      THEN 1.0 ELSE 0.0 END AS is_cheap,
+        | substr(p_name, 1, 5) AS name_prefix,
+        | regexp_replace(p_brand, '[^0-9]', '', 'g') AS brand_num
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin)),
+    QueryDef("q13_date_math", dateMathOrders, Some(
+      """SELECT o_orderkey,
+        | year(o_orderdate) AS order_year,
+        | month(o_orderdate) AS order_month,
+        | date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS days_before,
+        | round(log10(o_totalprice) * 1000) / 1000 AS log_price
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("q14_case_when_bins", priceBins, Some(
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 150000 THEN 'medium'
+        |            ELSE 'large' END AS price_bin,
+        | count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY price_bin""".stripMargin)),
+    QueryDef("q15_in_list_join", suppliersInNations, Some(
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_0', 'NATION_3', 'NATION_7')
+        |ORDER BY s_suppkey""".stripMargin)),
+    QueryDef("q16_collect_list_sorted", orderKeysPerCustomer, Some(
+      """SELECT o_custkey AS custkey,
+        | string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS order_keys,
+        | count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY custkey""".stripMargin)),
+    QueryDef("q17_theta_join", thetaJoinOrdersCustomers, Some(
+      """SELECT o_orderkey, c_custkey
+        |FROM orders JOIN customer
+        |  ON o_custkey = c_custkey AND o_totalprice > c_acctbal * 50
+        |ORDER BY o_orderkey""".stripMargin))
+  )
+}
