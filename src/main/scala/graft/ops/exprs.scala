@@ -30,7 +30,7 @@ object exprs {
   /** Email → domain. Ref: cleanEmailUDF (closures/UDFs.scala:48-55),
     * re-expressed as a single regexp_extract. */
   def emailDomain(c: Column): Column = {
-    val d = regexp_extract(lower(c), "@([\\w.\\-]+)", 1)
+    val d = regexp_extract(lower(coalesce(c, lit(""))), "@([\\w.\\-]+)", 1)
     when(d === "", "__empty").otherwise(d)
   }
 

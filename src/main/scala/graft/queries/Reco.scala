@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.reco._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Recommender-layer operator coverage (SURVEY.md §2.10) mapped onto the
+  * `events` fixture as the implicit-feedback interaction table. */
+object Reco {
+
+  /** DuckDB fragment shared by the oracles: events → (user_id, item_id). */
+  private val uiSql =
+    "SELECT user_id, CAST(props->>'k' AS INT) AS item_id FROM events"
+
+  /** Popularity candidate source with the reference's log-score
+    * (PopularityRecommender.scala:26-30). */
+  def popularItems(spark: SparkSession, dir: String): DataFrame =
+    new PopularityRecommender(Interactions.fromEvents(spark, dir))
+      .popularItems(20)
+      .select(col("item_id"), col("cnt"), col("score"))
+      .orderBy(col("score").desc, col("item_id"))
+
+  /** Per-user k most-recent items — the reference's recent-stars window
+    * (UserProfileBuilder.scala:105-121; replaces the per-row JDBC point
+    * query DBFunctions.scala:9-37 with one window pass). */
+  def userRecentItems(spark: SparkSession, dir: String): DataFrame = {
+    // microsecond precision: DuckDB truncates TIMESTAMP(NANOS) to µs on
+    // read, so the oracle can only see µs — compare at that grain
+    val tsUs = expr("ts_ns DIV 1000") // integer div — double div loses ns precision
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("item_id"))
+    Interactions.fromEvents(spark, dir)
+      .withColumn("ts_us", tsUs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("user_id"), col("item_id"), col("ts_us"), col("rn"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** Global sparsity stats — count / countDistinct (common.py:17-24). */
+  def interactionStats(spark: SparkSession, dir: String): DataFrame =
+    Interactions.fromEvents(spark, dir).agg(
+      count(lit(1)).as("n_interactions"),
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("item_id")).as("n_items"),
+      round(count(lit(1)) /
+        (countDistinct(col("user_id")) * countDistinct(col("item_id"))), 6)
+        .as("density"))
+
+  /** Item-item co-occurrence: the shuffle-heavy self-join at the heart
+    * of item-CF (reference legacy path train_item_cf.py:31-46). Scale
+    * note: bounded by deduping (user,item) first and keeping the join
+    * key user_id — worst case is Σ_u d_u², so power-law users need a
+    * per-user item cap upstream at 100TB (documented, not needed here). */
+  def itemCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val ui = Interactions.fromEvents(spark, dir)
+      .select(col("user_id"), col("item_id")).distinct()
+    val a = ui.as("a")
+    val b = ui.as("b")
+    a.join(b, col("a.user_id") === col("b.user_id")
+        && col("a.item_id") < col("b.item_id"))
+      .groupBy(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("item_a"), col("item_b"))
+      .limit(20)
+  }
+
+  /** NegativeBalancer end-to-end: positives ∪ popularity-ordered unseen
+    * negatives at ratio 1.0 (NegativeBalancer.scala:74-112 rewrite). */
+  def balancedTrainingSet(spark: SparkSession, dir: String): DataFrame =
+    NegativeBalancer
+      .balance(Interactions.fromEvents(spark, dir), maxCandidates = 1000, ratio = 1.0)
+      .orderBy(col("user_id"), col("item_id"), col("label"))
+
+  /** ALS train + recommendForUserSubset (rows-only check; ML seeds fixed
+    * but factor math is not oracle-able in SQL). */
+  def alsRecommendations(spark: SparkSession, dir: String): DataFrame = {
+    val ratings = Interactions.ratings(spark, dir)
+    val users = ratings.select(col("user_id")).distinct()
+    AlsRecommender.train(ratings, rank = 16, regParam = 0.1, alpha = 10,
+        maxIter = 10, seed = 42)
+      .recommendForUsers(users, 5)
+      .orderBy(col("user_id"), col("score").desc, col("item_id"))
+  }
+
+  /** Time-split popularity recommendation evaluated with NDCG/P@k/MAP —
+    * exercises the full CG→format→evaluate lifecycle
+    * (ALSRecommenderBuilder.main trace, SURVEY.md §3.2). Rows-only. */
+  def popularityEval(spark: SparkSession, dir: String): DataFrame = {
+    val inter = Interactions.fromEvents(spark, dir).cache()
+    val cut = lit(1719792000000000000L) // 2024-07-01 UTC in ns — frozen split
+    val train = inter.filter(col("ts_ns") < cut)
+    val test = inter.filter(col("ts_ns") >= cut)
+    val users = test.select(col("user_id")).distinct()
+    val recs = new PopularityRecommender(train).recommendForUsers(users, 10)
+    RankingEvaluator.evaluate(
+      recs, test.select(col("user_id"), col("item_id")), 10)
+  }
+
+  /** Curation recommender: fixed curator ids, most-recent-interaction
+    * scoring (CurationRecommender.scala:24-40). */
+  def curatedRecommendations(spark: SparkSession, dir: String): DataFrame = {
+    val inter = Interactions.fromEvents(spark, dir)
+    val users = inter.select(col("user_id")).distinct().limit(5)
+    new CurationRecommender(inter, Seq(1, 2, 3, 5, 8))
+      .recommendForUsers(users, 10)
+      .orderBy(col("user_id"), col("score").desc, col("item_id"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q20_popular_items", popularItems, Some(
+      s"""SELECT item_id, cnt, round(log10(cnt) * 1000) / 1000 AS score
+         |FROM (SELECT item_id, count(*) AS cnt FROM ($uiSql) GROUP BY item_id)
+         |ORDER BY score DESC, item_id
+         |LIMIT 20""".stripMargin)),
+    QueryDef("q21_user_recent_topk", userRecentItems, Some(
+      s"""SELECT user_id, item_id, ts_us, rn FROM (
+         |  SELECT user_id, CAST(props->>'k' AS INT) AS item_id,
+         |         epoch_us(ts) AS ts_us,
+         |         row_number() OVER (PARTITION BY user_id
+         |           ORDER BY epoch_us(ts) DESC, CAST(props->>'k' AS INT)) AS rn
+         |  FROM events)
+         |WHERE rn <= 5
+         |ORDER BY user_id, rn""".stripMargin)),
+    QueryDef("q22_interaction_stats", interactionStats, Some(
+      s"""SELECT count(*) AS n_interactions,
+         | count(DISTINCT user_id) AS n_users,
+         | count(DISTINCT item_id) AS n_items,
+         | round(count(*)::DOUBLE /
+         |   (count(DISTINCT user_id) * count(DISTINCT item_id)), 6) AS density
+         |FROM ($uiSql)""".stripMargin)),
+    QueryDef("q23_item_cooccurrence", itemCooccurrence, Some(
+      s"""WITH ui AS (SELECT DISTINCT user_id, item_id FROM ($uiSql))
+         |SELECT a.item_id AS item_a, b.item_id AS item_b, count(*) AS n_users
+         |FROM ui a JOIN ui b
+         |  ON a.user_id = b.user_id AND a.item_id < b.item_id
+         |GROUP BY 1, 2
+         |ORDER BY n_users DESC, item_a, item_b
+         |LIMIT 20""".stripMargin)),
+    QueryDef("q24_negative_balance", balancedTrainingSet, Some(
+      s"""WITH raw AS ($uiSql),
+         |ui AS (SELECT DISTINCT user_id, item_id FROM raw),
+         |pop AS (SELECT item_id, count(*) AS cnt FROM raw GROUP BY 1),
+         |popranked AS (SELECT item_id,
+         |    row_number() OVER (ORDER BY cnt DESC, item_id) AS pr FROM pop),
+         |npos AS (SELECT user_id, count(*) AS n_pos FROM raw GROUP BY 1),
+         |unseen AS (
+         |  SELECT n.user_id, p.item_id, p.pr FROM npos n CROSS JOIN popranked p
+         |  WHERE NOT EXISTS (SELECT 1 FROM ui
+         |                    WHERE ui.user_id = n.user_id AND ui.item_id = p.item_id)),
+         |sel AS (SELECT user_id, item_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY pr) AS rn FROM unseen)
+         |SELECT user_id, item_id, label FROM (
+         |  SELECT user_id, item_id, 1.0 AS label FROM ui
+         |  UNION ALL
+         |  SELECT s.user_id, s.item_id, 0.0 AS label FROM sel s
+         |  JOIN npos n USING (user_id) WHERE s.rn <= n.n_pos)
+         |ORDER BY user_id, item_id, label""".stripMargin)),
+    QueryDef("q25_als_recommend", alsRecommendations, None),
+    QueryDef("q26_popularity_ndcg", popularityEval, None),
+    QueryDef("q27_curated_recommend", curatedRecommendations, None)
+  )
+}

@@ -23,7 +23,18 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table: $name")
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.parquet carries TIMESTAMP(NANOS) which the vectorized
+      // reader rejects; read as long nanos and surface a proper
+      // timestamp column alongside (micros precision).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions._
+      raw.withColumn("ts_ns", col("ts").cast("long"))
+        .withColumn("ts", timestamp_micros((col("ts").cast("long") / 1000L).cast("long")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
   }
 
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
