@@ -1,0 +1,160 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Three tiers:
+  *  - `bruteForceTopK`: exact cosine top-k via broadcast join + window —
+  *    the correctness baseline; right answer for corpus ≤ ~1M × small k.
+  *  - `lshBuckets`/`lshTopK`: random-hyperplane LSH (Charikar 2002) —
+  *    sign-bit bucket key turns all-pairs into an equi-join.
+  *  - `ivfTopK`: IVF (inverted-file) — KMeans centroids partition the
+  *    corpus; queries probe the nearest `nProbe` cells. The 100 TB
+  *    path: corpus shuffled once by cell, queries routed by a tiny
+  *    broadcast centroid table.
+  *
+  * Dot products are higher-order-function expressions (zip_with +
+  * aggregate in double precision) — codegen'd, no UDF serialization.
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<float|double> columns, computed
+    * in double precision. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, _.cast("double"))
+    val bd = transform(b, _.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    val na = sqrt(aggregate(ad, lit(0.0), (s, v) => s + v * v))
+    val nb = sqrt(aggregate(bd, lit(0.0), (s, v) => s + v * v))
+    when(na === 0 || nb === 0, 0.0).otherwise(dot / (na * nb))
+  }
+
+  /** Exact top-k neighbors for each query against the corpus.
+    * corpus side is broadcast (caller guarantees it is the smaller /
+    * bounded side); per-query top-k via window — TakeOrdered shape.
+    * Excludes self-matches on equal ids. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /** Deterministic random hyperplanes: nPlanes × dim gaussian matrix. */
+  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket id for each vector: bit i = (v · plane_i) > 0.
+    * The planes are literal arrays folded into the plan (no closure). */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42): Column = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    planes.zipWithIndex.map { case (p, i) =>
+      val lp = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(transform(vec, _.cast("double")), lp,
+        (x, y) => x * y), lit(0.0), (s, v) => s + v)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k via multi-table LSH (OR-amplification): `nTables`
+    * independent `nPlanes`-bit sign buckets; candidates share a bucket
+    * in ANY table. Recall ≈ 1-(1-p^b)^L for bit-agreement prob p —
+    * single-table LSH collapses on near-orthogonal data, multi-table
+    * doesn't (standard construction, MMDS ch.3).
+    *
+    * Scale: equi-join on (table, bucket) — shuffle-partitioned, no
+    * cross join; pair dedup before the exact cosine pass. */
+  def lshTopK(vectors: DataFrame, k: Int, nPlanes: Int, dim: Int,
+      nTables: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val tables = array((0 until nTables).map { t =>
+      struct(lit(t).as("tbl"),
+        lshBucket(col("v"), nPlanes, dim, seed + t * 7919).as("bucket"))
+    }: _*)
+    val withB = base
+      .select(col("id"), col("v"), explode(tables).as("tb"))
+      .select(col("id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val a = withB.select(col("tbl"), col("bucket"), col("id").as("query_id"), col("v").as("qv"))
+    val b = withB.select(col("tbl"), col("bucket"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .distinct()
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rn"))
+  }
+
+  /** Per-label centroid (mean vector) — array-wise avg via posexplode +
+    * re-assemble; one shuffle on (label, pos), then one on label. */
+  def centroids(vectors: DataFrame, labelCol: String,
+      vecCol: String = "embedding"): DataFrame =
+    vectors
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), transform(col("pm"), _.getField("m")).as("centroid"))
+
+  /** IVF search: assign corpus to nearest of `nCells` KMeans centroids
+    * (one-time shuffle by cell); route each query to its `nProbe`
+    * nearest cells via broadcast centroids; exact cosine within cells.
+    * This is the standard IVF-Flat layout (Johnson et al., FAISS). */
+  def ivfTopK(vectors: DataFrame, k: Int, nCells: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val ds = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("features", array_to_vector(transform(col("v"), _.cast("double"))))
+      .cache()
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(ds)
+    val assigned = model.transform(ds).select(col("id"), col("v"), col("cell"))
+
+    // tiny centroid table → broadcast; query probes nProbe nearest cells
+    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val centersDf = centers.toSeq.toDF("cell", "centroid")
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("cdist").desc)
+    val probes = assigned.select(col("id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(centersDf))
+      .withColumn("cdist", cosine(col("qv"), col("centroid")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(assigned.select(col("cell"), col("id").as("neighbor_id"),
+        col("v").as("cv")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rn"))
+  }
+}

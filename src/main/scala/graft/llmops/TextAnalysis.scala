@@ -1,0 +1,110 @@
+package graft.llmops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  * All pure column expressions (whole-stage codegen; no UDF wall),
+  * so they run at scan speed over 100 TB of documents.
+  */
+object TextAnalysis {
+
+  /** Canonical normalization used before hashing/dedup: lowercase,
+    * collapse whitespace, trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Whitespace tokens; empty text → empty array (split("") yields [""]
+    * so guard). */
+  def tokens(text: Column): Column = {
+    val t = trim(text)
+    when(t === "", array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: word-pieces + digits + punctuation
+    * as separate tokens (regex segmentation, GPT-2-style classes). */
+  def subwordCountEstimate(text: Column): Column = {
+    val pieces = regexp_extract_all(lower(text),
+      lit("[a-z\\u00c0-\\u024f\\u4e00-\\u9fff]+|[0-9]+|[^\\sa-z0-9\\u00c0-\\u024f\\u4e00-\\u9fff]"), lit(0))
+    // ~4 chars per BPE token within a word-piece
+    aggregate(pieces, lit(0L),
+      (acc, p) => acc + greatest(ceil(length(p) / 4.0).cast("long"), lit(1L)))
+  }
+
+  /** Quality-signal battery: character/token counts, punctuation and
+    * non-alpha ratios, mean token length, stopword ratio. Null-safe.
+    * Signals follow published web-corpus filters (C4/Gopher-style
+    * length + symbol-ratio rules). */
+  def qualitySignals(text: Column, stopwords: Seq[String]): Seq[(String, Column)] = {
+    val t = coalesce(text, lit(""))
+    val toks = tokens(t)
+    val nChars = length(t)
+    val nTokens = size(toks)
+    val nPunct = nChars - length(regexp_replace(t, "[\\p{Punct}]", ""))
+    val nAlpha = length(regexp_replace(t, "[^A-Za-z]", ""))
+    val nStop = size(filter(toks, w => array_contains(lit(stopwords.toArray), lower(w))))
+    Seq(
+      "n_chars" -> nChars.cast("long"),
+      "n_tokens" -> nTokens.cast("long"),
+      "punct_ratio" -> round(nPunct / greatest(nChars, lit(1)).cast("double"), 6),
+      "alpha_ratio" -> round(nAlpha / greatest(nChars, lit(1)).cast("double"), 6),
+      "mean_token_len" -> round((nChars - greatest(nTokens - 1, lit(0))) /
+        greatest(nTokens, lit(1)).cast("double"), 6),
+      "stopword_ratio" -> round(nStop / greatest(nTokens, lit(1)).cast("double"), 6))
+  }
+
+  /** Aggregate 0..1 quality score from the signals (monotone blend of
+    * length-in-range, stopword presence, low symbol noise). */
+  def qualityScore(text: Column, stopwords: Seq[String] = englishStopwords): Column = {
+    val s = qualitySignals(text, stopwords).toMap
+    val lengthOk = when(s("n_tokens").between(5, 10000), 1.0).otherwise(0.3)
+    val stopOk = least(s("stopword_ratio") * 4.0, lit(1.0))
+    val punctOk = greatest(lit(0.0), lit(1.0) - s("punct_ratio") * 3.0)
+    round((lengthOk * 0.4 + stopOk * 0.3 + punctOk * 0.3), 6)
+  }
+
+  val englishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "this", "be", "are")
+
+  /** Language ID: CJK-character share decides zh; otherwise the
+    * stopword-profile argmax over per-language marker words (classic
+    * n-gram/stopword heuristic, cf. Cavnar-Trenkle). */
+  def langId(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val nChars = greatest(length(t), lit(1))
+    val cjk = length(regexp_replace(t, "[^\\u4e00-\\u9fff]", ""))
+    val toks = tokens(lower(t))
+    def hits(words: Seq[String]): Column =
+      size(filter(toks, w => array_contains(lit(words.toArray), w)))
+    val scores = map(
+      lit("en"), hits(Seq("the", "and", "of", "to", "is", "with", "that", "for")),
+      lit("es"), hits(Seq("el", "la", "de", "que", "y", "los", "las", "una", "por")),
+      lit("de"), hits(Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein")),
+      lit("fr"), hits(Seq("le", "la", "les", "des", "est", "une", "dans", "pour", "et")))
+    val best = array(lit("en"), lit("es"), lit("de"), lit("fr"))
+      .cast("array<string>")
+    val argmax = aggregate(
+      best,
+      struct(lit("und").as("lang"), lit(0).as("score")),
+      (acc, l) => when(element_at(scores, l) > acc.getField("score"),
+        struct(l.as("lang"), element_at(scores, l).as("score"))).otherwise(acc))
+    when(cjk / nChars.cast("double") > 0.2, "zh")
+      .otherwise(argmax.getField("lang"))
+  }
+
+  /** Stable content fingerprint: md5 of normalized text (hex). */
+  def fingerprintMd5(text: Column): Column = md5(normalize(text))
+
+  /** 64-bit rolling fingerprint over normalized tokens: chained
+    * xxhash64(acc, token) — order-sensitive like a rolling polynomial
+    * hash but overflow-free under ANSI arithmetic. */
+  def fingerprintRolling(text: Column): Column =
+    aggregate(tokens(normalize(text)), lit(0L),
+      (acc, w) => xxhash64(acc, w))
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.llmops.{Dedup, Similarity, TextAnalysis => TA}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the documents/embeddings
+  * fixtures: text analysis, dedup, similarity search. */
+object Llm {
+
+  private val stop = TA.englishStopwords
+
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TA.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"))
+      .orderBy(col("doc_id"))
+
+  def qualitySignals(spark: SparkSession, dir: String): DataFrame = {
+    val sig = TA.qualitySignals(col("text"), stop)
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TA.fingerprintMd5(col("text")).as("fp_md5"))
+      .orderBy(col("doc_id"))
+
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("content_hash"), col("canon_id"), col("is_dup"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic + rolling fingerprint (rows-only: xxhash64 &
+    * marker profiles are engine-specific). */
+  def langIdAndRolling(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        TA.langId(col("text")).as("pred_lang"),
+        TA.fingerprintRolling(col("text")).as("fp_rolling"),
+        TA.subwordCountEstimate(col("text")).as("n_subwords"))
+      .orderBy(col("doc_id"))
+
+  /** MinHash-LSH near-dup candidates verified with exact Jaccard. */
+  def minhashNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+      shingleK = 2, numHashes = 64, bands = 16, threshold = 0.3)
+      .withColumnRenamed("id_a", "id_a").withColumnRenamed("id_b", "id_b")
+    Dedup.exactJaccard(docs,
+        cands.select(col("id_a"), col("id_b")), "doc_id", "text", shingleK = 2)
+      .filter(col("jaccard") >= 0.3)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def simhashNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+        maxHamming = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Brute-force cosine ANN baseline — oracle-able thanks to DuckDB's
+    * list_cosine_similarity. */
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 20)
+    Similarity.bruteForceTopK(queries, emb, 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** LSH-bucketed approximate ANN (scale path; rows-only). */
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(spark, dir), k = 5,
+        nPlanes = 6, dim = 64, nTables = 8)
+      .orderBy(col("query_id"), col("rn"))
+
+  /** IVF (KMeans-cell) approximate ANN (rows-only — ML clustering). */
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(spark, dir), k = 5,
+        nCells = 8, nProbe = 2)
+      .orderBy(col("query_id"), col("rn"))
+
+  /** Per-label mean embedding, flattened to (label, pos, m). */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg(round(avg(col("x")), 6).as("m"))
+      .orderBy(col("label"), col("pos"))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q30_token_stats", tokenStats, Some(
+      """SELECT doc_id,
+        | CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        | length(text) AS n_chars_calc
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q31_quality_signals", qualitySignals, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, coalesce(text, '') AS txt,
+         |    CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+         |         ELSE string_split_regex(trim(coalesce(text, '')), '\\s+') END AS toks
+         |  FROM documents)
+         |SELECT doc_id,
+         | length(txt) AS n_chars,
+         | len(toks) AS n_tokens,
+         | round((length(txt) - length(regexp_replace(txt, '[!-/:-@\\[-`{-~]', '', 'g')))
+         |   / greatest(length(txt), 1)::DOUBLE, 6) AS punct_ratio,
+         | round(length(regexp_replace(txt, '[^A-Za-z]', '', 'g'))
+         |   / greatest(length(txt), 1)::DOUBLE, 6) AS alpha_ratio,
+         | round((length(txt) - greatest(len(toks) - 1, 0))
+         |   / greatest(len(toks), 1)::DOUBLE, 6) AS mean_token_len,
+         | round(len(list_filter(toks, w -> list_contains([${stop.map("'" + _ + "'").mkString(",")}], lower(w))))
+         |   / greatest(len(toks), 1)::DOUBLE, 6) AS stopword_ratio
+         |FROM t
+         |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q32_fingerprint_md5", fingerprints, Some(
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q33_exact_dedup", exactDedup, Some(
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+        |  FROM documents)
+        |SELECT doc_id, content_hash,
+        |  min(doc_id) OVER (PARTITION BY content_hash) AS canon_id,
+        |  doc_id != min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
+        |FROM h
+        |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q34_langid_fingerprint", langIdAndRolling, None),
+    QueryDef("q35_minhash_near_dups", minhashNearDups, None),
+    QueryDef("q36_simhash_near_dups", simhashNearDups, None),
+    QueryDef("q37_ann_brute_force", annBruteForce, Some(
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        |      FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |        list_cosine_similarity(qv, cv) AS cos
+        |      FROM q CROSS JOIN c WHERE query_id != neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, round(cos, 6) AS cos,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY cos DESC, neighbor_id) AS rn
+        |      FROM s)
+        |SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin)),
+    QueryDef("q38_ann_lsh", annLsh, None),
+    QueryDef("q39_ann_ivf", annIvf, None),
+    QueryDef("q40_label_centroids", labelCentroids, Some(
+      """SELECT label, ord AS pos, round(avg(val), 6) AS m
+        |FROM (SELECT label, unnest(embedding) AS val,
+        |             unnest(range(len(embedding))) AS ord
+        |      FROM embeddings)
+        |GROUP BY label, ord
+        |ORDER BY label, pos""".stripMargin))
+  )
+}

@@ -1,0 +1,51 @@
+package graft.llmops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine matches hand computation") {
+    val df = Seq((Array(1.0f, 0f), Array(1.0f, 0f)),
+      (Array(1.0f, 0f), Array(0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(1.0f, 0f))).toDF("a", "b")
+      .select(Similarity.cosine($"a", $"b").as("c"))
+    val got = df.as[Double].collect().toSeq
+    assert(got(0) == 1.0)
+    assert(got(1) == 0.0)
+    assert(math.abs(got(2) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("bruteForceTopK returns correct nearest neighbors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1.0f)), (3L, Array(-1.0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, 2)
+      .select("neighbor_id", "rn").as[(Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("lsh recall: most brute-force top-1 neighbors found at sf0.001") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).cache()
+    val brute = Similarity.bruteForceTopK(emb, emb, 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val lsh = Similarity.lshTopK(emb, 5, nPlanes = 4, dim = 64, nTables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalled = brute.count { case (q, n) => lsh.getOrElse(q, Set()).contains(n) }
+    // near-orthogonal random vectors are LSH's worst case; multi-table
+    // OR-amplification (8 tables × 4 bits) must still recall most top-1s
+    assert(recalled.toDouble / brute.size > 0.5,
+      s"recall ${recalled.toDouble / brute.size} too low")
+  }
+
+  test("centroids: mean per label on toy data") {
+    val vecs = Seq((0, Array(1.0f, 3.0f)), (0, Array(3.0f, 5.0f)),
+      (1, Array(2.0f, 2.0f))).toDF("label", "embedding")
+    val c = Similarity.centroids(vecs, "label")
+      .select("label", "centroid").as[(Int, Seq[Double])].collect().toMap
+    assert(c(0) == Seq(2.0, 4.0))
+    assert(c(1) == Seq(2.0, 2.0))
+  }
+}

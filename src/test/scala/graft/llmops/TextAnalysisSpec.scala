@@ -1,0 +1,50 @@
+package graft.llmops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount handles empties and runs of whitespace") {
+    val got = Seq("a b  c", "", "   ", "single").toDF("t")
+      .select(TextAnalysis.tokenCount($"t").as("n")).as[Int].collect().toSeq
+    assert(got == Seq(3, 0, 0, 1))
+  }
+
+  test("langId detects major languages from stopword profiles") {
+    val samples = Seq(
+      "the cat sat on the mat and the dog is with it",
+      "el perro y la casa de los gatos que corren por una calle",
+      "der Hund und die Katze ist nicht mit das Haus",
+      "le chat est dans les maisons pour une fête et des amis",
+      "这是一个中文测试文档 完全是中文内容")
+    val got = samples.toDF("t")
+      .select(TextAnalysis.langId($"t").as("l")).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "de", "fr", "zh"))
+  }
+
+  test("quality signals: punct/alpha ratios on known string") {
+    // "ab!!" → 4 chars, 2 punct, 2 alpha
+    val row = Seq("ab!!").toDF("t")
+      .select(TextAnalysis.qualitySignals($"t", TextAnalysis.englishStopwords)
+        .map { case (n, c) => c.as(n) }: _*).collect()(0)
+    assert(row.getAs[Double]("punct_ratio") == 0.5)
+    assert(row.getAs[Double]("alpha_ratio") == 0.5)
+  }
+
+  test("fingerprints stable under whitespace/case noise") {
+    val df = Seq("Hello  World", "hello world", "hello  WORLD ").toDF("t")
+      .select(TextAnalysis.fingerprintMd5($"t").as("m"),
+        TextAnalysis.fingerprintRolling($"t").as("r"))
+    assert(df.select("m").distinct().count() == 1)
+    assert(df.select("r").distinct().count() == 1)
+  }
+
+  test("subword estimate >= word count for normal text") {
+    val row = Seq("internationalization works!").toDF("t")
+      .select(TextAnalysis.subwordCountEstimate($"t").as("s"),
+        TextAnalysis.tokenCount($"t").as("w")).collect()(0)
+    assert(row.getAs[Long]("s") >= row.getAs[Int]("w"))
+  }
+}
