@@ -1,0 +1,134 @@
+package graft.ml
+
+import graft.reco._
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.feature.{OneHotEncoder, SQLTransformer, StringIndexer, VectorAssembler}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-stage ranking pipeline: candidate generation (multiple
+  * recommenders, unioned + distinct) re-ranked by a logistic regression
+  * over engineered user×item features.
+  *
+  * Reference: LogisticRegressionRanker.main (src/main/scala/ws/vinta/
+  * albedo/LogisticRegressionRanker.scala:49-444; lifecycle traced in
+  * SURVEY.md §3.3): profile joins → feature pipeline (StringIndexer+OHE,
+  * SQLTransformer weights, assembler) → NegativeBalancer → LR(weightCol)
+  * → AUC + NDCG@k.
+  *
+  * Scale design: feature tables are aggregations keyed by user/item
+  * (shuffle once each, then broadcast the item side — item cardinality
+  * ≪ user cardinality); candidate re-rank joins features by key instead
+  * of transforming per-candidate with per-row state.
+  */
+object RankerPipeline {
+
+  /** Per-user behavioral features from interactions. */
+  def userFeatures(interactions: DataFrame): DataFrame = {
+    val favW = Window.partitionBy(col("user_id")).orderBy(col("n_type").desc, col("event_type"))
+    val fav = interactions
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n_type"))
+      .withColumn("rn", row_number().over(favW)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("fav_event_type"))
+    interactions
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("u_n_events"),
+        countDistinct(col("item_id")).as("u_n_items"),
+        avg(col("value")).as("u_avg_value"),
+        max(col("ts_ns")).as("u_last_ns"))
+      .join(fav, Seq("user_id"))
+  }
+
+  /** Per-item popularity features. */
+  def itemFeatures(interactions: DataFrame): DataFrame =
+    interactions.groupBy(col("item_id"))
+      .agg(count(lit(1)).as("i_n_events"),
+        countDistinct(col("user_id")).as("i_n_users"),
+        avg(col("value")).as("i_avg_value"))
+
+  /** Assemble the labeled training frame: NegativeBalancer labels joined
+    * with user/item features. */
+  def trainingFrame(interactions: DataFrame): DataFrame = {
+    val labeled = NegativeBalancer.balance(
+      interactions.select(col("user_id"), col("item_id")), 1000, 1.0)
+    labeled
+      .join(userFeatures(interactions), Seq("user_id"))
+      .join(broadcast(itemFeatures(interactions)), Seq("item_id"))
+  }
+
+  private def featurePipeline(): Pipeline = {
+    val indexer = new StringIndexer()
+      .setInputCol("fav_event_type").setOutputCol("fav_idx")
+      .setHandleInvalid("keep") // reference: handleInvalid=keep (LogisticRegressionRanker.scala:176-188)
+    val ohe = new OneHotEncoder()
+      .setInputCol("fav_idx").setOutputCol("fav_ohe").setDropLast(false)
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("u_n_events", "u_n_items", "u_avg_value",
+        "i_n_events", "i_n_users", "i_avg_value", "fav_ohe"))
+      .setOutputCol("features")
+    new Pipeline().setStages(Array(indexer, ohe, assembler))
+  }
+
+  /** Train LR ranker; returns (model pipeline, AUC on held-out split).
+    * LR config mirrors the reference scaled down
+    * (LogisticRegressionRanker.scala:330-337). */
+  def trainAndEvaluate(spark: SparkSession, interactions: DataFrame,
+      maxIter: Int = 50, regParam: Double = 0.1): (org.apache.spark.ml.PipelineModel, Double, DataFrame) = {
+    // instance weights via SQLTransformer at fit time only (reference
+    // §2.8 #56); predict-time inputs carry no label so the weight stage
+    // must not live inside the serving pipeline
+    val weigher = new SQLTransformer().setStatement(
+      "SELECT *, IF(label > 0.5, 1.0, 1.0) AS instance_weight FROM __THIS__")
+    val data = weigher.transform(trainingFrame(interactions))
+    val lr = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam).setElasticNetParam(0.0)
+      .setStandardization(true)
+      .setFeaturesCol("features").setLabelCol("label")
+      .setWeightCol("instance_weight")
+    val pipeline = new Pipeline().setStages(featurePipeline().getStages :+ lr)
+    val Array(train, test) = data.randomSplit(Array(0.9, 0.1), seed = 42)
+    val model = pipeline.fit(train)
+    val scored = model.transform(test)
+    val auc = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("rawPrediction")
+      .setMetricName("areaUnderROC").evaluate(scored)
+    (model, auc, data)
+  }
+
+  /** Full two-stage flow: CG union (popularity + curation) → distinct →
+    * feature join → LR probability re-rank → NDCG against a time-split
+    * holdout. Returns one metrics row. */
+  def endToEnd(spark: SparkSession, interactions: DataFrame,
+      splitNs: Long, topK: Int = 10): DataFrame = {
+    val train = interactions.filter(col("ts_ns") < splitNs).cache()
+    val test = interactions.filter(col("ts_ns") >= splitNs)
+
+    val (model, auc, _) = trainAndEvaluate(spark, train)
+
+    val users = test.select(col("user_id")).distinct()
+    val candidates = Seq(
+      new PopularityRecommender(train).recommendForUsers(users, topK * 2),
+      new CurationRecommender(train, Seq(1, 2, 3, 5, 8)).recommendForUsers(users, topK))
+      .reduce(_.select("user_id", "item_id") unionByName _.select("user_id", "item_id"))
+      .distinct()
+
+    val feats = candidates
+      .join(userFeatures(train), Seq("user_id"))
+      .join(broadcast(itemFeatures(train)), Seq("item_id"))
+    val scored = model.transform(feats)
+      .withColumn("score",
+        element_at(org.apache.spark.ml.functions.vector_to_array(col("probability")), 2))
+      .select(col("user_id"), col("item_id"), col("score"))
+
+    val ndcgRow = RankingEvaluator.evaluate(
+      scored, test.select(col("user_id"), col("item_id")).distinct(), topK)
+    ndcgRow.withColumn("auc", round(lit(auc), 6))
+      .select(col("k"), col("n_users"), round(col("ndcg"), 6).as("ndcg"),
+        round(col("precision"), 6).as("precision"), round(col("map"), 6).as("map"),
+        col("auc"))
+  }
+}

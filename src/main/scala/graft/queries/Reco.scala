@@ -90,7 +90,7 @@ object Reco {
     * (ALSRecommenderBuilder.main trace, SURVEY.md §3.2). Rows-only. */
   def popularityEval(spark: SparkSession, dir: String): DataFrame = {
     val inter = Interactions.fromEvents(spark, dir).cache()
-    val cut = lit(1719792000000000000L) // 2024-07-01 UTC in ns — frozen split
+    val cut = lit(1706054400000000000L) // 2024-01-24 UTC in ns — frozen split
     val train = inter.filter(col("ts_ns") < cut)
     val test = inter.filter(col("ts_ns") >= cut)
     val users = test.select(col("user_id")).distinct()

@@ -247,7 +247,26 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** NULL predicates + imputation: null-presence flag then na.fill.
+    * Ref op #19 (UserProfileBuilder.scala:60-66). Fixtures carry no
+    * nulls, so nullif() synthesizes them first. */
+  def nullImputation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .withColumn("seg", expr("nullif(c_mktsegment, 'BUILDING')"))
+      .withColumn("has_null", graft.ops.exprs.anyNullFlag(Seq(col("seg"))))
+      .na.fill(Map("seg" -> "__unknown"))
+      .select($"c_custkey", $"seg", $"has_null")
+      .orderBy($"c_custkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q18_null_impute", nullImputation, Some(
+      """SELECT c_custkey,
+        | coalesce(nullif(c_mktsegment, 'BUILDING'), '__unknown') AS seg,
+        | nullif(c_mktsegment, 'BUILDING') IS NULL AS has_null
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin)),
     QueryDef("q01_agg_pricing_summary", pricingSummary, Some(
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,63 @@
+package graft.reco
+
+import graft.text.Tokenize
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Content-based similarity via TF-IDF cosine over an inverted index —
+  * the Spark-native replacement for the reference's per-row
+  * Elasticsearch More-Like-This calls (reference: src/main/scala/ws/
+  * vinta/albedo/recommenders/ContentRecommender.scala:36-82, which ran
+  * an HTTP search per user inside flatMap — a per-row external RPC).
+  *
+  * Construction (all DataFrame ops):
+  *   tokens → per-doc term frequency → document frequency → idf
+  *   → L2-normalized tf·idf weights → self-join on term →
+  *   Σ w_a·w_b = cosine (norms already folded in) → per-doc top-k.
+  *
+  * Scale design: the self-join shuffles on the term key — the classic
+  * inverted-index sparse similarity join. Stop-term pruning (maxDf)
+  * bounds the per-term posting list, which bounds join fan-out; no
+  * dense vectors, no cross join, no per-row RPC. This is how you do
+  * content similarity on 10^9 docs.
+  */
+object ContentRecommender {
+
+  /** L2-normalized tf·idf term weights: (id, term, w). */
+  def tfidfWeights(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 1, maxDfFrac: Double = 0.8): DataFrame = {
+    val n = docs.count() // one cheap count for idf; cache upstream
+    val terms = docs.select(col(idCol).as("id"),
+        explode(Tokenize.removeStopwords(
+          Tokenize.cjkAware(col(textCol)), Tokenize.englishStopwords)).as("term"))
+    val tf = terms.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= (n * maxDfFrac).toLong)
+    val w = tf.join(df, Seq("term"))
+      .withColumn("w_raw", col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0))
+    val norms = w.groupBy(col("id"))
+      .agg(sqrt(sum(col("w_raw") * col("w_raw"))).as("norm"))
+    w.join(norms, Seq("id"))
+      .select(col("id"), col("term"), (col("w_raw") / col("norm")).as("w"))
+  }
+
+  /** Top-k most similar docs per doc by TF-IDF cosine. */
+  def similarDocs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minSim: Double = 0.0): DataFrame = {
+    val w = tfidfWeights(docs, idCol, textCol).cache()
+    val a = w.select(col("term"), col("id").as("id_a"), col("w").as("w_a"))
+    val b = w.select(col("term"), col("id").as("id_b"), col("w").as("w_b"))
+    val win = Window.partitionBy(col("id_a"))
+      .orderBy(col("cos").desc, col("id_b"))
+    a.join(b, Seq("term"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("w_a") * col("w_b")).as("cos"))
+      .filter(col("cos") >= minSim)
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= k)
+      .select(col("id_a"), col("id_b"), col("cos"), col("rn"))
+  }
+}

@@ -22,6 +22,8 @@ object Interactions {
       get_json_object(col("props"), "$.k").cast("int").as("item_id"),
       col("ts"),
       col("ts_ns"),
+      col("event_type"),
+      col("value"),
       lit(1.0).as("rating"))
 
   /** Deduplicated (user,item) pairs with interaction count as implicit
