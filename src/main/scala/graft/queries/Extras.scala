@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.llmops.Multimodal
+import graft.sources.Tables
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming-equivalent and multimodal queries. */
+object Extras {
+
+  /** Event-time hourly windowed agg — the same transformation the
+    * streaming path runs (EventStreams.hourlyTypeCounts), executed over
+    * the bounded batch table for the oracle gate. */
+  def hourlyWindowCounts(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.hourlyTypeCounts(Tables.events(spark, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Session windows per user (30-min inactivity gap) — batch run of the
+    * streaming sessionization (rows-only: no session_window in DuckDB). */
+  def userSessions(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.userSessions(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Multimodal feature extraction over a deterministic synthetic binary
+    * corpus (decode kernel stubbed — no codecs offline; plumbing real). */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(spark, dir).count().toInt.min(2000)
+    Multimodal.extractFeatures(Multimodal.synthCorpus(spark, n))
+      .toDF().orderBy(col("media_id"))
+  }
+
+  /** Video frame sampling (every 4th frame) over the synthetic corpus. */
+  def frameSamples(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.synthCorpus(spark, 300))
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q28_hourly_window_counts", hourlyWindowCounts, Some(
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        | event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin)),
+    QueryDef("q29_user_sessions", userSessions, None),
+    QueryDef("q45_multimodal_features", multimodalFeatures, None),
+    QueryDef("q46_frame_samples", frameSamples, None)
+  )
+}

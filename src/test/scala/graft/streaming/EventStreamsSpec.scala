@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class EventStreamsSpec extends SparkSpec {
+
+  test("streaming hourly counts match the batch run of the same transform") {
+    val batch = EventStreams.hourlyTypeCounts(
+      graft.sources.Tables.events(spark, sf0001))
+      .orderBy(col("window_start"), col("event_type")).collect().toSeq
+
+    // Complete mode: a bounded source processed in one micro-batch never
+    // advances the watermark past the tail windows, so Append would
+    // (correctly) withhold them — Complete emits the full state.
+    val stream = EventStreams.readEvents(spark, sf0001)
+    val got = EventStreams.runToMemory(
+        EventStreams.hourlyTypeCounts(stream),
+        "hourly_test", OutputMode.Complete())
+      .orderBy(col("window_start"), col("event_type")).collect().toSeq
+
+    assert(got == batch)
+  }
+
+  test("stateful running totals equal batch group sums") {
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, sf0001)
+    val expected = events.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("v"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    val stream = EventStreams.readEvents(spark, sf0001)
+    val totals = EventStreams.runningUserTotals(stream)
+    val q = totals.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("running_test").start()
+    q.processAllAvailable(); q.stop()
+    // last update per user wins
+    val got = spark.table("running_test")
+      .groupBy($"userId")
+      .agg(max(struct($"nEvents", $"totalValue")).as("s"))
+      .select($"userId", $"s.nEvents", $"s.totalValue")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == expected)
+  }
+
+  test("session windows: bounded, non-overlapping per user") {
+    import spark.implicits._
+    val sessions = EventStreams.userSessions(
+      graft.sources.Tables.events(spark, sf0001)).cache()
+    assert(sessions.count() > 0)
+    val overlaps = sessions.as("a").join(sessions.as("b"),
+      $"a.user_id" === $"b.user_id" &&
+        $"a.session_start" < $"b.session_start" &&
+        $"b.session_start" < $"a.session_end").count()
+    assert(overlaps == 0)
+  }
+}
