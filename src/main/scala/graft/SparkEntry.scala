@@ -9,6 +9,9 @@ import graft.queries.{Registry, Relational}
   */
 object SparkEntry {
 
+  /** Full query registry (name, runner, optional oracle). */
+  def registry: Seq[QueryDef] = Registry.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.pricingSummary(spark, "/root/testdata/sf0.001")

@@ -41,14 +41,65 @@ object Dedup {
         i => array_join(slice(toks, i + 1, lit(k)), " "))))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over shingle hashes. Expressed with higher-order functions
-    * so it stays inside codegen: one transform over seeds, each taking
-    * an aggregate-min over xxhash64(shingle, seed-salt). */
+  /** MinHash signature: for each of `numHashes` universal hash
+    * functions h_i(x) = A_i·h(x) + B_i, the min over shingle hashes.
+    * HOF-expression form — NOTE: Spark higher-order functions are
+    * CodegenFallback (interpreted); use [[minhashSignatures]] (typed
+    * kernel) for bulk work — measured ~400 s vs ~2 s at sf0.1. */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)), seed =>
       aggregate(shingleArr, lit(Long.MaxValue),
         (acc, s) => least(acc, xxhash64(s, seed))))
+
+  /** Deterministic per-seed mixing constants (splitmix64 stream). */
+  private def mixConstants(numHashes: Int): Array[(Long, Long)] = {
+    var x = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.fill(numHashes)((next() | 1L, next()))
+  }
+
+  /** Bulk MinHash signatures via a typed per-row kernel: one string
+    * hash per shingle, then numHashes cheap integer mixes — the
+    * imperative escape hatch (SURVEY.md preference (d)), justified
+    * because the HOF formulation falls back to interpreted eval.
+    * Output: (id, sig array<long>). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val consts = mixConstants(numHashes)
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = Option(text).getOrElse("").toLowerCase
+          .split("\\s+").filter(_.nonEmpty)
+        val shingleSet = new scala.collection.mutable.HashSet[String]
+        if (toks.length < shingleK) shingleSet += toks.mkString(" ")
+        else {
+          var i = 0
+          while (i + shingleK <= toks.length) {
+            shingleSet += toks.slice(i, i + shingleK).mkString(" ")
+            i += 1
+          }
+        }
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        shingleSet.foreach { s =>
+          val h = scala.util.hashing.MurmurHash3.stringHash(s).toLong
+          var j = 0
+          while (j < numHashes) {
+            val v = h * consts(j)._1 + consts(j)._2
+            if (v < sig(j)) sig(j) = v
+            j += 1
+          }
+        }
+        (id, sig)
+      }.toDF("id", "sig")
+  }
 
   /** LSH banding: split the signature into `bands` equal rows of
     * signature values, hash each band → (band_idx, band_hash) rows.
@@ -71,27 +122,26 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
 
-    val withSig = docs
-      .select(col(idCol).as("id"),
-        minhashSignature(shingles(col(textCol), shingleK), numHashes).as("sig"))
+    val withSig = minhashSignatures(docs, idCol, textCol, shingleK, numHashes)
       .cache()
 
+    // id-only banding rows: the bucket self-join can fan out to B² pairs
+    // per bucket (degenerate corpora share global minima), so candidate
+    // rows must be 16 bytes, not 16 bytes + two 512-byte signatures —
+    // signatures re-attach AFTER pair dedup (measured 30× at sf0.1)
     val banded = withSig
-      .select(col("id"), col("sig"),
-        explode(lshBands(col("sig"), bands, rowsPerBand)).as("bb"))
-      .select(col("id"), col("sig"),
+      .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("id"),
         col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
 
-    // self-join per bucket; distinct pairs (a<b); estimate jaccard as
-    // fraction of matching signature positions
-    val a = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+      .join(withSig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(withSig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
@@ -124,9 +174,15 @@ object Dedup {
   /** 64-bit SimHash over normalized tokens (Charikar 2002): sum ±1 per
     * bit weighted by token frequency, sign → bit. Expressed as 64
     * bit-position aggregates over the token array. */
-  def simhash64(text: Column): Column = {
-    val toks = TextAnalysis.tokens(TextAnalysis.normalize(text))
-    val hashes = transform(toks, t => xxhash64(t))
+  def simhash64(text: Column): Column =
+    simhash64FromHashes(transform(
+      TextAnalysis.tokens(TextAnalysis.normalize(text)), t => xxhash64(t)))
+
+  /** SimHash from a pre-materialized token-hash array. Callers doing
+    * bulk work should project the hash array in its own select first —
+    * the 64 bit-aggregates each reference it, and fusing them with the
+    * tokenize would recompute tokenization 64×. */
+  def simhash64FromHashes(hashes: Column): Column =
     // for each bit i: sum over tokens of (bit set ? +1 : -1); bit i of
     // result = (sum > 0). Bit loop unrolled at plan-build time (Int
     // shift counts) — 64 array-aggregates, all inside codegen.
@@ -135,7 +191,6 @@ object Dedup {
         (s, h) => s + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-  }
 
   /** Hamming distance between two 64-bit simhashes (popcount of XOR via
     * binary-string trick — dialect-portable). */
@@ -147,7 +202,11 @@ object Dedup {
     * so candidate generation is again an equi-join, not a cross join. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val sh = docs
+      .select(col(idCol).as("id"),
+        transform(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))),
+          t => xxhash64(t)).as("th"))
+      .select(col("id"), simhash64FromHashes(col("th")).as("sh"))
     val quarterStructs = array((0 until 4).map { i =>
       struct(lit(i).as("q"),
         shiftright(col("sh"), i * 16).bitwiseAND(0xFFFF).as("qkey"))

@@ -45,7 +45,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", graft.functions.VectorFunctions.cosineNative(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
@@ -81,25 +81,44 @@ object Similarity {
       nTables: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42): DataFrame = {
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // materialize the double-cast vector once; each of the
+    // nTables×nPlanes plane dots references it (fused inlining would
+    // recompute the cast per plane)
+    val withVd = base.withColumn("vd", transform(col("v"), _.cast("double")))
     val tables = array((0 until nTables).map { t =>
       struct(lit(t).as("tbl"),
-        lshBucket(col("v"), nPlanes, dim, seed + t * 7919).as("bucket"))
+        lshBucketFromDouble(col("vd"), nPlanes, dim, seed + t * 7919).as("bucket"))
     }: _*)
-    val withB = base
-      .select(col("id"), col("v"), explode(tables).as("tb"))
-      .select(col("id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val a = withB.select(col("tbl"), col("bucket"), col("id").as("query_id"), col("v").as("qv"))
-    val b = withB.select(col("tbl"), col("bucket"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val withB = withVd
+      .select(col("id"), explode(tables).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // candidate ids first — dedup BEFORE hauling vector payloads
+    val a = withB.select(col("tbl"), col("bucket"), col("id").as("query_id"))
+    val b = withB.select(col("tbl"), col("bucket"), col("id").as("neighbor_id"))
+    val pairs = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    a.join(b, Seq("tbl", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
-      .distinct()
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+    pairs
+      .join(base.select(col("id").as("query_id"), col("v").as("qv")), Seq("query_id"))
+      .join(base.select(col("id").as("neighbor_id"), col("v").as("cv")), Seq("neighbor_id"))
+      .withColumn("cos", graft.functions.VectorFunctions.cosineNative(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rn"))
+  }
+
+  /** Sign-bit bucket from a pre-cast array<double> column. */
+  private def lshBucketFromDouble(vd: Column, nPlanes: Int, dim: Int,
+      seed: Long): Column = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    planes.zipWithIndex.map { case (p, i) =>
+      val lp = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(vd, lp, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
   }
 
   /** Per-label centroid (mean vector) — array-wise avg via posexplode +
@@ -152,7 +171,7 @@ object Similarity {
     probes.join(assigned.select(col("cell"), col("id").as("neighbor_id"),
         col("v").as("cv")), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", graft.functions.VectorFunctions.cosineNative(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rn"))

@@ -11,12 +11,13 @@ import org.apache.spark.sql.functions._
 /** ML/text pipeline operator coverage (SURVEY.md §2.10). */
 object Ml {
 
-  /** TF-IDF cosine similar-docs via inverted-index join (the ES
-    * More-Like-This replacement, SURVEY.md §7.3). */
+  /** TF-IDF similar-docs via prefix-filtered inverted-index join (the
+    * ES More-Like-This replacement, SURVEY.md §7.3; exact variant in
+    * ContentRecommender.similarDocs, spec-covered). */
   def tfidfSimilarDocs(spark: SparkSession, dir: String): DataFrame =
-    ContentRecommender.similarDocs(Tables.documents(spark, dir),
-        "doc_id", "text", k = 5)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"), col("rn"))
+    ContentRecommender.similarDocsPrefix(Tables.documents(spark, dir),
+        "doc_id", "text", k = 5, m = 4)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"), col("rn"))
       .orderBy(col("id_a"), col("rn"))
 
   /** Tokenize + Porter-stem the corpus; emits sorted distinct stems per
@@ -75,15 +76,21 @@ object Ml {
          |          FROM w GROUP BY 1),
          |wn AS (SELECT w.doc_id, w.term, w.w_raw / norms.norm AS wt
          |       FROM w JOIN norms USING (doc_id)),
+         |prefix AS (SELECT doc_id, term, wt FROM (
+         |    SELECT doc_id, term, wt,
+         |      row_number() OVER (PARTITION BY doc_id
+         |                         ORDER BY wt DESC, term) AS pr
+         |    FROM wn) WHERE pr <= 4),
          |sims AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |           sum(a.wt * b.wt) AS cos
-         |         FROM wn a JOIN wn b ON a.term = b.term AND a.doc_id != b.doc_id
+         |           sum(a.wt * b.wt) AS score
+         |         FROM prefix a JOIN prefix b
+         |           ON a.term = b.term AND a.doc_id != b.doc_id
          |         GROUP BY 1, 2),
-         |r AS (SELECT id_a, id_b, round(cos, 6) AS cos,
+         |r AS (SELECT id_a, id_b, round(score, 6) AS score,
          |        row_number() OVER (PARTITION BY id_a
-         |                           ORDER BY cos DESC, id_b) AS rn
+         |                           ORDER BY score DESC, id_b) AS rn
          |      FROM sims)
-         |SELECT id_a, id_b, cos, rn FROM r WHERE rn <= 5
+         |SELECT id_a, id_b, score, rn FROM r WHERE rn <= 5
          |ORDER BY id_a, rn""".stripMargin)),
     QueryDef("q42_porter_stems", stemmedTokens, None),
     QueryDef("q43_word2vec_synonyms", word2vecSynonyms, None),
