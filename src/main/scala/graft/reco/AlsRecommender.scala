@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
 final class AlsRecommender(model: ALSModel) extends Recommender {
   override val name = "als"
 
+  /** Underlying MLWritable model (persistence — SURVEY.md §2.1 #9). */
+  def modelRef: ALSModel = model
+
   override def recommendForUsers(users: DataFrame, topK: Int): DataFrame = {
     val recs = model.recommendForUserSubset(users.select(col("user_id")), topK)
     recs.select(col("user_id"),

@@ -1,0 +1,39 @@
+package graft.reco
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/test split utilities.
+  *
+  * Reference: DatasetUtils.randomSplitByUser (reference: src/main/scala/
+  * ws/vinta/albedo/utils/DatasetUtils.scala:17-34) — per-user stratified
+  * sampleBy + RDD subtract; re-expressed with except_all (no RDD hop).
+  */
+object Splits {
+
+  /** Per-user stratified split: ~trainFrac of each user's rows land in
+    * train; test = all − train with duplicate-preserving semantics. */
+  def byUser(interactions: DataFrame, userCol: String, trainFrac: Double,
+      seed: Long = 42): (DataFrame, DataFrame) = {
+    val keys = interactions.select(col(userCol)).distinct()
+      .collect().map(_.get(0)) // bounded: distinct users of the sample frame
+    val fractions = keys.map(_ -> trainFrac).toMap
+    val train = interactions.stat.sampleBy(userCol, fractions, seed)
+    val test = interactions.exceptAll(train)
+    (train, test)
+  }
+
+  /** Scale-safe variant: no driver-side key list — deterministic
+    * content-hash split over the given row-identity columns, stratified
+    * in expectation per user. Partitioning-independent (hashes row
+    * content, not physical position). Use this at 10^9 users; `byUser`
+    * mirrors the reference exactly. */
+  def byRowHash(interactions: DataFrame, identityCols: Seq[String],
+      trainFrac: Double, seed: Long = 42): (DataFrame, DataFrame) = {
+    val h = pmod(xxhash64(lit(seed) +: identityCols.map(col): _*), lit(1000000L))
+    val cut = (trainFrac * 1000000).toLong
+    val train = interactions.filter(h < cut)
+    val test = interactions.filter(h >= cut)
+    (train, test)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+
+/** Create-if-missing snapshot memoization, keyed by an explicit
+  * snapshot date.
+  *
+  * Reference: DatasetUtils.loadOrCreateDataFrame (reference:
+  * src/main/scala/ws/vinta/albedo/utils/DatasetUtils.scala:36-50) — try
+  * parquet read, on "Path does not exist" compute + write + re-read;
+  * and ModelUtils.loadOrCreateModel (utils/ModelUtils.scala:7-21) for
+  * ML models. The reference keyed snapshots on LocalDateTime.now
+  * (settings/package.scala:15-19) — non-deterministic; here the date is
+  * an injected parameter (SURVEY.md §7.4).
+  */
+object Snapshots {
+
+  def path(baseDir: String, snapshotDate: String, name: String): String =
+    s"$baseDir/$snapshotDate/$name.parquet"
+
+  /** Read the memoized snapshot if present, else compute, persist,
+    * and return the persisted copy (so downstream reads columnar). */
+  def loadOrCreate(spark: SparkSession, baseDir: String,
+      snapshotDate: String, name: String)(compute: => DataFrame): DataFrame = {
+    val p = path(baseDir, snapshotDate, name)
+    try spark.read.parquet(p)
+    catch {
+      case e: AnalysisException if e.getMessage.contains("does not exist") =>
+        compute.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+    }
+  }
+
+  /** Model flavor: load an MLWritable/MLReadable model or fit + save.
+    * Reference: ModelUtils.loadOrCreateModel. */
+  def loadOrCreateModel[M <: org.apache.spark.ml.util.MLWritable](
+      path: String, load: String => M)(fit: => M): M = {
+    try load(path)
+    catch {
+      case _: Exception =>
+        val m = fit
+        m.write.overwrite().save(path)
+        m
+    }
+  }
+}
