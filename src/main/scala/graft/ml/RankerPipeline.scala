@@ -99,6 +99,40 @@ object RankerPipeline {
     (model, auc, data)
   }
 
+  /** Hyperparameter search via CrossValidator + ParamGridBuilder
+    * (reference: ALSRecommenderCV.scala:67-90, LogisticRegressionRankerCV
+    * .scala:326-350 — seeded, parallel fits). Returns one row per grid
+    * point with the fold-averaged AUC. */
+  def crossValidate(spark: SparkSession, interactions: DataFrame,
+      folds: Int = 2): DataFrame = {
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val weigher = new SQLTransformer().setStatement(
+      "SELECT *, IF(label > 0.5, 1.0, 1.0) AS instance_weight FROM __THIS__")
+    val data = weigher.transform(trainingFrame(interactions))
+    val lr = new LogisticRegression()
+      .setElasticNetParam(0.0).setStandardization(true)
+      .setFeaturesCol("features").setLabelCol("label")
+      .setWeightCol("instance_weight")
+    val pipeline = new Pipeline().setStages(featurePipeline().getStages :+ lr)
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.01, 0.5))
+      .addGrid(lr.maxIter, Array(10))
+      .build()
+    val cv = new CrossValidator()
+      .setEstimator(pipeline)
+      .setEvaluator(new BinaryClassificationEvaluator()
+        .setLabelCol("label").setMetricName("areaUnderROC"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(folds).setSeed(42).setParallelism(2)
+    val model = cv.fit(data)
+    import spark.implicits._
+    model.getEstimatorParamMaps.zip(model.avgMetrics).toSeq
+      .map { case (pm, m) =>
+        (pm(lr.regParam), pm(lr.maxIter), math.rint(m * 1e6) / 1e6)
+      }.toDF("reg_param", "max_iter", "avg_auc")
+      .orderBy(col("avg_auc").desc, col("reg_param"))
+  }
+
   /** Full two-stage flow: CG union (popularity + curation) → distinct →
     * feature join → LR probability re-rank → NDCG against a time-split
     * holdout. Returns one metrics row. */

@@ -93,6 +93,8 @@ object Ml {
          |SELECT id_a, id_b, score, rn FROM r WHERE rn <= 5
          |ORDER BY id_a, rn""".stripMargin)),
     QueryDef("q42_porter_stems", stemmedTokens, None),
+    QueryDef("q47_cv_grid_search", (s: SparkSession, d: String) =>
+      RankerPipeline.crossValidate(s, Interactions.fromEvents(s, d)), None),
     QueryDef("q43_word2vec_synonyms", word2vecSynonyms, None),
     QueryDef("q44_lr_ranker_metrics", lrRankerMetrics, None)
   )

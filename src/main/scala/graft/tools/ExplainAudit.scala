@@ -29,7 +29,10 @@ object ExplainAudit {
         val smells = Seq(
           "CartesianProduct" -> plan.contains("CartesianProduct"),
           "PushedFilters: []" -> plan.contains("PushedFilters: []"),
-          "no WholeStageCodegen" -> !plan.contains("WholeStageCodegen"))
+          // AQE's pre-execution formatted plan hides codegen spans; only
+          // meaningful when AdaptiveSparkPlan is absent
+          "no WholeStageCodegen" -> (!plan.contains("WholeStageCodegen")
+            && !plan.contains("AdaptiveSparkPlan")))
           .collect { case (s, true) => s }
         if (smells.nonEmpty) println(s"!! SMELLS: ${smells.mkString(", ")}")
       } catch {
