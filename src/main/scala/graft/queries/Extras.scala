@@ -36,7 +36,34 @@ object Extras {
     Multimodal.sampleFrames(Multimodal.synthCorpus(spark, 300))
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** As-of join: each click enriched with the user's latest preceding
+    * purchase (point-in-time correctness — the operator Spark lacks
+    * natively, composed per ops/AsOfJoin). */
+  def clicksAsOfPurchases(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("purchase_id"))
+    graft.ops.AsOfJoin.asOf(clicks, purchases, "user_id", "ts_us",
+        Seq("purchase_id"))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q48_asof_join", clicksAsOfPurchases, Some(
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |              event_type FROM events),
+        |clicks AS (SELECT event_id, user_id, ts_us FROM ev
+        |           WHERE event_type = 'click'),
+        |purch AS (SELECT event_id AS purchase_id, user_id, ts_us FROM ev
+        |          WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.ts_us, c.event_id,
+        |       p.purchase_id AS asof_purchase_id
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND p.ts_us <= c.ts_us
+        |ORDER BY c.event_id""".stripMargin)),
     QueryDef("q28_hourly_window_counts", hourlyWindowCounts, Some(
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
         | event_type, count(*) AS n, round(sum(value), 2) AS total_value

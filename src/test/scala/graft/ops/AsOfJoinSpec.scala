@@ -1,0 +1,30 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of picks latest right ≤ left time; equal time included; none → null") {
+    val left = Seq((1, 100L, "e1"), (1, 50L, "e2"), (2, 10L, "e3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1, 40L, "s40"), (1, 100L, "s100"), (2, 20L, "s20"))
+      .toDF("k", "t", "state")
+    val got = AsOfJoin.asOf(left, right, "k", "t", Seq("state"))
+      .select("tag", "asof_state").as[(String, Option[String])]
+      .collect().toMap
+    assert(got("e1").contains("s100")) // equal timestamp eligible
+    assert(got("e2").contains("s40"))  // latest ≤ 50
+    assert(got("e3").isEmpty)          // no right row ≤ 10
+  }
+
+  test("multiple keys stay isolated") {
+    val left = Seq((1, 10L, "a"), (2, 10L, "b")).toDF("k", "t", "tag")
+    val right = Seq((1, 5L, "x")).toDF("k", "t", "state")
+    val got = AsOfJoin.asOf(left, right, "k", "t", Seq("state"))
+      .select("tag", "asof_state").as[(String, Option[String])]
+      .collect().toMap
+    assert(got("a").contains("x"))
+    assert(got("b").isEmpty)
+  }
+}
