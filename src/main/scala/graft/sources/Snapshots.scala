@@ -31,6 +31,15 @@ object Snapshots {
     }
   }
 
+  /** Hive-style partitioned snapshot write: at 100 TB the snapshot MUST
+    * be partitioned so date/key predicates prune whole directories at
+    * planning time (the reference's flat daily snapshots re-scan
+    * everything — SURVEY.md §2.1 #3). Readers filtering on
+    * `partitionCols` get PartitionFilters, not data filters. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
   /** Model flavor: load an MLWritable/MLReadable model or fit + save.
     * Reference: ModelUtils.loadOrCreateModel. */
   def loadOrCreateModel[M <: org.apache.spark.ml.util.MLWritable](
