@@ -152,13 +152,36 @@ object Dedup {
 
   // ---- n-gram Jaccard (exact verification) ------------------------
 
+  /** Bulk shingle sets via the same typed kernel as
+    * [[minhashSignatures]] (the HOF `shingles` expression is
+    * interpreted — fine per-row, slow in bulk). */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = Option(text).getOrElse("").toLowerCase
+          .split("\\s+").filter(_.nonEmpty)
+        val set = new scala.collection.mutable.HashSet[String]
+        if (toks.length < shingleK) set += toks.mkString(" ")
+        else {
+          var i = 0
+          while (i + shingleK <= toks.length) {
+            set += toks.slice(i, i + shingleK).mkString(" ")
+            i += 1
+          }
+        }
+        (id, set.toArray.sorted)
+      }.toDF("id", "sh")
+  }
+
   /** Exact Jaccard over k-word shingle sets for given candidate pairs.
     * Joins shingle arrays back per side — runs only on the (small)
     * candidate set, never all-pairs. */
   def exactJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleK).as("sh"))
+    val sh = shingleSets(docs, idCol, textCol, shingleK)
     pairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
@@ -200,13 +223,39 @@ object Dedup {
   /** SimHash near-dup pairs within a Hamming radius, blocked on 16-bit
     * quarters (pigeonhole: radius ≤ 3 ⇒ some quarter matches exactly)
     * so candidate generation is again an equi-join, not a cross join. */
+  /** Bulk SimHash via typed kernel (64 interpreted bit-aggregates per
+    * row are too slow in bulk; the column form [[simhash64]] remains for
+    * single-expression use). Token hash: splitmix64-avalanched
+    * String.hashCode. */
+  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = Option(text).getOrElse("").toLowerCase
+          .split("\\s+").filter(_.nonEmpty)
+        val counts = new Array[Long](64)
+        toks.foreach { t =>
+          var z = t.hashCode.toLong + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z = z ^ (z >>> 31)
+          var b = 0
+          while (b < 64) {
+            if (((z >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        var out = 0L
+        var b = 0
+        while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+        (id, out)
+      }.toDF("id", "sh")
+  }
+
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("id"),
-        transform(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))),
-          t => xxhash64(t)).as("th"))
-      .select(col("id"), simhash64FromHashes(col("th")).as("sh"))
+    val sh = simhashes(docs, idCol, textCol)
     val quarterStructs = array((0 until 4).map { i =>
       struct(lit(i).as("q"),
         shiftright(col("sh"), i * 16).bitwiseAND(0xFFFF).as("qkey"))
