@@ -51,7 +51,27 @@ object Extras {
       .orderBy(col("event_id"))
   }
 
+  /** Albedo-shaped profile-builder jobs over the deterministic fixture
+    * generator (SURVEY §3.1 lifecycle; rows-only — fixtures are
+    * in-memory, not sfDir tables). */
+  def userProfiles(spark: SparkSession, dir: String): DataFrame =
+    graft.jobs.ProfileBuilders.buildUserProfile(
+        graft.fixtures.AlbedoFixtures.users(spark),
+        graft.fixtures.AlbedoFixtures.repos(spark),
+        graft.fixtures.AlbedoFixtures.starrings(spark), "2017-09-01")
+      .withColumn("recent_languages",
+        array_join(col("recent_languages"), ","))
+      .orderBy(col("user_id"))
+
+  def repoProfiles(spark: SparkSession, dir: String): DataFrame =
+    graft.jobs.ProfileBuilders.buildRepoProfile(
+        graft.fixtures.AlbedoFixtures.repos(spark), "2017-09-01")
+      .withColumn("topics_list", array_join(col("topics_list"), ","))
+      .orderBy(col("repo_id"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q49_user_profiles", userProfiles, None),
+    QueryDef("q50_repo_profiles", repoProfiles, None),
     QueryDef("q48_asof_join", clicksAsOfPurchases, Some(
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |              event_type FROM events),
