@@ -71,7 +71,7 @@ object Llm {
     val queries = emb.filter(col("vec_id") < 20)
     Similarity.bruteForceTopK(queries, emb, 5)
       .select(col("query_id"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"), col("rn"))
+        round(col("cos"), 6).as("cos"), col("rn").cast("long").as("rn"))
       .orderBy(col("query_id"), col("rn"))
   }
 

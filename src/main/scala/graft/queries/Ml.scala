@@ -17,7 +17,8 @@ object Ml {
   def tfidfSimilarDocs(spark: SparkSession, dir: String): DataFrame =
     ContentRecommender.similarDocsPrefix(Tables.documents(spark, dir),
         "doc_id", "text", k = 5, m = 4)
-      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"), col("rn"))
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"),
+        col("rn").cast("long").as("rn"))
       .orderBy(col("id_a"), col("rn"))
 
   /** Tokenize + Porter-stem the corpus; emits sorted distinct stems per

@@ -33,9 +33,10 @@ object Reco {
       .orderBy(col("ts_us").desc, col("item_id"))
     Interactions.fromEvents(spark, dir)
       .withColumn("ts_us", tsUs)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
-      .select(col("user_id"), col("item_id"), col("ts_us"), col("rn"))
+      .select(col("user_id").cast("long").as("user_id"), col("item_id"),
+        col("ts_us"), col("rn"))
       .orderBy(col("user_id"), col("rn"))
   }
 
@@ -72,6 +73,7 @@ object Reco {
   def balancedTrainingSet(spark: SparkSession, dir: String): DataFrame =
     NegativeBalancer
       .balance(Interactions.fromEvents(spark, dir), maxCandidates = 1000, ratio = 1.0)
+      .select(col("user_id").cast("long").as("user_id"), col("item_id"), col("label"))
       .orderBy(col("user_id"), col("item_id"), col("label"))
 
   /** ALS train + recommendForUserSubset (rows-only check; ML seeds fixed
@@ -153,9 +155,9 @@ object Reco {
          |sel AS (SELECT user_id, item_id,
          |    row_number() OVER (PARTITION BY user_id ORDER BY pr) AS rn FROM unseen)
          |SELECT user_id, item_id, label FROM (
-         |  SELECT user_id, item_id, 1.0 AS label FROM ui
+         |  SELECT user_id, item_id, 1.0::DOUBLE AS label FROM ui
          |  UNION ALL
-         |  SELECT s.user_id, s.item_id, 0.0 AS label FROM sel s
+         |  SELECT s.user_id, s.item_id, 0.0::DOUBLE AS label FROM sel s
          |  JOIN npos n USING (user_id) WHERE s.rn <= n.n_pos)
          |ORDER BY user_id, item_id, label""".stripMargin)),
     QueryDef("q25_als_recommend", alsRecommendations, None),

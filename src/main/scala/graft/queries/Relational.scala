@@ -103,7 +103,7 @@ object Relational {
       .orderBy($"o_totalprice".desc, $"o_orderkey")
     Tables.orders(spark, dir)
       .select($"o_custkey", $"o_orderkey", $"o_totalprice")
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter($"rn" <= 3)
       .orderBy($"o_custkey", $"rn")
   }
@@ -116,7 +116,7 @@ object Relational {
     val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".desc)
     Tables.orders(spark, dir)
       .select($"o_custkey", $"o_orderkey", $"o_orderdate")
-      .withColumn("rk", rank().over(w))
+      .withColumn("rk", rank().over(w).cast("long"))
       .filter($"rk" <= 2)
       .orderBy($"o_custkey", $"o_orderdate".desc, $"o_orderkey")
   }
@@ -188,8 +188,8 @@ object Relational {
     Tables.orders(spark, dir)
       .select(
         $"o_orderkey",
-        year($"o_orderdate").as("order_year"),
-        month($"o_orderdate").as("order_month"),
+        year($"o_orderdate").cast("long").as("order_year"),
+        month($"o_orderdate").cast("long").as("order_month"),
         datediff(to_date(lit("2002-01-01")), $"o_orderdate").cast("long").as("days_before"),
         (round(log10($"o_totalprice") * 1000) / 1000).as("log_price"))
       .orderBy($"o_orderkey")
@@ -348,7 +348,7 @@ object Relational {
         | lower(p_name) AS name_lower,
         | concat_ws('/', p_brand, p_type) AS brand_type,
         | CASE WHEN p_type LIKE '%ECO%' OR p_type LIKE '%PROMO%'
-        |      THEN 1.0 ELSE 0.0 END AS is_cheap,
+        |      THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS is_cheap,
         | substr(p_name, 1, 5) AS name_prefix,
         | regexp_replace(p_brand, '[^0-9]', '', 'g') AS brand_num
         |FROM part

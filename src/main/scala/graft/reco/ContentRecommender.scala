@@ -59,6 +59,7 @@ object ContentRecommender {
     val prefix = w.withColumn("pr", row_number().over(prefW))
       .filter(col("pr") <= m)
       .select(col("id"), col("term"), col("w"))
+      .cache() // consumed twice (both join sides) — avoid recompute
     val a = prefix.select(col("term"), col("id").as("id_a"), col("w").as("w_a"))
     val b = prefix.select(col("term"), col("id").as("id_b"), col("w").as("w_b"))
     val win = Window.partitionBy(col("id_a"))

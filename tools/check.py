@@ -61,6 +61,9 @@ def main():
             print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
             continue
         g, e = canon(got), canon(exp)
+        for c in g.columns:
+            if c in e.columns and str(g[c].dtype) != str(e[c].dtype):
+                print(f"  ! {name}: dtype {c}: spark={g[c].dtype} duck={e[c].dtype}")
         if list(g.columns) != list(e.columns):
             n_fail += 1
             print(f"  ✗ {name}: columns {list(g.columns)} != {list(e.columns)}")
