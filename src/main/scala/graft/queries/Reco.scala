@@ -111,7 +111,69 @@ object Reco {
       .orderBy(col("user_id"), col("score").desc, col("item_id"))
   }
 
+  /** Item-CF recommendations for a bounded user subset (legacy item-CF
+    * parity, reference train_item_cf.py — declarative rewrite). */
+  def itemCfRecommend(spark: SparkSession, dir: String): DataFrame = {
+    val inter = Interactions.fromEvents(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"), col("item_id"))
+    val users = inter.select(col("user_id")).distinct()
+      .filter(col("user_id") < 20)
+    ItemCF.recommend(inter, users, 5)
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** Analytic windows: trailing 1-hour event count (RANGE frame) and
+    * µs since the user's previous event (lag) — completes the window
+    * family beyond the reference's rank-only usage (SURVEY §2.5). */
+  def rollingEventStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+    val range = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0)
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    ev.select(col("event_id"), col("user_id"), col("ts_us"))
+      .withColumn("n_last_hour", count(lit(1)).over(range))
+      .withColumn("us_since_prev",
+        col("ts_us") - lag(col("ts_us"), 1).over(seq))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q51_itemcf_recommend", itemCfRecommend, Some(
+      s"""WITH ui AS (SELECT DISTINCT user_id, item_id FROM ($uiSql)),
+         |pop AS (SELECT item_id, count(*) AS pop FROM ui GROUP BY 1),
+         |sims AS (
+         |  SELECT a.item_id AS item_a, b.item_id AS item_b,
+         |    count(*) / sqrt(pa.pop * pb.pop) AS sim
+         |  FROM ui a JOIN ui b
+         |    ON a.user_id = b.user_id AND a.item_id != b.item_id
+         |  JOIN pop pa ON pa.item_id = a.item_id
+         |  JOIN pop pb ON pb.item_id = b.item_id
+         |  GROUP BY a.item_id, b.item_id, pa.pop, pb.pop),
+         |target AS (SELECT DISTINCT user_id, item_id FROM ui WHERE user_id < 20),
+         |scored AS (
+         |  SELECT t.user_id, s.item_b AS candidate,
+         |    round(sum(s.sim), 9) AS score
+         |  FROM target t JOIN sims s ON t.item_id = s.item_a
+         |  GROUP BY 1, 2),
+         |unseen AS (
+         |  SELECT sc.* FROM scored sc
+         |  WHERE NOT EXISTS (SELECT 1 FROM ui
+         |    WHERE ui.user_id = sc.user_id AND ui.item_id = sc.candidate)),
+         |r AS (SELECT user_id, candidate, score,
+         |        row_number() OVER (PARTITION BY user_id
+         |                           ORDER BY score DESC, candidate) AS rn
+         |      FROM unseen)
+         |SELECT user_id, candidate, score, rn FROM r WHERE rn <= 5
+         |ORDER BY user_id, rn""".stripMargin)),
+    QueryDef("q52_rolling_windows", rollingEventStats, Some(
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        | count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour,
+        | epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |   PARTITION BY user_id ORDER BY epoch_us(ts)) AS us_since_prev
+        |FROM events
+        |ORDER BY event_id""".stripMargin)),
     QueryDef("q20_popular_items", popularItems, Some(
       s"""SELECT item_id, cnt, round(log10(cnt) * 1000) / 1000 AS score
          |FROM (SELECT item_id, count(*) AS cnt FROM ($uiSql) GROUP BY item_id)
