@@ -95,7 +95,42 @@ object Llm {
       .agg(round(avg(col("x")), 6).as("m"))
       .orderBy(col("label"), col("pos"))
 
+  /** Exact 2-gram Jaccard over a bounded all-pairs set — the oracled
+    * counterpart of the LSH-candidate pipelines (q35/q36). */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 30)
+    val pairs = docs.select(col("doc_id").as("id_a"))
+      .crossJoin(docs.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    Dedup.exactJaccard(docs, pairs, "doc_id", "text", shingleK = 2)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q53_ngram_jaccard", ngramJaccardPairs, Some(
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+        |toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |    unnest(range(len(string_split_regex(trim(lower(text)), '\s+')))) AS ord
+        |  FROM docs),
+        |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS s
+        |  FROM toks a JOIN toks b
+        |    ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
+        |SELECT p.id_a, p.id_b,
+        |  round(coalesce(i.i, 0) /
+        |    (ca.n + cb.n - coalesce(i.i, 0))::DOUBLE, 6) AS jaccard
+        |FROM pairs p
+        |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        |JOIN cnt ca ON ca.doc_id = p.id_a
+        |JOIN cnt cb ON cb.doc_id = p.id_b
+        |ORDER BY p.id_a, p.id_b""".stripMargin)),
     QueryDef("q30_token_stats", tokenStats, Some(
       """SELECT doc_id,
         | CASE WHEN trim(text) = '' THEN 0
