@@ -260,7 +260,44 @@ object Relational {
       .orderBy($"c_custkey")
   }
 
+  /** Exact interpolated percentiles per group (both engines use linear
+    * interpolation) + a sketch-based approximate distinct for the same
+    * frame (rows-only accuracy covered in spec). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(min($"o_totalprice"), 2).as("lo"),
+        round(max($"o_totalprice"), 2).as("hi"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** HLL-sketch distinct counts (approximate — rows-only; spec bounds
+    * the error against exact). */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        count_distinct($"l_partkey").as("exact_parts"))
+      .orderBy($"l_returnflag")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q54_percentiles", percentiles, Some(
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        | round(min(o_totalprice), 2) AS lo,
+        | round(max(o_totalprice), 2) AS hi
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)),
+    QueryDef("q55_approx_distinct", approxDistinct, None),
     QueryDef("q18_null_impute", nullImputation, Some(
       """SELECT c_custkey,
         | coalesce(nullif(c_mktsegment, 'BUILDING'), '__unknown') AS seg,
