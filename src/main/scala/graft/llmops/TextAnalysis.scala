@@ -98,6 +98,19 @@ object TextAnalysis {
       .otherwise(argmax.getField("lang"))
   }
 
+  /** PII/URL scrubbing (C4-style pipeline hygiene): emails, http(s)
+    * URLs, and dotted-quad IPs replaced with typed placeholder tokens.
+    * Pure regexp_replace chain — runs at scan speed; patterns kept
+    * RE2-compatible so the DuckDB oracle can mirror them. */
+  def redact(text: Column): Column = {
+    val noEmail = regexp_replace(text,
+      "[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val noUrl = regexp_replace(noEmail,
+      "https?://[^\\s]+", "<URL>")
+    regexp_replace(noUrl,
+      "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>")
+  }
+
   /** Stable content fingerprint: md5 of normalized text (hex). */
   def fingerprintMd5(text: Column): Column = md5(normalize(text))
 

@@ -107,7 +107,33 @@ object Llm {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** PII/URL scrubbing over a synthesized dirty corpus: the documents
+    * text salted with deterministic emails/urls/ips so the redaction
+    * paths execute on every row. */
+  def redactedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = Tables.documents(spark, dir)
+      .withColumn("dirty", concat(col("text"),
+        lit(" contact me at user"), col("doc_id"), lit("@mail.example.com"),
+        lit(" or https://example.org/d/"), col("doc_id"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".1")))
+    dirty.select(col("doc_id"), TA.redact(col("dirty")).as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q56_pii_redaction", redactedDocs, Some(
+      """WITH dirty AS (
+        |  SELECT doc_id, text || ' contact me at user' || doc_id ||
+        |    '@mail.example.com or https://example.org/d/' || doc_id ||
+        |    ' from 10.0.' || (doc_id % 256) || '.1' AS d
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(d,
+        |    '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS clean
+        |FROM dirty
+        |ORDER BY doc_id""".stripMargin)),
     QueryDef("q53_ngram_jaccard", ngramJaccardPairs, Some(
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
         |toks AS (SELECT doc_id,
