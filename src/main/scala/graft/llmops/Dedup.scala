@@ -253,23 +253,38 @@ object Dedup {
       }.toDF("id", "sh")
   }
 
+  /** SimHash near-dup pairs within a Hamming radius. Blocking is
+    * pigeonhole-complete for the REQUESTED radius: the 64 bits are cut
+    * into `maxHamming + 1` contiguous blocks, so any pair within the
+    * radius has at least one block with zero differing bits and
+    * collides there (multi-index Hamming search, cf. HmSearch /
+    * Manku et al. WWW'07 §3). Candidate generation stays an equi-join
+    * on (block, key) — never a cross join. Scale note: larger radii ⇒
+    * narrower blocks ⇒ denser buckets; id-only rows go through the
+    * bucket join and payloads re-attach after pair-dedup, same as the
+    * MinHash path. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sh = simhashes(docs, idCol, textCol)
-    val quarterStructs = array((0 until 4).map { i =>
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 31]")
+    val nBlocks = maxHamming + 1
+    // block widths: distribute 64 bits as evenly as possible
+    val widths = Array.tabulate(nBlocks)(i => 64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val sh = simhashes(docs, idCol, textCol).cache()
+    val blockStructs = array((0 until nBlocks).map { i =>
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
       struct(lit(i).as("q"),
-        shiftright(col("sh"), i * 16).bitwiseAND(0xFFFF).as("qkey"))
+        shiftrightunsigned(col("sh"), offsets(i)).bitwiseAND(mask).as("qkey"))
     }: _*)
-    val quarters = sh.select(col("id"), col("sh"),
-        explode(quarterStructs).as("qq"))
-      .select(col("id"), col("sh"), col("qq.q").as("q"), col("qq.qkey").as("qkey"))
-    val a = quarters.select(col("q"), col("qkey"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = quarters.select(col("q"), col("qkey"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
+    val blocks = sh.select(col("id"), explode(blockStructs).as("qq"))
+      .select(col("id"), col("qq.q").as("q"), col("qq.qkey").as("qkey"))
+    val a = blocks.select(col("q"), col("qkey"), col("id").as("id_a"))
+    val b = blocks.select(col("q"), col("qkey"), col("id").as("id_b"))
     a.join(b, Seq("q", "qkey"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .select(col("id_a"), col("id_b")).distinct()
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))

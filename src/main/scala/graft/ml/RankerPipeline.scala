@@ -50,15 +50,35 @@ object RankerPipeline {
         countDistinct(col("user_id")).as("i_n_users"),
         avg(col("value")).as("i_avg_value"))
 
+  /** Frozen "now" for recency weighting: the 2024-01-24 split cut (the
+    * reference uses current_date(); frozen here for determinism). */
+  val weightNowNs: Long = 1706054400000000000L
+  private val yearNs: Long = 365L * 86400L * 1000000000L
+
   /** Assemble the labeled training frame: NegativeBalancer labels joined
-    * with user/item features. */
+    * with per-pair last-interaction time (for recency weights) and
+    * user/item features. */
   def trainingFrame(interactions: DataFrame): DataFrame = {
     val labeled = NegativeBalancer.balance(
       interactions.select(col("user_id"), col("item_id")), 1000, 1.0)
+    val pairLast = interactions
+      .groupBy(col("user_id"), col("item_id"))
+      .agg(max(col("ts_ns")).as("pair_last_ns"))
     labeled
+      .join(pairLast, Seq("user_id", "item_id"), "left") // negatives → null
       .join(userFeatures(interactions), Seq("user_id"))
       .join(broadcast(itemFeatures(interactions)), Seq("item_id"))
   }
+
+  /** Instance-weight stage: positives interacted with in the last 365
+    * days (vs the frozen cut) weigh 0.9, everything else 0.1 — the
+    * reference's positive_starred_weight
+    * (LogisticRegressionRanker.scala:316-327). Fit-time only: serving
+    * inputs carry no label. Negatives have pair_last_ns NULL; the AND
+    * short-circuits them to 0.1. */
+  private def weigher = new SQLTransformer().setStatement(
+    s"SELECT *, IF(label > 0.5 AND pair_last_ns >= ${weightNowNs - yearNs}, " +
+      "0.9, 0.1) AS instance_weight FROM __THIS__")
 
   private def featurePipeline(): Pipeline = {
     val indexer = new StringIndexer()
@@ -78,11 +98,6 @@ object RankerPipeline {
     * (LogisticRegressionRanker.scala:330-337). */
   def trainAndEvaluate(spark: SparkSession, interactions: DataFrame,
       maxIter: Int = 50, regParam: Double = 0.1): (org.apache.spark.ml.PipelineModel, Double, DataFrame) = {
-    // instance weights via SQLTransformer at fit time only (reference
-    // §2.8 #56); predict-time inputs carry no label so the weight stage
-    // must not live inside the serving pipeline
-    val weigher = new SQLTransformer().setStatement(
-      "SELECT *, IF(label > 0.5, 1.0, 1.0) AS instance_weight FROM __THIS__")
     val data = weigher.transform(trainingFrame(interactions))
     val lr = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam).setElasticNetParam(0.0)
@@ -106,8 +121,6 @@ object RankerPipeline {
   def crossValidate(spark: SparkSession, interactions: DataFrame,
       folds: Int = 2): DataFrame = {
     import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
-    val weigher = new SQLTransformer().setStatement(
-      "SELECT *, IF(label > 0.5, 1.0, 1.0) AS instance_weight FROM __THIS__")
     val data = weigher.transform(trainingFrame(interactions))
     val lr = new LogisticRegression()
       .setElasticNetParam(0.0).setStandardization(true)

@@ -52,12 +52,16 @@ object Reco {
 
   /** Item-item co-occurrence: the shuffle-heavy self-join at the heart
     * of item-CF (reference legacy path train_item_cf.py:31-46). Scale
-    * note: bounded by deduping (user,item) first and keeping the join
-    * key user_id — worst case is Σ_u d_u², so power-law users need a
-    * per-user item cap upstream at 100TB (documented, not needed here). */
+    * note: deduped (user,item) input plus a per-user item cap
+    * (ItemCF.capPerUser) bound the self-join at Σ_u min(d_u, cap)² —
+    * a power-law user can't make it quadratic. The cap (1000) is a
+    * no-op at fixture scale (item domain 0..99) so the oracle SQL is
+    * unchanged; its selection rule (smallest item_ids) is deterministic
+    * and spec-covered. */
   def itemCooccurrence(spark: SparkSession, dir: String): DataFrame = {
-    val ui = Interactions.fromEvents(spark, dir)
-      .select(col("user_id"), col("item_id")).distinct()
+    val ui = ItemCF.capPerUser(
+      Interactions.fromEvents(spark, dir)
+        .select(col("user_id"), col("item_id")).distinct(), 1000)
     val a = ui.as("a")
     val b = ui.as("b")
     a.join(b, col("a.user_id") === col("b.user_id")
@@ -209,7 +213,7 @@ object Reco {
          |pop AS (SELECT item_id, count(*) AS cnt FROM raw GROUP BY 1),
          |popranked AS (SELECT item_id,
          |    row_number() OVER (ORDER BY cnt DESC, item_id) AS pr FROM pop),
-         |npos AS (SELECT user_id, count(*) AS n_pos FROM raw GROUP BY 1),
+         |npos AS (SELECT user_id, count(DISTINCT item_id) AS n_pos FROM raw GROUP BY 1),
          |unseen AS (
          |  SELECT n.user_id, p.item_id, p.pr FROM npos n CROSS JOIN popranked p
          |  WHERE NOT EXISTS (SELECT 1 FROM ui

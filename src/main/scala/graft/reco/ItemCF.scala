@@ -20,10 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object ItemCF {
 
-  /** Cosine item-item similarity from distinct (user,item) pairs. */
-  def itemSimilarity(interactions: DataFrame): DataFrame = {
-    val ui = interactions.select(col("user_id"), col("item_id")).distinct()
-    val pop = ui.groupBy(col("item_id")).agg(count(lit(1)).as("pop"))
+  /** Deterministic per-user item cap: keep each user's `cap` smallest
+    * item_ids. Bounds the co-occurrence self-join at Σ_u min(d_u, cap)²
+    * — one power-law user can no longer make the join quadratic. */
+  def capPerUser(ui: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("item_id"))
+    ui.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap).drop("__rn")
+  }
+
+  /** Cosine item-item similarity from distinct (user,item) pairs.
+    * @param maxItemsPerUser power-law guard on the user-keyed self-join
+    *        (SURVEY §7.4): users above the cap contribute only their
+    *        first `cap` items (by item_id — deterministic, mirrored in
+    *        the q51 oracle). Popularity (the cosine denominator) is
+    *        still computed over ALL pairs so sim stays unbiased for
+    *        uncapped users. */
+  def itemSimilarity(interactions: DataFrame,
+      maxItemsPerUser: Int = 1000): DataFrame = {
+    val uiAll = interactions.select(col("user_id"), col("item_id")).distinct()
+    val ui = capPerUser(uiAll, maxItemsPerUser)
+    val pop = uiAll.groupBy(col("item_id")).agg(count(lit(1)).as("pop"))
     val a = ui.select(col("user_id"), col("item_id").as("item_a"))
     val b = ui.select(col("user_id"), col("item_id").as("item_b"))
     a.join(b, Seq("user_id"))
@@ -38,10 +55,11 @@ object ItemCF {
 
   /** Top-k recommendations per user: sum of similarities from the
     * user's items to unseen candidates. */
-  def recommend(interactions: DataFrame, users: DataFrame, k: Int): DataFrame = {
+  def recommend(interactions: DataFrame, users: DataFrame, k: Int,
+      maxItemsPerUser: Int = 1000): DataFrame = {
     val ui = interactions.select(col("user_id"), col("item_id")).distinct()
       .join(users.select(col("user_id")), Seq("user_id"))
-    val sims = itemSimilarity(interactions)
+    val sims = itemSimilarity(interactions, maxItemsPerUser)
     val scored = ui.join(sims, ui("item_id") === sims("item_a"))
       .groupBy(col("user_id"), col("item_b").as("candidate"))
       .agg(round(sum(col("sim")), 9).as("score"))

@@ -30,8 +30,10 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       import org.apache.spark.sql.functions._
+      // integer division — double `/ 1000` loses ns precision near 1.7e18
+      // (ulp 256 ns) and can diverge from DuckDB's exact ns→µs truncation
       raw.withColumn("ts_ns", col("ts").cast("long"))
-        .withColumn("ts", timestamp_micros((col("ts").cast("long") / 1000L).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
