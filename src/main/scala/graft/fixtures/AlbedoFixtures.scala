@@ -23,6 +23,40 @@ import scala.util.Random
   */
 object AlbedoFixtures {
 
+  /** Stable on-disk copy of the generated fixtures, so the DuckDB
+    * oracle can read the exact bytes the engine computed from (the
+    * q49/q50 oracles reference these paths via read_parquet).
+    * Overwritten on every call — the generator is seed-fixed, so the
+    * contents are identical across runs; overwrite just guards against
+    * stale copies from older generator versions. */
+  val persistDir = "/root/repo/target/albedo_fixtures"
+
+  def persist(spark: SparkSession): Unit = {
+    users(spark).coalesce(1).write.mode("overwrite")
+      .parquet(s"$persistDir/users.parquet")
+    repos(spark).coalesce(1).write.mode("overwrite")
+      .parquet(s"$persistDir/repos.parquet")
+    starrings(spark).coalesce(1).write.mode("overwrite")
+      .parquet(s"$persistDir/starrings.parquet")
+  }
+
+  /** Read-back views of the persisted fixtures (parquet round-trip on
+    * both sides keeps timestamp precision identical for the oracle). */
+  def usersP(spark: SparkSession): DataFrame = {
+    persistOnce(spark); spark.read.parquet(s"$persistDir/users.parquet")
+  }
+  def reposP(spark: SparkSession): DataFrame = {
+    persistOnce(spark); spark.read.parquet(s"$persistDir/repos.parquet")
+  }
+  def starringsP(spark: SparkSession): DataFrame = {
+    persistOnce(spark); spark.read.parquet(s"$persistDir/starrings.parquet")
+  }
+
+  @volatile private var persisted = false
+  private def persistOnce(spark: SparkSession): Unit = synchronized {
+    if (!persisted) { persist(spark); persisted = true }
+  }
+
   case class User(user_id: Int, user_login: String, user_account_type: String,
       user_company: String, user_location: String, user_email: String,
       user_bio: String, user_public_repos_count: Int,

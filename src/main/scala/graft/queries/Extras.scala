@@ -52,26 +52,111 @@ object Extras {
   }
 
   /** Albedo-shaped profile-builder jobs over the deterministic fixture
-    * generator (SURVEY §3.1 lifecycle; rows-only — fixtures are
-    * in-memory, not sfDir tables). */
+    * generator. The fixtures are persisted to parquet
+    * (AlbedoFixtures.persistDir) and read back, so the DuckDB oracle
+    * reads the exact same bytes via read_parquet. */
   def userProfiles(spark: SparkSession, dir: String): DataFrame =
     graft.jobs.ProfileBuilders.buildUserProfile(
-        graft.fixtures.AlbedoFixtures.users(spark),
-        graft.fixtures.AlbedoFixtures.repos(spark),
-        graft.fixtures.AlbedoFixtures.starrings(spark), "2017-09-01")
+        graft.fixtures.AlbedoFixtures.usersP(spark),
+        graft.fixtures.AlbedoFixtures.reposP(spark),
+        graft.fixtures.AlbedoFixtures.starringsP(spark), "2017-09-01")
       .withColumn("recent_languages",
         array_join(col("recent_languages"), ","))
+      .withColumn("days_since_updated", col("days_since_updated").cast("long"))
+      .withColumn("days_since_created", col("days_since_created").cast("long"))
       .orderBy(col("user_id"))
 
   def repoProfiles(spark: SparkSession, dir: String): DataFrame =
     graft.jobs.ProfileBuilders.buildRepoProfile(
-        graft.fixtures.AlbedoFixtures.repos(spark), "2017-09-01")
+        graft.fixtures.AlbedoFixtures.reposP(spark), "2017-09-01")
       .withColumn("topics_list", array_join(col("topics_list"), ","))
+      .withColumn("repo_days_since_updated",
+        col("repo_days_since_updated").cast("long"))
       .orderBy(col("repo_id"))
 
+  /** Persisted-fixture paths for the q49/q50 oracles (the engine writes
+    * these in AlbedoFixtures.persist before the queries run). */
+  private val fx = graft.fixtures.AlbedoFixtures.persistDir
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q49_user_profiles", userProfiles, None),
-    QueryDef("q50_repo_profiles", repoProfiles, None),
+    QueryDef("q49_user_profiles", userProfiles, Some(
+      s"""WITH u0 AS (
+         |  SELECT *,
+         |    (user_company IS NULL OR user_location IS NULL OR user_email IS NULL
+         |     OR user_bio IS NULL) AS user_has_null,
+         |    coalesce(user_company, '') AS c_company,
+         |    coalesce(user_location, '') AS c_location,
+         |    coalesce(user_email, '') AS c_email,
+         |    coalesce(user_bio, '') AS c_bio
+         |  FROM read_parquet('$fx/users.parquet/*.parquet')),
+         |cleaned AS (
+         |  SELECT *,
+         |    CASE WHEN s1 = '' THEN '__empty' ELSE s1 END AS clean_company,
+         |    CASE WHEN s2 = '' THEN '__empty' ELSE s2 END AS clean_location,
+         |    CASE WHEN d1 = '' THEN '__empty' ELSE d1 END AS email_domain
+         |  FROM (
+         |    SELECT *,
+         |      regexp_replace(trim(regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(lower(c_company), '^(formerly|previously|ex-)\\s*', '', 'g'),
+         |          '(\\.com|\\.net|\\.org|\\.io|,?\\s+(inc|llc|ltd|co|corp|corporation|company)\\.?)\\b', '', 'g'),
+         |        '[^\\w\\x{4e00}-\\x{9fff}\\s]', ' ', 'g')), '\\s+', ' ', 'g') AS s1,
+         |      regexp_replace(trim(regexp_replace(
+         |        trim(regexp_replace(string_split(lower(c_location), ',')[1],
+         |          '[^\\w\\x{4e00}-\\x{9fff}\\s]', ' ', 'g')),
+         |        '\\bcity$$', '', 'g')), '\\s+', ' ', 'g') AS s2,
+         |      regexp_extract(lower(c_email), '@([\\w.\\-]+)', 1) AS d1
+         |    FROM u0)),
+         |flagged AS (
+         |  SELECT *,
+         |    CASE WHEN contains(lower(c_bio), 'machine learning') OR contains(lower(c_bio), 'data scien') THEN 1.0 ELSE 0.0 END AS has_ml,
+         |    CASE WHEN contains(lower(c_bio), 'fullstack') OR contains(lower(c_bio), 'full-stack') THEN 1.0 ELSE 0.0 END AS has_fullstack,
+         |    CASE WHEN contains(lower(c_bio), 'backend') OR contains(lower(c_bio), 'devops') THEN 1.0 ELSE 0.0 END AS has_backend,
+         |    CASE WHEN contains(lower(c_bio), 'phd') THEN 1.0 ELSE 0.0 END AS has_phd,
+         |    round(user_followers_count / (user_following_count + 1.0), 3) AS follower_following_ratio,
+         |    date_diff('day', CAST(user_updated_at AS DATE), DATE '2017-09-01') AS days_since_updated,
+         |    date_diff('day', CAST(user_created_at AS DATE), DATE '2017-09-01') AS days_since_created
+         |  FROM cleaned),
+         |rl AS (
+         |  SELECT user_id,
+         |    string_agg(repo_language, ',' ORDER BY rn) AS recent_languages,
+         |    count(*) AS n_recent
+         |  FROM (
+         |    SELECT s.user_id, r.repo_language,
+         |      row_number() OVER (PARTITION BY s.user_id ORDER BY s.starred_at DESC, s.repo_id) AS rn
+         |    FROM read_parquet('$fx/starrings.parquet/*.parquet') s
+         |    JOIN read_parquet('$fx/repos.parquet/*.parquet') r USING (repo_id))
+         |  WHERE rn <= 50 GROUP BY 1),
+         |cc AS (SELECT clean_company, count(*) AS company_cnt FROM flagged GROUP BY 1)
+         |SELECT f.user_id, f.user_account_type, f.user_has_null, f.clean_company,
+         |  CASE WHEN cc.company_cnt <= 5 THEN '__other' ELSE f.clean_company END AS company_binned,
+         |  f.clean_location, f.email_domain, f.follower_following_ratio,
+         |  f.days_since_updated, f.days_since_created,
+         |  rl.recent_languages, rl.n_recent,
+         |  f.has_backend, f.has_fullstack, f.has_ml, f.has_phd
+         |FROM flagged f
+         |JOIN cc USING (clean_company)
+         |LEFT JOIN rl USING (user_id)
+         |ORDER BY f.user_id""".stripMargin)),
+    QueryDef("q50_repo_profiles", repoProfiles, Some(
+      s"""WITH base AS (
+         |  SELECT *,
+         |    repo_description != '' AS repo_has_description,
+         |    (lower(repo_description) LIKE '%unmaintained%'
+         |     OR lower(repo_description) LIKE '%deprecated%') AS repo_is_unmaintained,
+         |    date_diff('day', CAST(repo_updated_at AS DATE), DATE '2017-09-01') AS repo_days_since_updated,
+         |    date_diff('day', CAST(repo_updated_at AS DATE), DATE '2017-09-01') <= 60 AS repo_recently_pushed,
+         |    CASE WHEN repo_stargazers_count < 1000 THEN 'small'
+         |         WHEN repo_stargazers_count < 90000 THEN 'medium'
+         |         ELSE 'large' END AS stars_band,
+         |    repo_topics AS topics_list,
+         |    round(log10(repo_stargazers_count + 1) * 1000) / 1000 AS log_stars
+         |  FROM read_parquet('$fx/repos.parquet/*.parquet')),
+         |lc AS (SELECT repo_language, count(*) AS lang_cnt FROM base GROUP BY 1)
+         |SELECT base.*, lc.lang_cnt,
+         |  CASE WHEN lc.lang_cnt <= 30 THEN '__other' ELSE base.repo_language END AS language_binned
+         |FROM base JOIN lc USING (repo_language)
+         |ORDER BY repo_id""".stripMargin)),
     QueryDef("q48_asof_join", clicksAsOfPurchases, Some(
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |              event_type FROM events),
@@ -90,7 +175,21 @@ object Extras {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin)),
-    QueryDef("q29_user_sessions", userSessions, None),
+    QueryDef("q29_user_sessions", userSessions, Some(
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |flags AS (SELECT user_id, ts_us, value,
+        |   CASE WHEN lag(ts_us) OVER w IS NULL
+        |         OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |grp AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |          ROWS UNBOUNDED PRECEDING) AS g FROM flags),
+        |sess AS (SELECT user_id, min(ts_us) AS s_us, max(ts_us) AS e_us,
+        |           count(*) AS n_events, round(sum(value), 2) AS session_value
+        |         FROM grp GROUP BY user_id, g)
+        |SELECT user_id, make_timestamp(s_us) AS session_start,
+        |       make_timestamp(e_us + 1800000000) AS session_end,
+        |       n_events, session_value
+        |FROM sess ORDER BY user_id, session_start""".stripMargin)),
     QueryDef("q45_multimodal_features", multimodalFeatures, None),
     QueryDef("q46_frame_samples", frameSamples, None)
   )

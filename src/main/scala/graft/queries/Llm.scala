@@ -36,14 +36,20 @@ object Llm {
       .select(col("doc_id"), col("content_hash"), col("canon_id"), col("is_dup"))
       .orderBy(col("doc_id"))
 
-  /** Language-ID heuristic + rolling fingerprint (rows-only: xxhash64 &
-    * marker profiles are engine-specific). */
-  def langIdAndRolling(spark: SparkSession, dir: String): DataFrame =
+  /** Language-ID heuristic + BPE-ish subword estimate (oracled: the
+    * marker-word argmax and regex segmentation are pure SQL). */
+  def langIdStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         TA.langId(col("text")).as("pred_lang"),
-        TA.fingerprintRolling(col("text")).as("fp_rolling"),
         TA.subwordCountEstimate(col("text")).as("n_subwords"))
+      .orderBy(col("doc_id"))
+
+  /** Rolling 64-bit fingerprint (rows-only: the xxhash64 chain is
+    * engine-specific — no DuckDB equivalent). */
+  def rollingFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TA.fingerprintRolling(col("text")).as("fp_rolling"))
       .orderBy(col("doc_id"))
 
   /** MinHash-LSH near-dup candidates verified with exact Jaccard. */
@@ -59,9 +65,13 @@ object Llm {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SimHash near-dups at radius 3 (4×16-bit blocks — the classic
+    * Manku et al. WWW'07 operating point; wider radii are supported by
+    * the generalized blocking but make buckets denser, see
+    * Dedup.simhashPairs). */
   def simhashNearDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
-        maxHamming = 8)
+        maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Brute-force cosine ANN baseline — oracle-able thanks to DuckDB's
@@ -198,7 +208,31 @@ object Llm {
         |  doc_id != min(doc_id) OVER (PARTITION BY content_hash) AS is_dup
         |FROM h
         |ORDER BY doc_id""".stripMargin)),
-    QueryDef("q34_langid_fingerprint", langIdAndRolling, None),
+    QueryDef("q34_langid_fingerprint", langIdStats, Some(
+      """WITH t AS (SELECT doc_id, lang AS labeled_lang, coalesce(text,'') AS txt,
+        |  CASE WHEN trim(coalesce(text,''))='' THEN []::VARCHAR[]
+        |       ELSE string_split_regex(trim(lower(coalesce(text,''))), '\s+') END AS toks
+        |  FROM documents),
+        |h AS (SELECT doc_id, labeled_lang, txt, toks,
+        |  length(regexp_replace(txt, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+        |  greatest(length(txt),1) AS nchars,
+        |  len(list_filter(toks, w -> list_contains(['the','and','of','to','is','with','that','for'], w))) AS h_en,
+        |  len(list_filter(toks, w -> list_contains(['el','la','de','que','y','los','las','una','por'], w))) AS h_es,
+        |  len(list_filter(toks, w -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], w))) AS h_de,
+        |  len(list_filter(toks, w -> list_contains(['le','la','les','des','est','une','dans','pour','et'], w))) AS h_fr
+        |  FROM t)
+        |SELECT doc_id, labeled_lang,
+        |  CASE WHEN cjk/nchars::DOUBLE > 0.2 THEN 'zh'
+        |       WHEN greatest(h_en,h_es,h_de,h_fr) = 0 THEN 'und'
+        |       WHEN h_en >= greatest(h_es,h_de,h_fr) THEN 'en'
+        |       WHEN h_es >= greatest(h_de,h_fr) THEN 'es'
+        |       WHEN h_de >= h_fr THEN 'de'
+        |       ELSE 'fr' END AS pred_lang,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    regexp_extract_all(lower(txt), '[a-z\x{00c0}-\x{024f}\x{4e00}-\x{9fff}]+|[0-9]+|[^\sa-z0-9\x{00c0}-\x{024f}\x{4e00}-\x{9fff}]'),
+        |    p -> greatest(CAST(ceil(length(p)/4.0) AS BIGINT), 1))), 0) AS BIGINT) AS n_subwords
+        |FROM h ORDER BY doc_id""".stripMargin)),
+    QueryDef("q57_rolling_fingerprint", rollingFingerprints, None),
     QueryDef("q35_minhash_near_dups", minhashNearDups, None),
     QueryDef("q36_simhash_near_dups", simhashNearDups, None),
     QueryDef("q37_ann_brute_force", annBruteForce, Some(

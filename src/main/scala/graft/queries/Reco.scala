@@ -93,7 +93,9 @@ object Reco {
 
   /** Time-split popularity recommendation evaluated with NDCG/P@k/MAP —
     * exercises the full CG→format→evaluate lifecycle
-    * (ALSRecommenderBuilder.main trace, SURVEY.md §3.2). Rows-only. */
+    * (ALSRecommenderBuilder.main trace, SURVEY.md §3.2). Oracled: the
+    * metric math is pure window+agg SQL (no ML), so DuckDB mirrors it
+    * exactly; metrics rounded to 6dp in both engines. */
   def popularityEval(spark: SparkSession, dir: String): DataFrame = {
     val inter = Interactions.fromEvents(spark, dir).cache()
     val cut = lit(1706054400000000000L) // 2024-01-24 UTC in ns — frozen split
@@ -102,16 +104,25 @@ object Reco {
     val users = test.select(col("user_id")).distinct()
     val recs = new PopularityRecommender(train).recommendForUsers(users, 10)
     RankingEvaluator.evaluate(
-      recs, test.select(col("user_id"), col("item_id")), 10)
+        recs, test.select(col("user_id"), col("item_id")), 10)
+      .select(col("k"), col("n_users"),
+        round(col("ndcg"), 6).as("ndcg"),
+        round(col("precision"), 6).as("precision"),
+        round(col("map"), 6).as("map"))
   }
 
   /** Curation recommender: fixed curator ids, most-recent-interaction
-    * scoring (CurationRecommender.scala:24-40). */
+    * scoring (CurationRecommender.scala:24-40). Users chosen by ordered
+    * limit (a bare `limit` without order is nondeterministic under
+    * partition scheduling — unacceptable in an oracled gate). */
   def curatedRecommendations(spark: SparkSession, dir: String): DataFrame = {
     val inter = Interactions.fromEvents(spark, dir)
-    val users = inter.select(col("user_id")).distinct().limit(5)
+    val users = inter.select(col("user_id")).distinct()
+      .orderBy(col("user_id")).limit(5)
     new CurationRecommender(inter, Seq(1, 2, 3, 5, 8))
       .recommendForUsers(users, 10)
+      .select(col("user_id").cast("long").as("user_id"), col("item_id"),
+        col("score"), col("source"))
       .orderBy(col("user_id"), col("score").desc, col("item_id"))
   }
 
@@ -227,7 +238,47 @@ object Reco {
          |  JOIN npos n USING (user_id) WHERE s.rn <= n.n_pos)
          |ORDER BY user_id, item_id, label""".stripMargin)),
     QueryDef("q25_als_recommend", alsRecommendations, None),
-    QueryDef("q26_popularity_ndcg", popularityEval, None),
-    QueryDef("q27_curated_recommend", curatedRecommendations, None)
+    QueryDef("q26_popularity_ndcg", popularityEval, Some(
+      s"""WITH raw AS (SELECT user_id, CAST(props->>'k' AS INT) AS item_id,
+         |              epoch_ns(ts) AS ts_ns FROM events),
+         |train AS (SELECT * FROM raw WHERE ts_ns < 1706054400000000000),
+         |test AS (SELECT DISTINCT user_id, item_id FROM raw
+         |         WHERE ts_ns >= 1706054400000000000),
+         |users AS (SELECT DISTINCT user_id FROM test),
+         |pop AS (SELECT item_id, count(*) AS cnt FROM train GROUP BY 1),
+         |top AS (SELECT item_id, round(log10(cnt)*1000)/1000 AS score
+         |        FROM pop ORDER BY score DESC, item_id LIMIT 10),
+         |ranked AS (SELECT u.user_id, t.item_id,
+         |             row_number() OVER (PARTITION BY u.user_id
+         |               ORDER BY t.score DESC, t.item_id) AS pos
+         |           FROM users u CROSS JOIN top t),
+         |n_actual AS (SELECT user_id, count(*) AS n_actual FROM test GROUP BY 1),
+         |hits AS (SELECT r.user_id, r.pos,
+         |           row_number() OVER (PARTITION BY r.user_id ORDER BY r.pos) AS hit_idx
+         |         FROM ranked r JOIN test a USING (user_id, item_id) WHERE r.pos <= 10),
+         |per_hit AS (SELECT user_id, sum(1.0/log2(pos+1)) AS dcg, count(*) AS n_hits,
+         |              sum(hit_idx::DOUBLE/pos) AS ap_num FROM hits GROUP BY 1),
+         |lut AS (SELECT m.range AS m, sum(1.0/log2(i.range+1)) AS idcg
+         |        FROM range(1,11) m JOIN range(1,11) i ON i.range <= m.range GROUP BY 1),
+         |per_user AS (
+         |  SELECT n.user_id, coalesce(h.dcg,0) AS dcg, coalesce(h.n_hits,0) AS n_hits,
+         |         coalesce(h.ap_num,0) AS ap_num, least(n.n_actual, 10) AS m
+         |  FROM n_actual n LEFT JOIN per_hit h USING (user_id))
+         |SELECT 10 AS k, count(*) AS n_users,
+         |  round(avg(CASE WHEN l.idcg > 0 THEN p.dcg / l.idcg ELSE 0 END), 6) AS ndcg,
+         |  round(avg(p.n_hits / 10.0), 6) AS precision,
+         |  round(avg(CASE WHEN p.m > 0 THEN p.ap_num / p.m ELSE 0 END), 6) AS map
+         |FROM per_user p JOIN lut l USING (m)""".stripMargin)),
+    QueryDef("q27_curated_recommend", curatedRecommendations, Some(
+      s"""WITH raw AS (SELECT user_id, CAST(props->>'k' AS INT) AS item_id,
+         |              epoch_ns(ts) AS ts_ns FROM events),
+         |users AS (SELECT DISTINCT user_id FROM raw ORDER BY user_id LIMIT 5),
+         |cur AS (SELECT item_id, max(ts_ns) AS latest_ns FROM raw
+         |        WHERE user_id IN (1,2,3,5,8) GROUP BY 1),
+         |top AS (SELECT item_id, round(latest_ns/1e18, 9) AS score
+         |        FROM cur ORDER BY score DESC, item_id LIMIT 10)
+         |SELECT u.user_id, t.item_id, t.score, 'curation' AS source
+         |FROM users u CROSS JOIN top t
+         |ORDER BY u.user_id, t.score DESC, t.item_id""".stripMargin))
   )
 }

@@ -287,6 +287,16 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** The exact-distinct column of q55 as its own oracled gate (the HLL
+    * column is engine-specific; this pins the deterministic part). */
+  def exactDistinctParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(count_distinct($"l_partkey").as("exact_parts"))
+      .orderBy($"l_returnflag")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q54_percentiles", percentiles, Some(
       """SELECT o_orderpriority,
@@ -298,6 +308,11 @@ object Relational {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin)),
     QueryDef("q55_approx_distinct", approxDistinct, None),
+    QueryDef("q58_exact_distinct", exactDistinctParts, Some(
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
     QueryDef("q18_null_impute", nullImputation, Some(
       """SELECT c_custkey,
         | coalesce(nullif(c_mktsegment, 'BUILDING'), '__unknown') AS seg,
