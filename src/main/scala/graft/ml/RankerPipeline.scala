@@ -76,9 +76,9 @@ object RankerPipeline {
     * (LogisticRegressionRanker.scala:316-327). Fit-time only: serving
     * inputs carry no label. Negatives have pair_last_ns NULL; the AND
     * short-circuits them to 0.1. */
-  private def weigher = new SQLTransformer().setStatement(
+  private[graft] def weigher = new SQLTransformer().setStatement(
     s"SELECT *, IF(label > 0.5 AND pair_last_ns >= ${weightNowNs - yearNs}, " +
-      "0.9, 0.1) AS instance_weight FROM __THIS__")
+      "0.9D, 0.1D) AS instance_weight FROM __THIS__")
 
   private def featurePipeline(): Pipeline = {
     val indexer = new StringIndexer()

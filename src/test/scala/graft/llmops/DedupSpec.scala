@@ -6,6 +6,50 @@ import org.apache.spark.sql.functions._
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Brute-force ground truth for simhash pair recall. */
+  private def bruteForcePairs(docs: org.apache.spark.sql.DataFrame,
+      r: Int): Set[(Long, Long)] = {
+    val sh = Dedup.simhashes(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    (for {
+      (ia, ha) <- sh; (ib, hb) <- sh
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= r
+    } yield (ia, ib)).toSet
+  }
+
+  /** Vocabulary-perturbed corpus: clusters of near-identical docs so
+    * true pairs exist at a spread of Hamming distances. */
+  private def perturbed = {
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi")
+    val rnd = new scala.util.Random(7)
+    (0L until 60L).map { i =>
+      val base = Array.tabulate(30)(j => vocab((j * 3 + (i / 12).toInt) % vocab.length))
+      // flip a few words per doc within its cluster of 12
+      (0 until (i % 12).toInt / 3).foreach { k =>
+        base(rnd.nextInt(base.length)) = vocab(rnd.nextInt(vocab.length))
+      }
+      (i, base.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("simhash blocking is pigeonhole-complete at radius 3") {
+    val expected = bruteForcePairs(perturbed, 3)
+    val got = Dedup.simhashPairs(perturbed, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(expected.nonEmpty, "fixture must plant at least one true pair")
+  }
+
+  test("simhash blocking is pigeonhole-complete at radius 8 (9 blocks)") {
+    val expected = bruteForcePairs(perturbed, 8)
+    val got = Dedup.simhashPairs(perturbed, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(expected.size > bruteForcePairs(perturbed, 3).size,
+      "radius 8 must find strictly more pairs than radius 3 on this fixture")
+  }
+
   private val base = "the quick brown fox jumps over the lazy dog " * 5
   private def toy = Seq(
     (1L, base),

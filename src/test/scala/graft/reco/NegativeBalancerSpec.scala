@@ -37,4 +37,27 @@ class NegativeBalancerSpec extends SparkSpec {
     assert(b.filter($"label" === 0.0).count() > 0)
     assert(b.columns.toSeq == Seq("user_id", "item_id", "label"))
   }
+
+  test("duplicate events do not inflate the negative count (set semantics)") {
+    // n_pos must be DISTINCT positives (reference: positiveItems.size);
+    // duplicating every event row must leave the negatives unchanged
+    val doubled = toy.unionAll(toy)
+    val once = NegativeBalancer.negatives(toy, 100, 1.0)
+      .orderBy("user_id", "item_id").collect().toSeq
+    val twice = NegativeBalancer.negatives(doubled, 100, 1.0)
+      .orderBy("user_id", "item_id").collect().toSeq
+    assert(once == twice)
+  }
+
+  test("positives outside the popular pool still bound the negative count") {
+    // pool capped to 1 item: only item 10 is a candidate; user 3 has
+    // positives {10, 30} → n_pos=2 but the pool minus positives is empty
+    val negs = NegativeBalancer.negatives(toy, 1, 1.0)
+    assert(negs.filter($"user_id" === 3).count() == 0)
+    // a user with no positives in the pool gets the full pool up to n_pos
+    val toy2 = Seq((1, 10), (2, 20), (2, 21)).toDF("user_id", "item_id")
+    val n2 = NegativeBalancer.negatives(toy2, 1, 1.0)
+      .filter($"user_id" === 2).select("item_id").as[Int].collect().toSeq
+    assert(n2 == Seq(10)) // pool=[10], user 2 unseen, n_pos=2 → take [10]
+  }
 }
