@@ -1,0 +1,209 @@
+package graft.ml
+
+import graft.fixtures.AlbedoFixtures
+import graft.jobs.ProfileBuilders
+import graft.reco.NegativeBalancer
+import org.apache.spark.ml.{Pipeline, PipelineStage}
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.feature.{CountVectorizer, OneHotEncoder, SQLTransformer, StopWordsRemover, StringIndexer, VectorAssembler, Word2Vec}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-width ranking pipeline over the albedo-shaped fixtures,
+  * mirroring the reference's 9-stage / ~60-feature surface
+  * (reference: LogisticRegressionRanker.scala:60-240):
+  *
+  *  - boolean flags straight from the profiles,
+  *  - continuous counts / ratios / recency days + the two
+  *    UserRepoTransformer cross features (ops/exprs #65/#66, expressed
+  *    as a SQLTransformer so they live INSIDE the serving pipeline),
+  *  - categorical StringIndexer+OHE (handleInvalid=keep, dropLast=false
+  *    — reference :176-188) including the id-level user_id/repo_id
+  *    one-hots (:155-156),
+  *  - list columns through CountVectorizer (:189-198),
+  *  - a text column through tokenize → StopWordsRemover → Word2Vec
+  *    (:199-216; tokenizer is the cjk-aware regex as a SQLTransformer),
+  *  - VectorAssembler over all families (:220-224),
+  *  - recency/positivity instance weights + weighted LR (:316-337).
+  *
+  * Scale notes: profile builds are key-partitioned aggs (see
+  * ProfileBuilders); the labeled frame joins user profiles (shuffle on
+  * user_id) and broadcasts the repo side; every feature stage is a
+  * column expression or an ML stage whose state (vocab, index maps) is
+  * bounded by the categorical domain, not the row count.
+  */
+object AlbedoRanker {
+
+  val snapshotDate = "2017-09-01"
+
+  /** Column-suffix drop (SURVEY §2 #14): the reference prunes
+    * intermediate `__idx`-suffixed columns after the feature pipeline
+    * (LogisticRegressionRanker.scala drop of indexer outputs). */
+  def dropSuffixed(df: DataFrame, suffix: String): DataFrame =
+    df.select(df.columns.filterNot(_.endsWith(suffix)).map(col).toIndexedSeq: _*)
+
+  private val booleanCols = Seq("user_has_null", "has_ml", "has_fullstack",
+    "has_backend", "has_phd", "repo_has_description", "repo_is_unmaintained",
+    "repo_recently_pushed")
+  private val continuousCols = Seq("follower_following_ratio",
+    "days_since_updated", "days_since_created", "n_recent",
+    "repo_stargazers_count", "repo_forks_count", "repo_days_since_updated",
+    "log_stars",
+    "lang_index_in_recent", "lang_count_in_recent")
+  private val categoricalCols = Seq("user_account_type", "company_binned",
+    "clean_location", "language_binned", "stars_band", "user_id_str",
+    "repo_id_str")
+  private val listCols = Seq("recent_languages", "topics_list")
+  private val textCol = "repo_description"
+
+  /** Labeled (user,repo) frame joined with both profiles. Deterministic
+    * — every column is a profile column or a label; ML stages are not
+    * applied here (this is the oracled surface). */
+  def labeledFeatureFrame(spark: SparkSession): DataFrame = {
+    val starrings = AlbedoFixtures.starringsP(spark)
+    val users = ProfileBuilders.buildUserProfile(
+      AlbedoFixtures.usersP(spark), AlbedoFixtures.reposP(spark),
+      starrings, snapshotDate)
+    val repos = ProfileBuilders.buildRepoProfile(
+      AlbedoFixtures.reposP(spark), snapshotDate)
+
+    val labeled = NegativeBalancer.balance(
+      starrings.select(col("user_id"), col("repo_id").as("item_id")),
+      maxCandidates = 1000, ratio = 1.0)
+      .withColumnRenamed("item_id", "repo_id")
+
+    // per-pair last star time for the recency weight (negatives → null)
+    val pairLast = starrings.groupBy(col("user_id"), col("repo_id"))
+      .agg(max(col("starred_at")).as("pair_starred_at"))
+
+    labeled
+      .join(pairLast, Seq("user_id", "repo_id"), "left")
+      .join(users, Seq("user_id"))
+      .join(broadcast(repos), Seq("repo_id"))
+      .withColumn("recent_languages",
+        coalesce(col("recent_languages"), array().cast("array<string>")))
+      .withColumn("n_recent", coalesce(col("n_recent"), lit(0L)))
+      // id-level categoricals enter the OHE path as strings (ref :155)
+      .withColumn("user_id_str", col("user_id").cast("string"))
+      .withColumn("repo_id_str", col("repo_id").cast("string"))
+  }
+
+  /** UserRepoTransformer cross features as a serving-safe SQLTransformer
+    * (ops/exprs #65/#66; reference transformers/UserRepoTransformer
+    * .scala + closures/UDFs.scala:80-87). */
+  private def crossFeatures = new SQLTransformer().setStatement(
+    """SELECT *,
+      |  CAST(IF(array_position(recent_languages, repo_language) > 0,
+      |          array_position(recent_languages, repo_language) - 1,
+      |          size(recent_languages) + 50) AS INT) AS lang_index_in_recent,
+      |  size(filter(recent_languages, x -> x = repo_language)) AS lang_count_in_recent
+      |FROM __THIS__""".stripMargin)
+
+  /** Recency/positivity instance weights vs the frozen snapshot
+    * (reference weightSQL :316-327). */
+  private def weigher = new SQLTransformer().setStatement(
+    s"""SELECT *, IF(label > 0.5
+       |  AND datediff(date'$snapshotDate', pair_starred_at) <= 365,
+       |  0.9D, 0.1D) AS instance_weight FROM __THIS__""".stripMargin)
+
+  /** cjk-aware tokenizer as a SQLTransformer (graft.text.Tokenize
+    * semantics, inlined so it serializes with the PipelineModel). */
+  private def tokenizer = new SQLTransformer().setStatement(
+    """SELECT *, filter(
+      |  regexp_extract_all(lower(coalesce(repo_description, '')),
+      |    '([a-z0-9]+(?:\\+\\+|#)?|[\\u4e00-\\u9fff])', 1),
+      |  t -> length(t) > 1 OR t rlike '^[\\u4e00-\\u9fff]$' OR t in ('c', 'r')
+      |) AS repo_description__words FROM __THIS__""".stripMargin)
+
+  /** The deterministic engineered surface — labels, weights, cross
+    * features, continuous/boolean/categorical/list columns — i.e.
+    * everything before the fitted ML stages (indexers, CV, w2v). This
+    * is the frame the DuckDB oracle mirrors (gate q59). */
+  def deterministicFeatureFrame(spark: SparkSession): DataFrame = {
+    val f = crossFeatures.transform(weigher.transform(labeledFeatureFrame(spark)))
+    f.select(
+      col("user_id"), col("repo_id"), col("label"), col("instance_weight"),
+      col("lang_index_in_recent").cast("long").as("lang_index_in_recent"),
+      col("lang_count_in_recent").cast("long").as("lang_count_in_recent"),
+      col("follower_following_ratio"),
+      col("days_since_updated").cast("long").as("days_since_updated"),
+      col("days_since_created").cast("long").as("days_since_created"),
+      col("n_recent"),
+      col("repo_stargazers_count"), col("repo_forks_count"),
+      col("repo_days_since_updated").cast("long").as("repo_days_since_updated"),
+      col("log_stars"),
+      col("user_has_null"), col("has_ml"), col("has_fullstack"),
+      col("has_backend"), col("has_phd"),
+      col("repo_has_description"), col("repo_is_unmaintained"),
+      col("repo_recently_pushed"),
+      col("user_account_type"), col("company_binned"), col("clean_location"),
+      col("language_binned"), col("stars_band"),
+      array_join(col("recent_languages"), ",").as("recent_languages"),
+      array_join(col("topics_list"), ",").as("topics_list"))
+      .orderBy(col("user_id"), col("repo_id"))
+  }
+
+  /** The full feature pipeline (everything between the labeled frame
+    * and the LR stage). */
+  def featureStages(): Array[PipelineStage] = {
+    val categorical = categoricalCols.flatMap { c =>
+      Seq(
+        new StringIndexer().setInputCol(c).setOutputCol(s"${c}__idx")
+          .setHandleInvalid("keep"),
+        new OneHotEncoder().setInputCol(s"${c}__idx").setOutputCol(s"${c}__ohe")
+          .setDropLast(false))
+    }
+    val lists = listCols.map { c =>
+      new CountVectorizer().setInputCol(c).setOutputCol(s"${c}__cv")
+        .setMinDF(2).setMinTF(1)
+    }
+    val text = Seq(
+      tokenizer,
+      new StopWordsRemover().setInputCol("repo_description__words")
+        .setOutputCol("repo_description__filtered")
+        .setStopWords(StopWordsRemover.loadDefaultStopWords("english")),
+      new Word2Vec().setInputCol("repo_description__filtered")
+        .setOutputCol("repo_description__w2v")
+        .setVectorSize(8).setMinCount(2).setMaxIter(2).setSeed(42))
+    val assembler = new VectorAssembler()
+      .setInputCols((booleanCols ++ continuousCols ++
+        categoricalCols.map(c => s"${c}__ohe") ++
+        listCols.map(c => s"${c}__cv") ++
+        Seq("repo_description__w2v")).toArray)
+      .setOutputCol("features")
+    (Seq(crossFeatures) ++ categorical ++ lists ++ text :+ assembler).toArray
+  }
+
+  /** End-to-end: fit the full pipeline + weighted LR, return one row of
+    * (n_features, train_rows, test_rows, auc). Seeded; rows-only gate
+    * (LR internals are not SQL-expressible). */
+  def trainAndEvaluate(spark: SparkSession): DataFrame = {
+    // booleans → doubles for the assembler (in-place cast)
+    val base = booleanCols.foldLeft(labeledFeatureFrame(spark)) {
+      (df, c) => df.withColumn(c, col(c).cast("double"))
+    }
+    val data = weigher.transform(base)
+
+    val lr = new LogisticRegression()
+      .setMaxIter(30).setRegParam(0.1).setElasticNetParam(0.0)
+      .setStandardization(true)
+      .setFeaturesCol("features").setLabelCol("label")
+      .setWeightCol("instance_weight")
+    val pipeline = new Pipeline().setStages(featureStages() :+ lr)
+
+    val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
+    val model = pipeline.fit(train)
+    val scored = dropSuffixed(model.transform(test), "__idx")
+    val auc = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("rawPrediction")
+      .setMetricName("areaUnderROC").evaluate(scored)
+
+    import spark.implicits._
+    val nFeatures = scored.select(col("features")).head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0).size
+    Seq((nFeatures.toLong, train.count(), test.count(),
+      math.rint(auc * 1e6) / 1e6))
+      .toDF("n_features", "train_rows", "test_rows", "auc")
+  }
+}

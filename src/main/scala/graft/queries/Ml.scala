@@ -55,6 +55,19 @@ object Ml {
       Interactions.fromEvents(spark, dir),
       splitNs = 1706054400000000000L) // 2024-01-24 UTC
 
+  /** Full-width albedo ranker: the deterministic engineered-feature
+    * frame (labels, weights, cross features, profile features) —
+    * oracled against DuckDB over the persisted fixtures. */
+  def albedoRankerFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.AlbedoRanker.deterministicFeatureFrame(spark)
+
+  /** Full-width albedo ranker end-to-end (26 pipeline stages: cross
+    * features, 7×(StringIndexer+OHE) incl. id-level, 2×CountVectorizer,
+    * tokenize→stopwords→Word2Vec, assembler, weighted LR). Rows-only:
+    * fitted-stage outputs are not SQL-expressible. */
+  def albedoRankerMetrics(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.AlbedoRanker.trainAndEvaluate(spark)
+
   private val stopList =
     Tokenize.englishStopwords.map("'" + _ + "'").mkString(",")
 
@@ -94,6 +107,123 @@ object Ml {
          |SELECT id_a, id_b, score, rn FROM r WHERE rn <= 5
          |ORDER BY id_a, rn""".stripMargin)),
     QueryDef("q42_porter_stems", stemmedTokens, None),
+    QueryDef("q59_albedo_ranker_features", albedoRankerFeatures, Some {
+      val fx = graft.fixtures.AlbedoFixtures.persistDir
+      s"""WITH u0 AS (
+         |  SELECT *,
+         |    (user_company IS NULL OR user_location IS NULL OR user_email IS NULL
+         |     OR user_bio IS NULL) AS user_has_null,
+         |    coalesce(user_company, '') AS c_company,
+         |    coalesce(user_location, '') AS c_location,
+         |    coalesce(user_bio, '') AS c_bio
+         |  FROM read_parquet('$fx/users.parquet/*.parquet')),
+         |cleaned AS (
+         |  SELECT *, CASE WHEN s1 = '' THEN '__empty' ELSE s1 END AS clean_company,
+         |    CASE WHEN s2 = '' THEN '__empty' ELSE s2 END AS clean_location
+         |  FROM (
+         |    SELECT *,
+         |      regexp_replace(trim(regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(lower(c_company), '^(formerly|previously|ex-)\\s*', '', 'g'),
+         |          '(\\.com|\\.net|\\.org|\\.io|,?\\s+(inc|llc|ltd|co|corp|corporation|company)\\.?)\\b', '', 'g'),
+         |        '[^\\w\\x{4e00}-\\x{9fff}\\s]', ' ', 'g')), '\\s+', ' ', 'g') AS s1,
+         |      regexp_replace(trim(regexp_replace(
+         |        trim(regexp_replace(string_split(lower(c_location), ',')[1],
+         |          '[^\\w\\x{4e00}-\\x{9fff}\\s]', ' ', 'g')),
+         |        '\\bcity$$', '', 'g')), '\\s+', ' ', 'g') AS s2
+         |    FROM u0)),
+         |flagged AS (
+         |  SELECT *,
+         |    CASE WHEN contains(lower(c_bio), 'machine learning') OR contains(lower(c_bio), 'data scien') THEN 1.0 ELSE 0.0 END AS has_ml,
+         |    CASE WHEN contains(lower(c_bio), 'fullstack') OR contains(lower(c_bio), 'full-stack') THEN 1.0 ELSE 0.0 END AS has_fullstack,
+         |    CASE WHEN contains(lower(c_bio), 'backend') OR contains(lower(c_bio), 'devops') THEN 1.0 ELSE 0.0 END AS has_backend,
+         |    CASE WHEN contains(lower(c_bio), 'phd') THEN 1.0 ELSE 0.0 END AS has_phd,
+         |    round(user_followers_count / (user_following_count + 1.0), 3) AS follower_following_ratio,
+         |    date_diff('day', CAST(user_updated_at AS DATE), DATE '2017-09-01') AS days_since_updated,
+         |    date_diff('day', CAST(user_created_at AS DATE), DATE '2017-09-01') AS days_since_created
+         |  FROM cleaned),
+         |st AS (SELECT user_id, repo_id, starred_at
+         |       FROM read_parquet('$fx/starrings.parquet/*.parquet')),
+         |rl AS (
+         |  SELECT user_id, list(repo_language ORDER BY rn) AS rl_list,
+         |    string_agg(repo_language, ',' ORDER BY rn) AS recent_languages,
+         |    count(*) AS n_recent
+         |  FROM (
+         |    SELECT s.user_id, r.repo_language,
+         |      row_number() OVER (PARTITION BY s.user_id ORDER BY s.starred_at DESC, s.repo_id) AS rn
+         |    FROM st s
+         |    JOIN read_parquet('$fx/repos.parquet/*.parquet') r USING (repo_id))
+         |  WHERE rn <= 50 GROUP BY 1),
+         |cc AS (SELECT clean_company, count(*) AS company_cnt FROM flagged GROUP BY 1),
+         |uprof AS (
+         |  SELECT f.user_id, f.user_account_type, f.user_has_null,
+         |    CASE WHEN cc.company_cnt <= 5 THEN '__other' ELSE f.clean_company END AS company_binned,
+         |    f.clean_location, f.follower_following_ratio,
+         |    f.days_since_updated, f.days_since_created,
+         |    f.has_ml, f.has_fullstack, f.has_backend, f.has_phd,
+         |    coalesce(rl.rl_list, []) AS rl_list,
+         |    coalesce(rl.recent_languages, '') AS recent_languages,
+         |    coalesce(rl.n_recent, 0) AS n_recent
+         |  FROM flagged f JOIN cc USING (clean_company)
+         |  LEFT JOIN rl USING (user_id)),
+         |rbase AS (
+         |  SELECT *,
+         |    repo_description != '' AS repo_has_description,
+         |    (lower(repo_description) LIKE '%unmaintained%'
+         |     OR lower(repo_description) LIKE '%deprecated%') AS repo_is_unmaintained,
+         |    date_diff('day', CAST(repo_updated_at AS DATE), DATE '2017-09-01') AS repo_days_since_updated,
+         |    date_diff('day', CAST(repo_updated_at AS DATE), DATE '2017-09-01') <= 60 AS repo_recently_pushed,
+         |    CASE WHEN repo_stargazers_count < 1000 THEN 'small'
+         |         WHEN repo_stargazers_count < 90000 THEN 'medium'
+         |         ELSE 'large' END AS stars_band,
+         |    repo_topics AS topics_list,
+         |    round(log10(repo_stargazers_count + 1) * 1000) / 1000 AS log_stars
+         |  FROM read_parquet('$fx/repos.parquet/*.parquet')),
+         |lc AS (SELECT repo_language, count(*) AS lang_cnt FROM rbase GROUP BY 1),
+         |rprof AS (
+         |  SELECT rbase.*, CASE WHEN lc.lang_cnt <= 30 THEN '__other' ELSE rbase.repo_language END AS language_binned
+         |  FROM rbase JOIN lc USING (repo_language)),
+         |ui AS (SELECT DISTINCT user_id, repo_id FROM st),
+         |pop AS (SELECT repo_id, count(*) AS cnt FROM st GROUP BY 1),
+         |popranked AS (SELECT repo_id, row_number() OVER (ORDER BY cnt DESC, repo_id) AS pr FROM pop),
+         |npos AS (SELECT user_id, count(DISTINCT repo_id) AS n_pos FROM st GROUP BY 1),
+         |unseen AS (
+         |  SELECT n.user_id, p.repo_id, p.pr FROM npos n CROSS JOIN popranked p
+         |  WHERE p.pr <= 1000 AND NOT EXISTS (SELECT 1 FROM ui
+         |    WHERE ui.user_id = n.user_id AND ui.repo_id = p.repo_id)),
+         |sel AS (SELECT user_id, repo_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY pr) AS rn FROM unseen),
+         |labeled AS (
+         |  SELECT user_id, repo_id, 1.0::DOUBLE AS label FROM ui
+         |  UNION ALL
+         |  SELECT s.user_id, s.repo_id, 0.0::DOUBLE FROM sel s
+         |  JOIN npos n USING (user_id) WHERE s.rn <= n.n_pos),
+         |pair_last AS (SELECT user_id, repo_id, max(starred_at) AS pair_starred_at
+         |              FROM st GROUP BY 1, 2)
+         |SELECT l.user_id, l.repo_id, l.label,
+         |  CASE WHEN l.label > 0.5
+         |        AND date_diff('day', CAST(pl.pair_starred_at AS DATE), DATE '2017-09-01') <= 365
+         |       THEN 0.9 ELSE 0.1 END AS instance_weight,
+         |  CASE WHEN coalesce(list_position(u.rl_list, r.repo_language), 0) > 0
+         |       THEN CAST(list_position(u.rl_list, r.repo_language) - 1 AS BIGINT)
+         |       ELSE CAST(len(u.rl_list) + 50 AS BIGINT) END AS lang_index_in_recent,
+         |  CAST(len(list_filter(u.rl_list, x -> x = r.repo_language)) AS BIGINT) AS lang_count_in_recent,
+         |  u.follower_following_ratio, u.days_since_updated, u.days_since_created,
+         |  u.n_recent,
+         |  r.repo_stargazers_count, r.repo_forks_count, r.repo_days_since_updated,
+         |  r.log_stars,
+         |  u.user_has_null, u.has_ml, u.has_fullstack, u.has_backend, u.has_phd,
+         |  r.repo_has_description, r.repo_is_unmaintained, r.repo_recently_pushed,
+         |  u.user_account_type, u.company_binned, u.clean_location,
+         |  r.language_binned, r.stars_band,
+         |  u.recent_languages, r.topics_list
+         |FROM labeled l
+         |LEFT JOIN pair_last pl USING (user_id, repo_id)
+         |JOIN uprof u USING (user_id)
+         |JOIN rprof r USING (repo_id)
+         |ORDER BY l.user_id, l.repo_id""".stripMargin
+    }),
+    QueryDef("q60_albedo_ranker_metrics", albedoRankerMetrics, None),
     QueryDef("q47_cv_grid_search", (s: SparkSession, d: String) =>
       RankerPipeline.crossValidate(s, Interactions.fromEvents(s, d)), None),
     QueryDef("q43_word2vec_synonyms", word2vecSynonyms, None),

@@ -33,4 +33,10 @@ class RankerPipelineSpec extends SparkSpec {
     // the weight column is non-constant — the weighted-LR path is live
     assert(weighted.values.map(_._2).toSet == Set(0.9, 0.1))
   }
+
+  test("dropSuffixed removes exactly the suffixed columns (#14)") {
+    val df = Seq((1, 2, 3)).toDF("a", "a__idx", "b__idx")
+    assert(AlbedoRanker.dropSuffixed(df, "__idx").columns.toSeq == Seq("a"))
+    assert(AlbedoRanker.dropSuffixed(df, "__zzz").columns.toSeq == df.columns.toSeq)
+  }
 }
