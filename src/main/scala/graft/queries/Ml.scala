@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.ml.RankerPipeline
-import graft.reco.{ContentRecommender, Interactions}
+import graft.reco.{ContentRecommender, ContentUserRecommender, Interactions}
 import graft.sources.Tables
 import graft.text.{PorterStemmer, Tokenize}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -54,6 +54,22 @@ object Ml {
     RankerPipeline.endToEnd(spark,
       Interactions.fromEvents(spark, dir),
       splitNs = 1706054400000000000L) // 2024-01-24 UTC
+
+  /** Content user→item recommendations: each user's 3 most recent items
+    * queried through the TF-IDF prefix index (q41 math), summed per
+    * candidate, seen items excluded, top-5 (oracled — the whole path is
+    * SQL). */
+  def contentRecommend(spark: SparkSession, dir: String): DataFrame = {
+    val inter = Interactions.fromEvents(spark, dir)
+    val users = inter.select(col("user_id")).distinct()
+      .filter(col("user_id") < 10)
+    new ContentUserRecommender(inter, Tables.documents(spark, dir),
+        "doc_id", "text", recentK = 3, prefixM = 4)
+      .recommendForUsers(users, 5)
+      .select(col("user_id").cast("long").as("user_id"), col("item_id"),
+        col("score"), col("source"), col("rn").cast("long").as("rn"))
+      .orderBy(col("user_id"), col("rn"))
+  }
 
   /** Full-width albedo ranker: the deterministic engineered-feature
     * frame (labels, weights, cross features, profile features) —
@@ -224,6 +240,55 @@ object Ml {
          |ORDER BY l.user_id, l.repo_id""".stripMargin
     }),
     QueryDef("q60_albedo_ranker_metrics", albedoRankerMetrics, None),
+    QueryDef("q61_content_recommend", contentRecommend, Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    regexp_extract_all(lower(text), '([a-z0-9]+(?:\\+\\+|#)?)', 1),
+         |    w -> (len(w) > 1 OR w IN ('c','r')) AND NOT list_contains([$stopList], w)
+         |  )) AS term
+         |  FROM documents),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |fdf AS (SELECT term, df FROM df, n WHERE df <= CAST(floor(n.n * 0.8) AS BIGINT)),
+         |w AS (SELECT tf.doc_id, tf.term,
+         |        tf.tf * (ln((n.n + 1.0) / (fdf.df + 1.0)) + 1.0) AS w_raw
+         |      FROM tf JOIN fdf USING (term) CROSS JOIN n),
+         |norms AS (SELECT doc_id, sqrt(sum(w_raw * w_raw)) AS norm
+         |          FROM w GROUP BY 1),
+         |wn AS (SELECT w.doc_id, w.term, w.w_raw / norms.norm AS wt
+         |       FROM w JOIN norms USING (doc_id)),
+         |prefix AS (SELECT doc_id, term, wt FROM (
+         |    SELECT doc_id, term, wt,
+         |      row_number() OVER (PARTITION BY doc_id
+         |                         ORDER BY wt DESC, term) AS pr
+         |    FROM wn) WHERE pr <= 4),
+         |raw AS (SELECT user_id, CAST(props->>'k' AS INT) AS item_id,
+         |          epoch_ns(ts) AS ts_ns FROM events),
+         |lastper AS (SELECT user_id, item_id, max(ts_ns) AS last_ns
+         |            FROM raw WHERE user_id < 10 GROUP BY 1, 2),
+         |recent AS (SELECT user_id, item_id FROM (
+         |    SELECT user_id, item_id, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY last_ns DESC, item_id) AS rn FROM lastper) WHERE rn <= 3),
+         |sims AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wt * b.wt) AS score
+         |         FROM prefix a JOIN prefix b
+         |           ON a.term = b.term AND a.doc_id != b.doc_id
+         |         WHERE a.doc_id IN (SELECT item_id FROM recent)
+         |         GROUP BY 1, 2),
+         |seen AS (SELECT DISTINCT user_id, item_id FROM raw WHERE user_id < 10),
+         |scored AS (SELECT r.user_id, s.id_b AS item_id,
+         |             round(sum(s.score), 6) AS score
+         |           FROM recent r JOIN sims s ON r.item_id = s.id_a
+         |           GROUP BY 1, 2),
+         |unseen AS (SELECT sc.* FROM scored sc
+         |           WHERE NOT EXISTS (SELECT 1 FROM seen
+         |             WHERE seen.user_id = sc.user_id AND seen.item_id = sc.item_id)),
+         |r AS (SELECT user_id, item_id, score, 'content' AS source,
+         |        row_number() OVER (PARTITION BY user_id
+         |                           ORDER BY score DESC, item_id) AS rn
+         |      FROM unseen)
+         |SELECT user_id, item_id, score, source, rn FROM r WHERE rn <= 5
+         |ORDER BY user_id, rn""".stripMargin)),
     QueryDef("q47_cv_grid_search", (s: SparkSession, d: String) =>
       RankerPipeline.crossValidate(s, Interactions.fromEvents(s, d)), None),
     QueryDef("q43_word2vec_synonyms", word2vecSynonyms, None),

@@ -91,6 +91,23 @@ object Reco {
       .orderBy(col("user_id"), col("score").desc, col("item_id"))
   }
 
+  /** ALS hyperparameter grid via CrossValidator + ranking-NDCG
+    * evaluator (reference ALSRecommenderCV.scala:67-90; rows-only —
+    * factor math not SQL-expressible). One row per grid point. */
+  def alsCvGrid(spark: SparkSession, dir: String): DataFrame = {
+    val ratings = Interactions.ratings(spark, dir)
+    // reference loadUserActualItemsDF: top-k most RECENT items per user
+    val recentW = Window.partitionBy(col("user_id"))
+      .orderBy(col("last_ts_ns").desc, col("item_id"))
+    val actual = ratings
+      .withColumn("rn", row_number().over(recentW))
+      .filter(col("rn") <= 10)
+      .select(col("user_id"), col("item_id"))
+    AlsRecommender.crossValidate(ratings, actual,
+      ranks = Seq(8, 16), regParams = Seq(0.1), alphas = Seq(10.0),
+      maxIter = 5, k = 10)
+  }
+
   /** Time-split popularity recommendation evaluated with NDCG/P@k/MAP —
     * exercises the full CG→format→evaluate lifecycle
     * (ALSRecommenderBuilder.main trace, SURVEY.md §3.2). Oracled: the
@@ -238,6 +255,7 @@ object Reco {
          |  JOIN npos n USING (user_id) WHERE s.rn <= n.n_pos)
          |ORDER BY user_id, item_id, label""".stripMargin)),
     QueryDef("q25_als_recommend", alsRecommendations, None),
+    QueryDef("q62_als_cv_grid", alsCvGrid, None),
     QueryDef("q26_popularity_ndcg", popularityEval, Some(
       s"""WITH raw AS (SELECT user_id, CAST(props->>'k' AS INT) AS item_id,
          |              epoch_ns(ts) AS ts_ns FROM events),

