@@ -26,6 +26,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -40,7 +41,12 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries cache intermediates; dropping them between queries keeps
+      // each measurement self-contained (no cross-query GC pressure from
+      // 59 leaked cache entries in one JVM)
+      spark.catalog.clearCache()
+      q.name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")

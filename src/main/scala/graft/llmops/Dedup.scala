@@ -103,13 +103,43 @@ object Dedup {
 
   /** LSH banding: split the signature into `bands` equal rows of
     * signature values, hash each band → (band_idx, band_hash) rows.
-    * Docs sharing any band bucket are candidate pairs. */
+    * Docs sharing any band bucket are candidate pairs. Column form for
+    * single-expression use; bulk callers use [[bandRows]] (HOFs are
+    * interpreted — NOTES_r1 lesson 1). */
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(b.as("band"),
         xxhash64(array_join(
           transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
             _.cast("string")), ",")).as("band_hash")))
+
+  /** Bulk banding kernel over (id, sig) rows → (id, band, band_hash).
+    * The bucket hash only needs to be equality-preserving on band
+    * slices (it never leaves the query), so a cheap FNV-over-longs mix
+    * replaces the string-join+xxhash64 of the column form. */
+  def bandRows(withSig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val spark = withSig.sparkSession
+    import spark.implicits._
+    withSig.select(col("id"), col("sig")).as[(Long, Array[Long])]
+      .flatMap { case (id, sig) =>
+        (0 until bands).iterator.map { b =>
+          var h = -3750763034362895579L // FNV-1a offset basis
+          var j = b * rowsPerBand
+          val end = j + rowsPerBand
+          while (j < end) {
+            var v = sig(j)
+            var k = 0
+            while (k < 8) { // byte-wise FNV over the long
+              h = (h ^ (v & 0xFF)) * 1099511628211L
+              v >>>= 8
+              k += 1
+            }
+            j += 1
+          }
+          (id, b, h)
+        }
+      }.toDF("id", "band", "band_hash")
+  }
 
   /** Full MinHash-LSH near-dup candidate pipeline.
     *
@@ -129,10 +159,7 @@ object Dedup {
     // per bucket (degenerate corpora share global minima), so candidate
     // rows must be 16 bytes, not 16 bytes + two 512-byte signatures —
     // signatures re-attach AFTER pair dedup (measured 30× at sf0.1)
-    val banded = withSig
-      .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bb"))
-      .select(col("id"),
-        col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+    val banded = bandRows(withSig, bands, rowsPerBand)
 
     val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))

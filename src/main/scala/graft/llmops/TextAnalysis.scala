@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -113,6 +113,98 @@ object TextAnalysis {
 
   /** Stable content fingerprint: md5 of normalized text (hex). */
   def fingerprintMd5(text: Column): Column = md5(normalize(text))
+
+  // ---- bulk typed kernels -------------------------------------------
+  // The column-expression forms above are the operators (composable,
+  // single-expression use); these kernels are their bulk twins for
+  // whole-corpus gates: Spark array HOFs (filter/aggregate/transform)
+  // are CodegenFallback — interpreted per row — so a typed Dataset.map
+  // wins an order of magnitude on full scans (NOTES_r1 lesson 1).
+  // Semantics are expression-identical (spec-enforced, and q34 is
+  // oracle-gated against the same DuckDB mirror).
+
+  private val markerSets: Seq[(String, Set[String])] = Seq(
+    "en" -> Set("the", "and", "of", "to", "is", "with", "that", "for"),
+    "es" -> Set("el", "la", "de", "que", "y", "los", "las", "una", "por"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Set("le", "la", "les", "des", "est", "une", "dans", "pour", "et"))
+
+  private lazy val subwordPattern = java.util.regex.Pattern.compile(
+    "[a-z\\u00c0-\\u024f\\u4e00-\\u9fff]+|[0-9]+|[^\\sa-z0-9\\u00c0-\\u024f\\u4e00-\\u9fff]")
+
+  private def isCjk(c: Char): Boolean = c >= '一' && c <= '鿿'
+
+  /** Per-row scalar twin of [[langId]]. */
+  private[llmops] def langIdScalar(text: String): String = {
+    val t = Option(text).getOrElse("")
+    val nChars = math.max(t.length, 1)
+    var cjk = 0
+    var i = 0
+    while (i < t.length) { if (isCjk(t(i))) cjk += 1; i += 1 }
+    if (cjk.toDouble / nChars > 0.2) return "zh"
+    val toks = t.toLowerCase(java.util.Locale.ROOT).trim match {
+      case "" => Array.empty[String]
+      case s => s.split("\\s+")
+    }
+    var best = "und"; var bestScore = 0
+    markerSets.foreach { case (lang, set) =>
+      val score = toks.count(set.contains)
+      if (score > bestScore) { best = lang; bestScore = score }
+    }
+    best
+  }
+
+  /** Per-row scalar twin of [[subwordCountEstimate]]. */
+  private[llmops] def subwordCountScalar(text: String): Long = {
+    val m = subwordPattern.matcher(
+      Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT))
+    var n = 0L
+    while (m.find()) {
+      val len = m.end() - m.start()
+      n += math.max(math.ceil(len / 4.0).toLong, 1L)
+    }
+    n
+  }
+
+  /** Per-row scalar twin of [[fingerprintRolling]] — the exact Spark
+    * xxhash64 chain (catalyst XXH64, seed 42 per step), so values match
+    * the expression form bit-for-bit. */
+  private[llmops] def rollingScalar(text: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val norm = Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ").trim
+    val toks = if (norm.isEmpty) Array.empty[String] else norm.split("\\s+")
+    var acc = 0L
+    toks.foreach { w =>
+      val u = UTF8String.fromString(w)
+      acc = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes,
+        XXH64.hashLong(acc, 42L))
+    }
+    acc
+  }
+
+  /** Bulk language-ID + subword stats: (id, label, pred_lang,
+    * n_subwords) via one typed map over the corpus. */
+  def langIdStatsBulk(docs: DataFrame, idCol: String, labelCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(labelCol), col(textCol))
+      .as[(Long, String, String)]
+      .map { case (id, label, text) =>
+        (id, label, langIdScalar(text), subwordCountScalar(text))
+      }.toDF("doc_id", "labeled_lang", "pred_lang", "n_subwords")
+  }
+
+  /** Bulk rolling fingerprints: (id, fp_rolling). */
+  def rollingBulk(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) => (id, rollingScalar(text)) }
+      .toDF("doc_id", "fp_rolling")
+  }
 
   /** 64-bit rolling fingerprint over normalized tokens: chained
     * xxhash64(acc, token) — order-sensitive like a rolling polynomial

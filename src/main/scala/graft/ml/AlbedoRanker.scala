@@ -183,10 +183,13 @@ object AlbedoRanker {
     val base = booleanCols.foldLeft(labeledFeatureFrame(spark)) {
       (df, c) => df.withColumn(c, col(c).cast("double"))
     }
-    val data = weigher.transform(base)
+    // fixture-scale frame: collapse to a few partitions so the iterative
+    // fit doesn't schedule 32-way shuffles over 10k rows, and cache so
+    // each pipeline stage fit reuses the join lineage once
+    val data = weigher.transform(base).repartition(4).cache()
 
     val lr = new LogisticRegression()
-      .setMaxIter(30).setRegParam(0.1).setElasticNetParam(0.0)
+      .setMaxIter(15).setRegParam(0.1).setElasticNetParam(0.0)
       .setStandardization(true)
       .setFeaturesCol("features").setLabelCol("label")
       .setWeightCol("instance_weight")

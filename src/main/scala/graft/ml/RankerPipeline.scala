@@ -97,8 +97,11 @@ object RankerPipeline {
     * LR config mirrors the reference scaled down
     * (LogisticRegressionRanker.scala:330-337). */
   def trainAndEvaluate(spark: SparkSession, interactions: DataFrame,
-      maxIter: Int = 50, regParam: Double = 0.1): (org.apache.spark.ml.PipelineModel, Double, DataFrame) = {
+      maxIter: Int = 20, regParam: Double = 0.1): (org.apache.spark.ml.PipelineModel, Double, DataFrame) = {
+    // right-size partitions for the iterative fit: ~10^5 rows across 32
+    // shuffle partitions is pure task-scheduling overhead per iteration
     val data = weigher.transform(trainingFrame(interactions))
+      .repartition(8).cache()
     val lr = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam).setElasticNetParam(0.0)
       .setStandardization(true)
@@ -121,7 +124,10 @@ object RankerPipeline {
   def crossValidate(spark: SparkSession, interactions: DataFrame,
       folds: Int = 2): DataFrame = {
     import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    // cached + right-sized: the grid×folds fits would otherwise re-derive
+    // the feature joins per fit and schedule 32-way waves per iteration
     val data = weigher.transform(trainingFrame(interactions))
+      .repartition(8).cache()
     val lr = new LogisticRegression()
       .setElasticNetParam(0.0).setStandardization(true)
       .setFeaturesCol("features").setLabelCol("label")
@@ -129,7 +135,7 @@ object RankerPipeline {
     val pipeline = new Pipeline().setStages(featurePipeline().getStages :+ lr)
     val grid = new ParamGridBuilder()
       .addGrid(lr.regParam, Array(0.01, 0.5))
-      .addGrid(lr.maxIter, Array(10))
+      .addGrid(lr.maxIter, Array(8))
       .build()
     val cv = new CrossValidator()
       .setEstimator(pipeline)

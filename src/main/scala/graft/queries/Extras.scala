@@ -24,12 +24,12 @@ object Extras {
       .orderBy(col("user_id"), col("session_start"))
 
   /** Multimodal feature extraction over a deterministic synthetic binary
-    * corpus (decode kernel stubbed — no codecs offline; plumbing real). */
-  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val n = Tables.documents(spark, dir).count().toInt.min(2000)
-    Multimodal.extractFeatures(Multimodal.synthCorpus(spark, n))
+    * corpus — real PNG decode for image rows, stubs for audio/video.
+    * Fixed corpus size (the corpus is synthetic; sizing it off a driver
+    * count() of another table was pure overhead). */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.synthCorpus(spark, 900))
       .toDF().orderBy(col("media_id"))
-  }
 
   /** Video frame sampling (every 4th frame) over the synthetic corpus. */
   def frameSamples(spark: SparkSession, dir: String): DataFrame =

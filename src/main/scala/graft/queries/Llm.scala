@@ -37,19 +37,19 @@ object Llm {
       .orderBy(col("doc_id"))
 
   /** Language-ID heuristic + BPE-ish subword estimate (oracled: the
-    * marker-word argmax and regex segmentation are pure SQL). */
+    * marker-word argmax and regex segmentation are pure SQL). Runs the
+    * bulk typed kernel — expression-identical to TA.langId /
+    * TA.subwordCountEstimate (parity spec-enforced), ~10× on full
+    * scans because array HOFs are interpreted. */
   def langIdStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang").as("labeled_lang"),
-        TA.langId(col("text")).as("pred_lang"),
-        TA.subwordCountEstimate(col("text")).as("n_subwords"))
+    TA.langIdStatsBulk(Tables.documents(spark, dir), "doc_id", "lang", "text")
       .orderBy(col("doc_id"))
 
   /** Rolling 64-bit fingerprint (rows-only: the xxhash64 chain is
-    * engine-specific — no DuckDB equivalent). */
+    * engine-specific — no DuckDB equivalent). Bulk kernel, bit-exact
+    * with the expression form (catalyst XXH64 chain). */
   def rollingFingerprints(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), TA.fingerprintRolling(col("text")).as("fp_rolling"))
+    TA.rollingBulk(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   /** MinHash-LSH near-dup candidates verified with exact Jaccard. */

@@ -86,7 +86,7 @@ object Reco {
     val ratings = Interactions.ratings(spark, dir)
     val users = ratings.select(col("user_id")).distinct()
     AlsRecommender.train(ratings, rank = 16, regParam = 0.1, alpha = 10,
-        maxIter = 10, seed = 42)
+        maxIter = 8, seed = 42)
       .recommendForUsers(users, 5)
       .orderBy(col("user_id"), col("score").desc, col("item_id"))
   }
@@ -105,7 +105,7 @@ object Reco {
       .select(col("user_id"), col("item_id"))
     AlsRecommender.crossValidate(ratings, actual,
       ranks = Seq(8, 16), regParams = Seq(0.1), alphas = Seq(10.0),
-      maxIter = 5, k = 10)
+      maxIter = 3, k = 10)
   }
 
   /** Time-split popularity recommendation evaluated with NDCG/P@k/MAP —

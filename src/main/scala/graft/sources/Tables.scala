@@ -26,7 +26,10 @@ object Tables {
     if (name == "events") {
       // events.parquet carries TIMESTAMP(NANOS) which the vectorized
       // reader rejects; read as long nanos and surface a proper
-      // timestamp column alongside (micros precision).
+      // timestamp column alongside (micros precision). The conf set is
+      // a fallback for ad-hoc sessions — Bench/Verify set it at build
+      // time; the write is idempotent (always "true") so a concurrent
+      // double-set is benign.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       import org.apache.spark.sql.functions._

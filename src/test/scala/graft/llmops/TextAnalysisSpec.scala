@@ -12,6 +12,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq(3, 0, 0, 1))
   }
 
+  test("bulk kernels are expression-identical on the real corpus") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").cache()
+    // language-ID + subwords: kernel vs column expressions
+    val viaExpr = docs.select($"doc_id".cast("long").as("doc_id"),
+        $"lang".as("labeled_lang"),
+        TextAnalysis.langId($"text").as("pred_lang"),
+        TextAnalysis.subwordCountEstimate($"text").as("n_subwords"))
+      .orderBy($"doc_id").collect().toSeq
+    val viaKernel = TextAnalysis.langIdStatsBulk(docs, "doc_id", "lang", "text")
+      .orderBy($"doc_id").collect().toSeq
+    assert(viaExpr == viaKernel)
+    // rolling fingerprint: kernel matches the xxhash64 chain bit-exact
+    val fpExpr = docs.select($"doc_id".cast("long").as("doc_id"),
+        TextAnalysis.fingerprintRolling($"text").as("fp_rolling"))
+      .orderBy($"doc_id").collect().toSeq
+    val fpKernel = TextAnalysis.rollingBulk(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect().toSeq
+    assert(fpExpr == fpKernel)
+  }
+
   test("langId detects major languages from stopword profiles") {
     val samples = Seq(
       "the cat sat on the mat and the dog is with it",
