@@ -55,6 +55,34 @@ object Ml {
       Interactions.fromEvents(spark, dir),
       splitNs = 1706054400000000000L) // 2024-01-24 UTC
 
+  /** Word2Vec corpus construction mirroring the reference's union of
+    * user-text ∪ repo-text (Word2VecCorpusBuilder.scala:48-56):
+    * concat_ws over profile fields per side (null-skipping, like the
+    * reference), union, cjk-aware tokenize, stopword removal, seeded
+    * fit; synonyms of a probe token. Rows-only (ML). */
+  def word2vecCorpusSynonyms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.Word2Vec
+    val users = graft.fixtures.AlbedoFixtures.usersP(spark)
+      .withColumn("text", concat_ws(", ", col("user_login"), col("user_bio"),
+        col("user_company"), col("user_location")))
+      .select("text")
+    val repos = graft.fixtures.AlbedoFixtures.reposP(spark)
+      .withColumn("text", concat_ws(", ", col("repo_name"), col("repo_language"),
+        col("repo_description"), col("repo_topics")))
+      .select("text")
+    val corpus = users.union(repos)
+      .select(Tokenize.removeStopwords(Tokenize.cjkAware(col("text")),
+        Tokenize.englishStopwords).as("words"))
+    val model = new Word2Vec()
+      .setInputCol("words").setOutputCol("vec")
+      .setVectorSize(16).setMinCount(3).setMaxIter(3).setSeed(42)
+      .setWindowSize(5)
+      .fit(corpus)
+    model.findSynonyms("scala", 10)
+      .select(col("word"), round(col("similarity"), 6).as("similarity"))
+      .orderBy(col("similarity").desc, col("word"))
+  }
+
   /** Content user→item recommendations: each user's 3 most recent items
     * queried through the TF-IDF prefix index (q41 math), summed per
     * candidate, seen items excluded, top-5 (oracled — the whole path is
@@ -292,6 +320,7 @@ object Ml {
     QueryDef("q47_cv_grid_search", (s: SparkSession, d: String) =>
       RankerPipeline.crossValidate(s, Interactions.fromEvents(s, d)), None),
     QueryDef("q43_word2vec_synonyms", word2vecSynonyms, None),
+    QueryDef("q63_w2v_corpus_synonyms", word2vecCorpusSynonyms, None),
     QueryDef("q44_lr_ranker_metrics", lrRankerMetrics, None)
   )
 }
