@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Keep the default INT96 timestamp output: it reads back tz-NAIVE
+      // (ns) in pandas, matching DuckDB's naive TIMESTAMP string-wise.
+      // TIMESTAMP_MICROS was tried and rejected — it flags the column
+      // isAdjustedToUTC, pandas reads it tz-AWARE, and the value compare
+      // then diverges ('...+0000' vs naive) on q28/q29.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
