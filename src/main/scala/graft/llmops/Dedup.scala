@@ -316,4 +316,190 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  // ---- portable (oracle-reproducible) variants ---------------------
+  //
+  // The fast kernels above hash with xxhash64 / murmur, which no other
+  // engine reproduces — their gates are rows-only. These variants
+  // derive every hash from md5 (which DuckDB, Spark, and any POSIX
+  // stack compute identically) plus affine arithmetic that is plain
+  // SQL, so the ENTIRE pipeline — signatures, banding, bucket join,
+  // estimate — is reproducible hash-exact in the DuckDB oracle. Same
+  // asymptotics and shuffle shape as the fast path; md5 per shingle is
+  // ~3× slower per byte than xxhash64, which is why both exist.
+
+  /** Largest prime below 2^32 — the modulus of the affine permutation
+    * family. a*h+b with a < 2^31 and h < 2^32 stays below 2^63, so the
+    * arithmetic is exact in a signed 64-bit integer on BOTH engines
+    * (DuckDB BIGINT errors on overflow rather than wrapping). */
+  val portableP = 4294967291L
+
+  /** Affine constants (a odd < 2^31, b < 2^31) from a fixed splitmix64
+    * stream, exposed so the oracle SQL can embed the identical values
+    * as literals. */
+  def portableConstants(numHashes: Int): Array[(Long, Long)] = {
+    var x = 0x243F6A8885A308D3L // fixed seed (pi), engine-independent
+    def next(): Long = {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.fill(numHashes)(((next() & 0x7FFFFFFFL) | 1L, next() & 0x7FFFFFFFL))
+  }
+
+  /** First 8 hex chars of md5 as an unsigned 32-bit value — equals
+    * DuckDB `('0x' || substr(md5(s),1,8))::BIGINT` and Spark SQL
+    * `conv(substr(md5(s),1,8),16,10)`. */
+  private def md5Base32(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
+
+  /** Portable MinHash-LSH near-dup candidates: identical construction
+    * to [[minhashCandidates]] but with md5-derived shingle hashes and
+    * affine permutations mod [[portableP]], and band keys as the
+    * comma-joined signature slice (not a second hash) — every value the
+    * query produces is reproducible in the DuckDB oracle. */
+  def minhashCandidatesPortable(docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 2, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val consts = portableConstants(numHashes)
+    val p = portableP
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val withSig = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          val toks = Option(text).getOrElse("").toLowerCase
+            .split("\\s+").filter(_.nonEmpty)
+          val shingleSet = new scala.collection.mutable.HashSet[String]
+          if (toks.length < shingleK) shingleSet += toks.mkString(" ")
+          else {
+            var i = 0
+            while (i + shingleK <= toks.length) {
+              shingleSet += toks.slice(i, i + shingleK).mkString(" ")
+              i += 1
+            }
+          }
+          val sig = Array.fill(numHashes)(Long.MaxValue)
+          shingleSet.foreach { s =>
+            val h = md5Base32(md, s)
+            var j = 0
+            while (j < numHashes) {
+              val v = (consts(j)._1 * h + consts(j)._2) % p
+              if (v < sig(j)) sig(j) = v
+              j += 1
+            }
+          }
+          (id, sig)
+        }
+      }.toDF("id", "sig").cache()
+
+    // band key = the slice's values joined textually (equality-
+    // preserving AND oracle-reproducible via string_agg ORDER BY i)
+    val banded = withSig.as[(Long, Array[Long])].flatMap { case (id, sig) =>
+      (0 until bands).iterator.map { b =>
+        (id, b, sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).mkString(","))
+      }
+    }.toDF("id", "band", "band_key")
+
+    val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      .join(withSig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(withSig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** Portable 60-bit SimHash: token hash = first 15 md5 hex chars (60
+    * bits keeps every intermediate in signed-64 range on both engines),
+    * frequency-weighted bit votes as in [[simhashes]]. */
+  def simhashes60Portable(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          val toks = Option(text).getOrElse("").toLowerCase
+            .split("\\s+").filter(_.nonEmpty)
+          val counts = new Array[Long](60)
+          toks.foreach { t =>
+            val hex = {
+              val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val sb = new StringBuilder(15)
+              var i = 0
+              while (sb.length < 15) {
+                sb.append(f"${d(i) & 0xFF}%02x"); i += 1
+              }
+              sb.substring(0, 15)
+            }
+            val z = java.lang.Long.parseLong(hex, 16) // 60 bits
+            var b = 0
+            while (b < 60) {
+              if (((z >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+              b += 1
+            }
+          }
+          var out = 0L
+          var b = 0
+          while (b < 60) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+          (id, out)
+        }
+      }.toDF("id", "sh")
+  }
+
+  /** Portable SimHash near-dup profile: per doc, its 60-bit simhash
+    * and the count of OTHER docs within `maxHamming`, found via the
+    * same pigeonhole block join as [[simhashPairs]] (maxHamming+1
+    * blocks of 15 bits at radius 3). The DuckDB oracle recomputes
+    * n_near by brute force, so a hash-match also PROVES the blocking
+    * is candidate-complete at the requested radius. */
+  def simhashNearProfilePortable(docs: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(60 % (maxHamming + 1) == 0,
+      "maxHamming+1 must divide 60 (blocks of equal width)")
+    val nBlocks = maxHamming + 1
+    val width = 60 / nBlocks
+    val mask = (1L << width) - 1L
+    val sh = simhashes60Portable(docs, idCol, textCol).cache()
+    val blockStructs = array((0 until nBlocks).map { i =>
+      struct(lit(i).as("q"),
+        shiftrightunsigned(col("sh"), i * width).bitwiseAND(mask).as("qkey"))
+    }: _*)
+    val blocks = sh.select(col("id"), explode(blockStructs).as("qq"))
+      .select(col("id"), col("qq.q").as("q"), col("qq.qkey").as("qkey"))
+    val a = blocks.select(col("q"), col("qkey"), col("id").as("id_a"))
+    val b = blocks.select(col("q"), col("qkey"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("q", "qkey"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+    val nNear = pairs.groupBy(col("id_a").as("id"))
+      .agg(count(lit(1)).as("n_near"))
+    sh.join(nNear, Seq("id"), "left")
+      .select(col("id"), col("sh"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+  }
 }

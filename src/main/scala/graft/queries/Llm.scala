@@ -74,6 +74,81 @@ object Llm {
         maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Portable MinHash-LSH near-dup candidates (md5-based hashes) —
+    * the ONLY fully-oracled LSH gate: DuckDB recomputes signatures,
+    * banding, the bucket self-join, and the signature-overlap estimate
+    * from the same md5 values and affine constants, so a hash-match
+    * certifies the whole pipeline, not just its output shape. */
+  def minhashPortable(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatesPortable(Tables.documents(spark, dir),
+        "doc_id", "text", shingleK = 2, numHashes = 32, bands = 8,
+        threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Portable SimHash profile: per-doc 60-bit simhash + count of docs
+    * within Hamming 3 via the pigeonhole block join. The oracle brute-
+    * forces n_near over all pairs, so a match also proves blocking
+    * completeness at the radius (see Dedup.simhashNearProfilePortable). */
+  def simhashPortable(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearProfilePortable(Tables.documents(spark, dir),
+        "doc_id", "text", maxHamming = 3)
+      .select(col("id").as("doc_id"), col("sh"), col("n_near"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle SQL fragments shared by q64/q65: tokenization identical to
+    * q30/q31/q53 (trim+lower+split on \s+). */
+  private val tokCte =
+    """t AS (SELECT doc_id, CASE WHEN trim(coalesce(text,''))='' THEN []::VARCHAR[]
+      |       ELSE string_split_regex(trim(lower(coalesce(text,''))), '\s+') END AS toks
+      |     FROM documents),
+      |tok AS (SELECT doc_id, unnest(toks) AS w, unnest(range(len(toks))) AS ord FROM t)""".stripMargin
+
+  private def minhashPortableOracle: String = {
+    val consts = Dedup.portableConstants(32)
+    val values = consts.zipWithIndex
+      .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
+    s"""WITH $tokCte,
+       |sh AS (
+       |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS s
+       |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+       |  UNION
+       |  SELECT doc_id, array_to_string(toks, ' ') AS s FROM t WHERE len(toks) < 2),
+       |hs AS (SELECT doc_id, ('0x' || substr(md5(s),1,8))::BIGINT AS h FROM sh),
+       |perm(i, a, b) AS (VALUES $values),
+       |sig AS (SELECT doc_id, i, min((a*h + b) % ${Dedup.portableP}) AS v
+       |        FROM hs CROSS JOIN perm GROUP BY 1, 2),
+       |band AS (SELECT doc_id, i // 4 AS band, string_agg(v, ',' ORDER BY i) AS key
+       |         FROM sig GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |         FROM band x JOIN band y
+       |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |est AS (SELECT c.id_a, c.id_b,
+       |          round(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 32.0, 6) AS est_jaccard
+       |        FROM cand c
+       |        JOIN sig sa ON sa.doc_id = c.id_a
+       |        JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+       |        GROUP BY 1, 2)
+       |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private def simhashPortableOracle: String =
+    s"""WITH $tokCte,
+       |hs AS (SELECT doc_id, ('0x' || substr(md5(w),1,15))::BIGINT AS h FROM tok),
+       |bits AS (SELECT doc_id, i,
+       |           sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |         FROM hs CROSS JOIN (SELECT unnest(range(60)) AS i) GROUP BY 1, 2),
+       |sh AS (SELECT doc_id,
+       |         sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS sh
+       |       FROM bits GROUP BY 1),
+       |near AS (SELECT a.doc_id, count(*) AS n_near
+       |         FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+       |           AND bit_count(xor(a.sh::UBIGINT, b.sh::UBIGINT)) <= 3
+       |         GROUP BY 1)
+       |SELECT s.doc_id, s.sh, coalesce(n.n_near, 0)::BIGINT AS n_near
+       |FROM sh s LEFT JOIN near n ON n.doc_id = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   /** Brute-force cosine ANN baseline — oracle-able thanks to DuckDB's
     * list_cosine_similarity. */
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
@@ -235,6 +310,8 @@ object Llm {
     QueryDef("q57_rolling_fingerprint", rollingFingerprints, None),
     QueryDef("q35_minhash_near_dups", minhashNearDups, None),
     QueryDef("q36_simhash_near_dups", simhashNearDups, None),
+    QueryDef("q64_minhash_portable", minhashPortable, Some(minhashPortableOracle)),
+    QueryDef("q65_simhash_portable", simhashPortable, Some(simhashPortableOracle)),
     QueryDef("q37_ann_brute_force", annBruteForce, Some(
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 20),

@@ -100,6 +100,36 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("portable minhash surfaces the planted dup pairs, not unrelated") {
+    val cands = Dedup.minhashCandidatesPortable(toy, "doc_id", "text",
+      shingleK = 2, numHashes = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("portable simhash: identical docs hash equal, n_near is symmetric") {
+    val prof = Dedup.simhashNearProfilePortable(toy, "doc_id", "text",
+      maxHamming = 3).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(prof(1L)._1 == prof(2L)._1) // identical text, identical hash
+    assert(prof(1L)._2 >= 1 && prof(2L)._2 >= 1) // each sees the other
+    // every hash fits in 60 bits
+    prof.values.foreach { case (sh, _) => assert((sh >>> 60) == 0L) }
+  }
+
+  test("portable simhash blocking matches brute force at radius 3") {
+    val prof = Dedup.simhashNearProfilePortable(perturbed, "doc_id", "text",
+      maxHamming = 3).as[(Long, Long, Long)].collect()
+    val hashes = prof.map(r => r._1 -> r._2).toMap
+    val brute = prof.map { case (id, sh, _) =>
+      id -> hashes.count { case (oid, osh) =>
+        oid != id && java.lang.Long.bitCount(sh ^ osh) <= 3 }.toLong
+    }.toMap
+    prof.foreach { case (id, _, n) => assert(n == brute(id),
+      s"doc $id: blocked=$n brute=${brute(id)}") }
+  }
+
   test("shingles: distinct k-word shingles; short text falls back whole") {
     val sh = Seq((1L, "a b c d")).toDF("id", "t")
       .select(Dedup.shingles($"t", 3).as("s")).as[Seq[String]].collect()(0)
