@@ -121,6 +121,65 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  // ---- portable (oracle-reproducible) LSH -------------------------
+
+  /** ±1 hyperplane entry derived from md5 — reproducible as
+    * `substr(md5(t||'_'||j||'_'||d),1,1)` high-bit in any engine. */
+  def portableSign(t: Int, j: Int, d: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"${t}_${j}_${d}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if ((h(0) & 0x80) != 0) 1 else -1
+  }
+
+  /** Portable multi-table sign-LSH top-k: embeddings quantized to
+    * `floor(x*1000)` integers and hyperplanes to md5-derived ±1, so
+    * bucket assignment is EXACT integer arithmetic (order-independent,
+    * no float-sum nondeterminism) that the DuckDB oracle recomputes
+    * bit-for-bit. Join/re-rank machinery identical to [[lshTopK]]; the
+    * final cosine uses the same double-precision path the oracle
+    * already matches on q37. Quantization only affects which bucket a
+    * near-zero dot lands in — recall behavior is unchanged. */
+  def lshTopKPortable(vectors: DataFrame, k: Int, nPlanes: Int, dim: Int,
+      nTables: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val signs = Array.tabulate(nTables, nPlanes, dim)(portableSign)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withB = base.as[(Long, Seq[Float])].flatMap { case (id, v) =>
+      val qv = Array.tabulate(v.length)(d => math.floor(v(d).toDouble * 1000).toLong)
+      (0 until nTables).iterator.map { t =>
+        var bucket = 0L
+        var j = 0
+        while (j < nPlanes) {
+          var dot = 0L
+          var d = 0
+          val n = math.min(dim, qv.length)
+          while (d < n) { dot += qv(d) * signs(t)(j)(d); d += 1 }
+          if (dot > 0) bucket |= (1L << j)
+          j += 1
+        }
+        (id, t, bucket)
+      }
+    }.toDF("id", "tbl", "bucket")
+    val a = withB.select(col("tbl"), col("bucket"), col("id").as("query_id"))
+    val b = withB.select(col("tbl"), col("bucket"), col("id").as("neighbor_id"))
+    val pairs = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pairs
+      .join(base.select(col("id").as("query_id"), col("v").as("qv")), Seq("query_id"))
+      .join(base.select(col("id").as("neighbor_id"), col("v").as("cv")), Seq("neighbor_id"))
+      .withColumn("cos", graft.functions.VectorFunctions.cosineNative(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rn"))
+  }
+
   /** Per-label centroid (mean vector) — array-wise avg via posexplode +
     * re-assemble; one shuffle on (label, pos), then one on label. */
   def centroids(vectors: DataFrame, labelCol: String,

@@ -166,6 +166,46 @@ object Llm {
         nPlanes = 6, dim = 64, nTables = 8)
       .orderBy(col("query_id"), col("rn"))
 
+  /** Portable quantized sign-LSH ANN — the oracled twin of q38: DuckDB
+    * recomputes the integer bucket math and the cosine re-rank. */
+  def annLshPortable(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopKPortable(Tables.embeddings(spark, dir), k = 5,
+        nPlanes = 6, dim = 64, nTables = 8)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rn").cast("long").as("rn"))
+      .orderBy(col("query_id"), col("rn"))
+
+  private def annLshPortableOracle: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |q AS (SELECT vec_id, unnest(embedding) AS x,
+      |        unnest(range(len(embedding))) AS d FROM e),
+      |qd AS (SELECT vec_id, d, floor(x::DOUBLE * 1000)::BIGINT AS xq FROM q),
+      |grid AS (SELECT t, j, d,
+      |    CASE WHEN substr(md5(t || '_' || j || '_' || d), 1, 1)
+      |           IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT unnest(range(8)) AS t),
+      |       (SELECT unnest(range(6)) AS j),
+      |       (SELECT unnest(range(64)) AS d)),
+      |dots AS (SELECT vec_id, t, j, sum(xq * s) AS dot
+      |         FROM qd JOIN grid USING (d) GROUP BY 1, 2, 3),
+      |buck AS (SELECT vec_id, t,
+      |           sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+      |         FROM dots GROUP BY 1, 2),
+      |pairs AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      |          FROM buck a JOIN buck b
+      |            ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id != b.vec_id),
+      |cs AS (SELECT p.query_id, p.neighbor_id,
+      |         list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS c
+      |       FROM pairs p
+      |       JOIN e ea ON ea.vec_id = p.query_id
+      |       JOIN e eb ON eb.vec_id = p.neighbor_id),
+      |r AS (SELECT query_id, neighbor_id, round(c, 6) AS cos,
+      |        row_number() OVER (PARTITION BY query_id
+      |                           ORDER BY c DESC, neighbor_id) AS rn
+      |      FROM cs)
+      |SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= 5
+      |ORDER BY query_id, rn""".stripMargin
+
   /** IVF (KMeans-cell) approximate ANN (rows-only — ML clustering). */
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(spark, dir), k = 5,
@@ -312,6 +352,7 @@ object Llm {
     QueryDef("q36_simhash_near_dups", simhashNearDups, None),
     QueryDef("q64_minhash_portable", minhashPortable, Some(minhashPortableOracle)),
     QueryDef("q65_simhash_portable", simhashPortable, Some(simhashPortableOracle)),
+    QueryDef("q66_ann_lsh_portable", annLshPortable, Some(annLshPortableOracle)),
     QueryDef("q37_ann_brute_force", annBruteForce, Some(
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 20),

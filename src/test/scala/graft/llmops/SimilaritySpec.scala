@@ -40,6 +40,28 @@ class SimilaritySpec extends SparkSpec {
       s"recall ${recalled.toDouble / brute.size} too low")
   }
 
+  test("portable lsh recall matches the float-plane variant's ballpark") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).cache()
+    val brute = Similarity.bruteForceTopK(emb, emb, 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val lsh = Similarity.lshTopKPortable(emb, 5, nPlanes = 4, dim = 64,
+        nTables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalled = brute.count { case (q, n) => lsh.getOrElse(q, Set()).contains(n) }
+    assert(recalled.toDouble / brute.size > 0.5,
+      s"recall ${recalled.toDouble / brute.size} too low")
+  }
+
+  test("portable sign grid is deterministic and balanced-ish") {
+    val signs = for (t <- 0 until 8; j <- 0 until 6; d <- 0 until 64)
+      yield Similarity.portableSign(t, j, d)
+    assert(signs.forall(s => s == 1 || s == -1))
+    val pos = signs.count(_ == 1).toDouble / signs.size
+    assert(pos > 0.4 && pos < 0.6, s"sign balance $pos")
+    assert(Similarity.portableSign(3, 2, 1) == Similarity.portableSign(3, 2, 1))
+  }
+
   test("centroids: mean per label on toy data") {
     val vecs = Seq((0, Array(1.0f, 3.0f)), (0, Array(3.0f, 5.0f)),
       (1, Array(2.0f, 2.0f))).toDF("label", "embedding")
