@@ -206,6 +206,40 @@ object TextAnalysis {
       .toDF("doc_id", "fp_rolling")
   }
 
+  /** Portable polynomial rolling fingerprint: token hash = first 8 md5
+    * hex chars (32-bit), chained h = (h*B + t) mod p in token order —
+    * order-SENSITIVE like [[fingerprintRolling]], but every step is
+    * exact signed-64 arithmetic that DuckDB reproduces with
+    * `list_reduce` (init = first element, like foldLeft1; empty → 0).
+    * B=1000003, p=2^31-1: h<2^32, h*B+t < 2^52 — no overflow on either
+    * engine. */
+  def rollingPortableBulk(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val B = 1000003L
+    val P = 2147483647L
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def tokHash(s: String): Long = {
+          val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+            ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+        }
+        rows.map { case (id, text) =>
+          val toks = Option(text).getOrElse("").toLowerCase
+            .split("\\s+").filter(_.nonEmpty)
+          val fp =
+            if (toks.isEmpty) 0L
+            else toks.tail.foldLeft(tokHash(toks.head)) { (acc, w) =>
+              (acc * B + tokHash(w)) % P
+            }
+          (id, fp)
+        }
+      }.toDF("doc_id", "fp_poly")
+  }
+
   /** 64-bit rolling fingerprint over normalized tokens: chained
     * xxhash64(acc, token) — order-sensitive like a rolling polynomial
     * hash but overflow-free under ANSI arithmetic. */

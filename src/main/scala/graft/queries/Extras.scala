@@ -23,6 +23,28 @@ object Extras {
     EventStreams.userSessions(Tables.events(spark, dir))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Batch twin of the streaming exact-dedup: duplicate deliveries
+    * injected deterministically, deduped by logical key (user_id, ts)
+    * keeping the min delivery id (EventStreamsSpec proves the
+    * streaming dropDuplicates path emits the same logical rows). */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.dedupEventsBatch(
+        EventStreams.withDuplicateDeliveries(
+          Tables.events(spark, dir)
+            .select("event_id", "ts", "user_id", "event_type", "value")))
+      .orderBy(col("user_id"), col("ts"))
+
+  /** Batch twin of the stream-stream interval join: clicks matched to
+    * the same user's purchases within 30 minutes after the click. */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type")
+    EventStreams.clickPurchaseJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Multimodal feature extraction over a deterministic synthetic binary
     * corpus — real PNG decode for image rows, stubs for audio/video.
     * Fixed corpus size (the corpus is synthetic; sizing it off a driver
@@ -191,6 +213,23 @@ object Extras {
         |       n_events, session_value
         |FROM sess ORDER BY user_id, session_start""".stripMargin)),
     QueryDef("q45_multimodal_features", multimodalFeatures, None),
-    QueryDef("q46_frame_samples", frameSamples, None)
+    QueryDef("q46_frame_samples", frameSamples, None),
+    QueryDef("q68_stream_dedup", streamDedup, Some(
+      """WITH d AS (
+        |  SELECT event_id, ts, user_id, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT event_id + 10000000, ts, user_id, event_type, value
+        |  FROM events WHERE event_id % 7 = 0)
+        |SELECT user_id, ts, min(event_id) AS canon_event_id,
+        |       event_type, value
+        |FROM d GROUP BY user_id, ts, event_type, value
+        |ORDER BY user_id, ts""".stripMargin)),
+    QueryDef("q69_stream_interval_join", streamIntervalJoin, Some(
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin))
   )
 }

@@ -52,6 +52,23 @@ object Llm {
     TA.rollingBulk(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Portable polynomial rolling fingerprint — the oracled twin of
+    * q57's xxhash64 chain: order-sensitive fold DuckDB replays via
+    * list_reduce over the identical md5 token hashes. */
+  def rollingPortable(spark: SparkSession, dir: String): DataFrame =
+    TA.rollingPortableBulk(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private def rollingPortableOracle: String =
+    s"""WITH $tokCte
+       |SELECT doc_id,
+       |  CASE WHEN len(toks) = 0 THEN 0
+       |       ELSE list_reduce(
+       |         list_transform(toks, w -> ('0x' || substr(md5(w),1,8))::BIGINT),
+       |         (a, b) -> (a * 1000003 + b) % 2147483647)
+       |  END AS fp_poly
+       |FROM t ORDER BY doc_id""".stripMargin
+
   /** MinHash-LSH near-dup candidates verified with exact Jaccard. */
   def minhashNearDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -353,6 +370,7 @@ object Llm {
     QueryDef("q64_minhash_portable", minhashPortable, Some(minhashPortableOracle)),
     QueryDef("q65_simhash_portable", simhashPortable, Some(simhashPortableOracle)),
     QueryDef("q66_ann_lsh_portable", annLshPortable, Some(annLshPortableOracle)),
+    QueryDef("q67_rolling_portable", rollingPortable, Some(rollingPortableOracle)),
     QueryDef("q37_ann_brute_force", annBruteForce, Some(
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 20),

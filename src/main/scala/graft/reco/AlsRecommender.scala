@@ -86,9 +86,20 @@ object AlsRecommender {
   }
 
   /** Train with the reference's hyperparameters (scaled-down rank/iters
-    * are caller's choice; defaults mirror ALSRecommenderBuilder.scala:45-59). */
+    * are caller's choice; defaults mirror ALSRecommenderBuilder.scala:45-59).
+    *
+    * Checkpointing (SURVEY §2.12 #97): ALS lineage grows by two shuffle
+    * stages per iteration; at the reference's maxIter=26 on a real
+    * cluster the un-truncated DAG risks stack-overflow re-computation
+    * storms on executor loss. When the session has a checkpoint dir
+    * (set one with [[withCheckpointDir]]), ALS truncates lineage every
+    * `checkpointInterval` iterations — exactly how the reference's
+    * `spark.setCheckpointDir` + ALS interval operate. Local runs leave
+    * it unset: fixture-scale lineage fits comfortably and the extra
+    * HDFS round-trips would only slow the gates. */
   def train(ratings: DataFrame, rank: Int = 50, regParam: Double = 0.5,
-      alpha: Double = 40, maxIter: Int = 26, seed: Long = 42): AlsRecommender = {
+      alpha: Double = 40, maxIter: Int = 26, seed: Long = 42,
+      checkpointInterval: Int = 10): AlsRecommender = {
     val als = new ALS()
       .setImplicitPrefs(true)
       .setRank(rank)
@@ -100,6 +111,18 @@ object AlsRecommender {
       .setUserCol("user_id")
       .setItemCol("item_id")
       .setRatingCol("rating")
+      // honored only when sparkContext.checkpointDir is set; harmless
+      // (ALS falls back to plain caching) otherwise
+      .setCheckpointInterval(checkpointInterval)
     new AlsRecommender(als.fit(ratings))
+  }
+
+  /** Set the session's RDD checkpoint dir (cluster deployments pass a
+    * durable shared path; tests pass a temp dir). Returns the dir so
+    * call sites can log it. */
+  def withCheckpointDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    spark.sparkContext.setCheckpointDir(dir)
+    dir
   }
 }

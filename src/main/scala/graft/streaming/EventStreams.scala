@@ -60,6 +60,62 @@ object EventStreams {
       .select(col("user_id"), col("s.start").as("session_start"),
         col("s.end").as("session_end"), col("n_events"), col("session_value"))
 
+  /** Deterministic duplicate deliveries: every 7th event re-emitted
+    * with a new delivery id (event_id + 1e7) and the logical key
+    * (user_id, ts) unchanged — the at-least-once redelivery a streaming
+    * ingest must tolerate. */
+  def withDuplicateDeliveries(events: DataFrame): DataFrame =
+    events.unionByName(
+      events.filter(col("event_id") % 7 === 0)
+        .withColumn("event_id", col("event_id") + lit(10000000L)))
+
+  /** Streaming exact dedup by logical key: state-store backed, bounded
+    * by the watermark (keys older than the watermark are evicted, so
+    * state is O(keys within the lateness horizon), not O(stream)).
+    * Projects out the delivery id — which physical copy survives is
+    * arrival-order-dependent; the logical row is not. */
+  def dedupEventsStreaming(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "ts")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+
+  /** Batch twin of the streaming dedup, keeping min delivery id as
+    * canonical (deterministic, oracle-friendly). */
+  def dedupEventsBatch(events: DataFrame): DataFrame = {
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("ts"))
+    events
+      .withColumn("canon_event_id", min(col("event_id")).over(byKey))
+      .filter(col("event_id") === col("canon_event_id"))
+      .select(col("user_id"), col("ts"), col("canon_event_id"),
+        col("event_type"), col("value"))
+  }
+
+  /** Stream-stream interval join: each click matched to the same
+    * user's purchases within 30 minutes after it. With watermarks on
+    * BOTH sides plus the time-range predicate, Spark bounds the join
+    * state (clicks expire once no future purchase can match). Works
+    * identically on batch inputs (the oracled twin). */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts").as("click_ts"),
+      col("event_id").as("click_id"))
+    val p = purchases.select(col("user_id").as("p_user_id"),
+      col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  def clickPurchaseJoinStreaming(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+    clickPurchaseJoin(clicks, purchases)
+  }
+
   case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
 
   /** Custom stateful op: running per-user totals via mapGroupsWithState

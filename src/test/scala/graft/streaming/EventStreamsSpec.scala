@@ -55,4 +55,43 @@ class EventStreamsSpec extends SparkSpec {
         $"b.session_start" < $"a.session_end").count()
     assert(overlaps == 0)
   }
+
+  test("streaming dedup emits the same logical rows as the batch twin") {
+    import spark.implicits._
+    val batchEv = graft.sources.Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val expected = EventStreams.dedupEventsBatch(
+        EventStreams.withDuplicateDeliveries(batchEv))
+      .select($"user_id", $"ts", $"event_type", $"value")
+      .as[(Long, java.sql.Timestamp, String, Double)].collect().toSet
+
+    val stream = EventStreams.readEvents(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStreams.runToMemory(
+        EventStreams.dedupEventsStreaming(
+          EventStreams.withDuplicateDeliveries(stream)),
+        "dedup_test")
+      .as[(Long, java.sql.Timestamp, String, Double)].collect()
+
+    assert(got.length == got.toSet.size, "streaming dedup emitted duplicates")
+    assert(got.toSet == expected)
+  }
+
+  test("stream-stream interval join matches the batch join") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type")
+    val expected = EventStreams.clickPurchaseJoin(
+        ev.filter($"event_type" === "click"),
+        ev.filter($"event_type" === "purchase"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "fixture produced no click->purchase pairs")
+
+    val stream = EventStreams.readEvents(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type")
+    val got = EventStreams.runToMemory(
+        EventStreams.clickPurchaseJoinStreaming(stream), "ssjoin_test")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
 }
