@@ -93,4 +93,13 @@ object exprs {
     * (UserProfileBuilder.scala:177-195, RepoProfileBuilder.scala:135-143). */
   def binByCount(cnt: Column, value: Column, minCount: Int): Column =
     when(cnt <= minCount, "__other").otherwise(value)
+
+  /** Non-zero count of an ml Vector column — the reference's
+    * numNonzerosOfVectorUDF (closures/UDFs.scala:28-30) without the
+    * UDF: vector_to_array keeps it a column expression (sparse vectors
+    * densify; acceptable — the reference's use is on short assembled
+    * feature vectors, not raw CountVectorizer output). */
+  def numNonzerosOfVector(vec: Column): Column =
+    size(filter(org.apache.spark.ml.functions.vector_to_array(vec),
+      x => x =!= 0.0)).cast("int")
 }

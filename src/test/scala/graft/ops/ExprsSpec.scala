@@ -54,4 +54,24 @@ class ExprsSpec extends SparkSpec {
       exprs.containsAnyFlag($"c", Seq("machine", "fullstack")).as("f"))
     assert(df.as[Double].collect().toSeq == Seq(1.0, 0.0))
   }
+
+  test("numNonzerosOfVector counts dense and sparse non-zeros") {
+    import org.apache.spark.ml.linalg.Vectors
+    val df = Seq(
+      Tuple1(Vectors.dense(0.0, 1.5, 0.0, -2.0)),
+      Tuple1(Vectors.sparse(5, Seq((1, 3.0), (4, 0.0))))
+    ).toDF("v").select(exprs.numNonzerosOfVector($"v").as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(2, 1))
+  }
+
+  test("FuncTransformer maps a column inside a pipeline stage") {
+    val t = new graft.ml.FuncTransformer(c => org.apache.spark.sql.functions.upper(c))
+      .setInputCol("s").setOutputCol("u")
+    val out = t.transform(Seq("a", "b").toDF("s"))
+    assert(out.select("u").as[String].collect().toSeq == Seq("A", "B"))
+    // schema guard fires on a missing input column
+    intercept[IllegalArgumentException] {
+      t.transformSchema(Seq((1, "x")).toDF("a", "b").schema)
+    }
+  }
 }
