@@ -11,13 +11,14 @@ import javax.imageio.ImageIO
   * payloads with typed metadata, batch-shaped decode / feature-extract /
   * resize / frame-sample stages.
   *
-  * IMAGE rows carry REAL PNG bytes (encoded with the JDK's
-  * javax.imageio, which ships in this container) and are REALLY decoded
-  * back to width/height/intensity/perceptual-hash in the batched
-  * kernel. Audio/video decode kernels remain STUBS (deterministic
-  * fakes — no audio/video codecs offline); the plumbing around them —
-  * schema, partition-level batching, column shapes — is the production
-  * shape either way.
+  * IMAGE rows carry REAL PNG bytes (javax.imageio) and AUDIO rows REAL
+  * WAV bytes (javax.sound.sampled) — both JDK codecs that ship in this
+  * container — and both are REALLY decoded in the batched kernels
+  * (dims/intensity/aHash for images; samples/RMS/envelope-hash for
+  * audio). The VIDEO decode kernel remains a STUB (deterministic
+  * fake — no video codec offline); the plumbing around it — schema,
+  * partition-level batching, column shapes — is the production shape
+  * either way.
   *
   * Scale design: payloads stay in executor-side binary columns end to
   * end (never collected); decode runs per partition with bounded batch
@@ -52,9 +53,37 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic WAV: PCM16 mono, two sine partials with a seeded
+    * fundamental, encoded through the JDK's javax.sound.sampled — real
+    * bytes (RIFF header, fmt/data chunks), really decoded back. */
+  private[llmops] def encodeWav(nSamples: Int, sampleRate: Int,
+      seed: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val rnd = new scala.util.Random(seed)
+    val f0 = 200.0 + rnd.nextInt(200)
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val t = i.toDouble / sampleRate
+      val v = 0.6 * math.sin(2 * math.Pi * f0 * t) +
+        0.3 * math.sin(2 * math.Pi * 2 * f0 * t)
+      val s = (v * 32767 * 0.8).toInt.toShort
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic media corpus derived from a seed column.
-    * Image payloads are real PNGs; audio/video payloads are keyed hash
-    * streams (STUB — no codecs for those offline). */
+    * Image payloads are real PNGs, audio payloads are real WAVs (both
+    * JDK codecs); video payloads are keyed hash streams (STUB — no
+    * video codec offline). */
   def synthCorpus(spark: SparkSession, n: Int, seed: Long = 42): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
@@ -62,9 +91,11 @@ object Multimodal {
       val kind = Seq("image", "audio", "video")((i % 3).toInt)
       val w = 16 + (i % 8).toInt * 16
       val h = 16 + (i % 5).toInt * 16
-      val payload =
-        if (kind == "image") encodePng(w, h, seed ^ i)
-        else Array.fill((w * h / 8).max(64))(rnd.nextInt().toByte)
+      val payload = kind match {
+        case "image" => encodePng(w, h, seed ^ i)
+        case "audio" => encodeWav((w * h / 8).max(64), 8000, seed ^ i)
+        case _       => Array.fill((w * h / 8).max(64))(rnd.nextInt().toByte)
+      }
       MediaRow(i, kind, payload, w, h)
     }
   }
@@ -108,7 +139,103 @@ object Multimodal {
       math.rint(mean * 100) / 100, phash)
   }
 
-  /** ??? real audio/video decoder goes here — STUB: derives "sample"
+  /** REAL audio decode (javax.sound.sampled): WAV bytes → PCM16
+    * samples, expressed in [[MediaFeatures]]' tensor vocabulary —
+    * width = n_samples (time axis), height = n_channels,
+    * mean_intensity = mean |amplitude| on the 0–255 scale (the gray-
+    * mean analog), phash = 64-bin energy-envelope aHash (per-bin mean
+    * |amplitude| thresholded by the global mean — the image aHash
+    * construction on the time axis). */
+  private def decodeAudio(r: MediaRow): MediaFeatures = {
+    import javax.sound.sampled.AudioSystem
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.payload))
+    val fmt = ais.getFormat
+    val raw = ais.readAllBytes()
+    val nCh = fmt.getChannels
+    val n = raw.length / 2 // PCM16
+    val binSum = new Array[Long](64)
+    val binCnt = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val lo = raw(2 * i) & 0xFF
+      val hi = raw(2 * i + 1).toInt
+      val s = math.abs((hi << 8) | lo).toLong
+      total += s
+      val b = math.min(63, i * 64 / n)
+      binSum(b) += s
+      binCnt(b) += 1
+      i += 1
+    }
+    val mean = if (n == 0) 0.0 else total.toDouble / n
+    var phash = 0L
+    var b = 0
+    while (b < 64) {
+      if (binCnt(b) > 0 && binSum(b).toDouble / binCnt(b) > mean)
+        phash |= (1L << b)
+      b += 1
+    }
+    MediaFeatures(r.media_id, r.kind, r.payload.length, n / nCh, nCh,
+      math.rint(mean / 32768.0 * 255 * 100) / 100, phash)
+  }
+
+  case class AudioFeatures(media_id: Long, sample_rate: Int,
+      n_channels: Int, n_samples: Int, duration_ms: Double, rms: Double,
+      peak: Int, envelope_hash: Long)
+
+  /** Rich audio feature extraction — the dedicated audio path a
+    * training pipeline filters on (sample rate, duration, loudness):
+    * REAL WAV decode, partition-batched like [[extractFeatures]]. */
+  def extractAudioFeatures(media: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    import javax.sound.sampled.AudioSystem
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val ais = AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(r.payload))
+          val fmt = ais.getFormat
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          val binSum = new Array[Long](64)
+          val binCnt = new Array[Long](64)
+          var sumSq = 0.0
+          var total = 0L
+          var peak = 0
+          var i = 0
+          while (i < n) {
+            val lo = raw(2 * i) & 0xFF
+            val hi = raw(2 * i + 1).toInt
+            val s = (hi << 8) | lo
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            total += a
+            sumSq += s.toDouble * s
+            val b = math.min(63, i * 64 / n)
+            binSum(b) += a
+            binCnt(b) += 1
+            i += 1
+          }
+          val mean = if (n == 0) 0.0 else total.toDouble / n
+          var eh = 0L
+          var b = 0
+          while (b < 64) {
+            if (binCnt(b) > 0 && binSum(b).toDouble / binCnt(b) > mean)
+              eh |= (1L << b)
+            b += 1
+          }
+          val sr = fmt.getSampleRate.toInt
+          AudioFeatures(r.media_id, sr, fmt.getChannels, n,
+            math.rint(n.toDouble / sr * 100000) / 100,
+            math.rint(math.sqrt(sumSq / math.max(n, 1)) * 100) / 100,
+            peak, eh)
+        }
+      }
+    }
+  }
+
+  /** ??? real VIDEO decoder goes here — STUB: derives "sample"
     * statistics from the payload bytes deterministically. Mirrors the
     * signature a real decode would have. */
   private def decodeStub(r: MediaRow): MediaFeatures = {
@@ -127,14 +254,19 @@ object Multimodal {
   /** Partition-batched decode: iterate the partition in bounded groups
     * so a native decoder could amortize setup per batch (the
     * Arrow/pandas batch shape), emit typed features. Images go through
-    * the REAL PNG decode; audio/video through the stub. */
+    * the REAL PNG decode, audio through the REAL WAV decode; video
+    * through the stub. */
   def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // per-batch "decoder init" would happen here
         batch.iterator.map { r =>
-          if (r.kind == "image") decodeImage(r) else decodeStub(r)
+          r.kind match {
+            case "image" => decodeImage(r)
+            case "audio" => decodeAudio(r)
+            case _       => decodeStub(r)
+          }
         }
       }
     }

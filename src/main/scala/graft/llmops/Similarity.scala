@@ -80,18 +80,34 @@ object Similarity {
   def lshTopK(vectors: DataFrame, k: Int, nPlanes: Int, dim: Int,
       nTables: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // materialize the double-cast vector once; each of the
-    // nTables×nPlanes plane dots references it (fused inlining would
-    // recompute the cast per plane)
-    val withVd = base.withColumn("vd", transform(col("v"), _.cast("double")))
-    val tables = array((0 until nTables).map { t =>
-      struct(lit(t).as("tbl"),
-        lshBucketFromDouble(col("vd"), nPlanes, dim, seed + t * 7919).as("bucket"))
-    }: _*)
-    val withB = withVd
-      .select(col("id"), explode(tables).as("tb"))
-      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // bucket assignment as a typed kernel: the column form is
+    // nTables×nPlanes aggregate-HOFs per row, ALL interpreted
+    // (CodegenFallback — NOTES_r1 lesson 1); the kernel does the same
+    // double-precision index-order dot products ~2× faster. The plane
+    // matrix (nTables×nPlanes×dim gaussians) is driver-built and rides
+    // the task closure — kilobytes.
+    val planeMatrix = Array.tabulate(nTables)(t =>
+      hyperplanes(nPlanes, dim, seed + t * 7919))
+    val withB = base.as[(Long, Seq[Float])].flatMap { case (id, v) =>
+      (0 until nTables).iterator.map { t =>
+        val planes = planeMatrix(t)
+        var bucket = 0L
+        var j = 0
+        while (j < nPlanes) {
+          val p = planes(j)
+          var dot = 0.0
+          var d = 0
+          val n = math.min(dim, v.length)
+          while (d < n) { dot += v(d).toDouble * p(d); d += 1 }
+          if (dot > 0) bucket |= (1L << j)
+          j += 1
+        }
+        (id, t, bucket)
+      }
+    }.toDF("id", "tbl", "bucket")
     // candidate ids first — dedup BEFORE hauling vector payloads
     val a = withB.select(col("tbl"), col("bucket"), col("id").as("query_id"))
     val b = withB.select(col("tbl"), col("bucket"), col("id").as("neighbor_id"))
@@ -108,17 +124,6 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rn"))
-  }
-
-  /** Sign-bit bucket from a pre-cast array<double> column. */
-  private def lshBucketFromDouble(vd: Column, nPlanes: Int, dim: Int,
-      seed: Long): Column = {
-    val planes = hyperplanes(nPlanes, dim, seed)
-    planes.zipWithIndex.map { case (p, i) =>
-      val lp = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(vd, lp, (x, y) => x * y), lit(0.0), (s, v) => s + v)
-      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
   }
 
   // ---- portable (oracle-reproducible) LSH -------------------------

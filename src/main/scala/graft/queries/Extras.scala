@@ -58,6 +58,12 @@ object Extras {
     Multimodal.sampleFrames(Multimodal.synthCorpus(spark, 300))
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** Rich audio features via REAL WAV decode (rows-only: the codec
+    * round-trip has no SQL equivalent). */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractAudioFeatures(Multimodal.synthCorpus(spark, 900))
+      .toDF().orderBy(col("media_id"))
+
   /** As-of join: each click enriched with the user's latest preceding
     * purchase (point-in-time correctness — the operator Spark lacks
     * natively, composed per ops/AsOfJoin). */
@@ -214,6 +220,7 @@ object Extras {
         |FROM sess ORDER BY user_id, session_start""".stripMargin)),
     QueryDef("q45_multimodal_features", multimodalFeatures, None),
     QueryDef("q46_frame_samples", frameSamples, None),
+    QueryDef("q70_audio_features", audioFeatures, None),
     QueryDef("q68_stream_dedup", streamDedup, Some(
       """WITH d AS (
         |  SELECT event_id, ts, user_id, event_type, value FROM events
