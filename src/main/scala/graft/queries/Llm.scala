@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.llmops.{Dedup, Similarity, TextAnalysis => TA}
+import graft.llmops.{Dedup, Quality, Similarity, TextAnalysis => TA}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -165,6 +165,64 @@ object Llm {
        |SELECT s.doc_id, s.sh, coalesce(n.n_near, 0)::BIGINT AS n_near
        |FROM sh s LEFT JOIN near n ON n.doc_id = s.doc_id
        |ORDER BY s.doc_id""".stripMargin
+
+  /** Data-quality constraint report over the documents corpus — the
+    * admission gate a training pipeline runs before ingest. Single-scan
+    * conditional aggregation; every check is SQL, hence oracled. */
+  def dataQualityReport(spark: SparkSession, dir: String): DataFrame =
+    Quality.report(Tables.documents(spark, dir), Seq(
+        Quality.Unique("doc_id"),
+        Quality.NotNull("text"),
+        Quality.NonEmpty("text"),
+        Quality.NotNull("lang"),
+        Quality.InRange("n_chars", 1, 100000)))
+      .orderBy(col("check"))
+
+  private def dataQualityOracle: String =
+    """WITH s AS (SELECT count(*) AS total,
+      |  count(*) - count(DISTINCT doc_id) AS uq_doc_id,
+      |  sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nn_text,
+      |  sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS ne_text,
+      |  sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nn_lang,
+      |  sum(CASE WHEN n_chars < 1 OR n_chars > 100000 THEN 1 ELSE 0 END) AS ir_n_chars
+      |  FROM documents)
+      |SELECT * FROM (
+      |  SELECT 'unique:doc_id' AS "check", 'doc_id' AS "column",
+      |         uq_doc_id::BIGINT AS violations, total::BIGINT AS total,
+      |         uq_doc_id <= 0 AS pass FROM s
+      |  UNION ALL
+      |  SELECT 'not_null:text', 'text', nn_text::BIGINT, total::BIGINT,
+      |         nn_text <= 0 FROM s
+      |  UNION ALL
+      |  SELECT 'non_empty:text', 'text', ne_text::BIGINT, total::BIGINT,
+      |         ne_text <= 0 FROM s
+      |  UNION ALL
+      |  SELECT 'not_null:lang', 'lang', nn_lang::BIGINT, total::BIGINT,
+      |         nn_lang <= 0 FROM s
+      |  UNION ALL
+      |  SELECT 'in_range:n_chars', 'n_chars', ir_n_chars::BIGINT,
+      |         total::BIGINT, ir_n_chars <= 0 FROM s)
+      |ORDER BY "check"""".stripMargin
+
+  /** Tokenizer vocabulary build: top-200 tokens by document frequency
+    * with deterministic stable ids. */
+  def vocabBuild(spark: SparkSession, dir: String): DataFrame =
+    Quality.buildVocab(Tables.documents(spark, dir), "text",
+        vocabSize = 200, minDf = 2)
+      .orderBy(col("token_id"))
+
+  private def vocabOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    string_split_regex(trim(lower(text)), '\s+'))) AS token
+      |  FROM documents),
+      |df AS (SELECT token, count(*) AS df FROM toks
+      |       WHERE token != '' GROUP BY 1 HAVING count(*) >= 2),
+      |top AS (SELECT token, df,
+      |          row_number() OVER (ORDER BY df DESC, token) - 1 AS token_id
+      |        FROM df)
+      |SELECT token, df, token_id FROM top WHERE token_id < 200
+      |ORDER BY token_id""".stripMargin
 
   /** Brute-force cosine ANN baseline — oracle-able thanks to DuckDB's
     * list_cosine_similarity. */
@@ -371,6 +429,8 @@ object Llm {
     QueryDef("q65_simhash_portable", simhashPortable, Some(simhashPortableOracle)),
     QueryDef("q66_ann_lsh_portable", annLshPortable, Some(annLshPortableOracle)),
     QueryDef("q67_rolling_portable", rollingPortable, Some(rollingPortableOracle)),
+    QueryDef("q71_data_quality", dataQualityReport, Some(dataQualityOracle)),
+    QueryDef("q72_vocab_build", vocabBuild, Some(vocabOracle)),
     QueryDef("q37_ann_brute_force", annBruteForce, Some(
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 20),
