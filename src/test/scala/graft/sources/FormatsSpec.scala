@@ -28,4 +28,16 @@ class FormatsSpec extends SparkSpec {
     assert(back.orderBy("c_custkey").collect().toSeq ==
       base.orderBy("c_custkey").collect().toSeq)
   }
+
+  test("orc round-trip with predicate pushdown in the plan") {
+    val dir = Files.createTempDirectory("orc").toString + "/c"
+    base.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.orderBy("c_custkey").collect().toSeq ==
+      base.orderBy("c_custkey").collect().toSeq)
+    val plan = back.filter(col("c_acctbal") > 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal"),
+      s"orc scan did not push the filter:\n$plan")
+  }
 }
