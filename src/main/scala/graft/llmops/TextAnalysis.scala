@@ -206,6 +206,43 @@ object TextAnalysis {
       .toDF("doc_id", "fp_rolling")
   }
 
+  /** Overlapping character-window chunking — the standard long-document
+    * split for training-context preparation. Pure column expressions:
+    * chunk i covers [i·stride, i·stride + chunkChars); the final chunk
+    * may be short. Scale: map-side only (posexplode per row), no
+    * shuffle. */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      chunkChars: Int, overlapChars: Int): DataFrame = {
+    require(overlapChars < chunkChars, "overlap must be < chunk size")
+    val stride = chunkChars - overlapChars
+    val n = length(col(textCol))
+    val nChunks = when(n <= chunkChars, lit(1L))
+      .otherwise(ceil((n - chunkChars).cast("double") / stride) + 1L)
+    docs.select(col(idCol), col(textCol),
+        posexplode(sequence(lit(0L), nChunks - 1L)).as(Seq("chunk_idx", "i")))
+      .select(col(idCol), col("i").cast("long").as("chunk_idx"),
+        col(textCol).substr(col("i") * stride + 1, lit(chunkChars))
+          .as("chunk_text"))
+  }
+
+  /** Greedy fixed-budget sequence packing: within each `groupCol`
+    * shard, docs ordered by id accumulate token counts; a doc starts
+    * bin k when its cumulative offset crosses k·budget. The contiguous
+    * approximation of example packing — deterministic, one window per
+    * shard key (partitioned, NOT a global sort — per-key windows scale;
+    * the shard key is what a 100 TB run would already be bucketed by). */
+  def packDocs(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budgetTokens: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+    docs
+      .withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", ((col("cum") - col("n_tokens")) / budgetTokens)
+        .cast("long"))
+      .select(col(idCol), col(groupCol), col("n_tokens"), col("bin"))
+  }
+
   /** Portable polynomial rolling fingerprint: token hash = first 8 md5
     * hex chars (32-bit), chained h = (h*B + t) mod p in token order —
     * order-SENSITIVE like [[fingerprintRolling]], but every step is

@@ -224,6 +224,55 @@ object Llm {
       |SELECT token, df, token_id FROM top WHERE token_id < 200
       |ORDER BY token_id""".stripMargin
 
+  /** Overlapping-window chunking for context preparation (200 chars,
+    * 50 overlap) — map-side posexplode, fully SQL-mirrored. */
+  def chunkedDocs(spark: SparkSession, dir: String): DataFrame =
+    TA.chunkDocs(Tables.documents(spark, dir), "doc_id", "text",
+        chunkChars = 200, overlapChars = 50)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private def chunkOracle: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |p AS (SELECT doc_id, text,
+      |        unnest(range(CASE WHEN n <= 200 THEN 1
+      |          ELSE CAST(ceil((n - 200) / 150.0) AS BIGINT) + 1 END)) AS chunk_idx
+      |      FROM d)
+      |SELECT doc_id, chunk_idx,
+      |       substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200) AS chunk_text
+      |FROM p ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Greedy sequence packing into 500-token bins per source shard. */
+  def packedDocs(spark: SparkSession, dir: String): DataFrame =
+    TA.packDocs(Tables.documents(spark, dir), "doc_id", "text",
+        groupCol = "source", budgetTokens = 500)
+      .orderBy(col("doc_id"))
+
+  private def packOracle: String =
+    """WITH t AS (SELECT doc_id, source,
+      |  CASE WHEN trim(text) = '' THEN 0
+      |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, source, n_tokens::BIGINT AS n_tokens,
+      |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      |      FROM t)
+      |SELECT doc_id, source, n_tokens,
+      |       ((cum - n_tokens) // 500)::BIGINT AS bin
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Portable deterministic hash split (train/holdout by md5 bucket). */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val b = graft.reco.Splits.hashBucketPortable(col("doc_id"), "42")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), b.as("bucket"), (b < 900000L).as("is_train"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def hashSplitOracle: String =
+    """SELECT doc_id,
+      |  ('0x' || substr(md5('42:' || doc_id), 1, 8))::BIGINT % 1000000 AS bucket,
+      |  ('0x' || substr(md5('42:' || doc_id), 1, 8))::BIGINT % 1000000 < 900000 AS is_train
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Brute-force cosine ANN baseline — oracle-able thanks to DuckDB's
     * list_cosine_similarity. */
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
@@ -431,6 +480,9 @@ object Llm {
     QueryDef("q67_rolling_portable", rollingPortable, Some(rollingPortableOracle)),
     QueryDef("q71_data_quality", dataQualityReport, Some(dataQualityOracle)),
     QueryDef("q72_vocab_build", vocabBuild, Some(vocabOracle)),
+    QueryDef("q73_doc_chunks", chunkedDocs, Some(chunkOracle)),
+    QueryDef("q74_seq_packing", packedDocs, Some(packOracle)),
+    QueryDef("q75_hash_split", hashSplit, Some(hashSplitOracle)),
     QueryDef("q37_ann_brute_force", annBruteForce, Some(
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 20),

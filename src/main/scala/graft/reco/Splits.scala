@@ -1,6 +1,6 @@
 package graft.reco
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Train/test split utilities.
@@ -36,4 +36,14 @@ object Splits {
     val test = interactions.filter(h >= cut)
     (train, test)
   }
+
+  /** Oracle-portable twin of [[byRowHash]]: bucket from the first 8 md5
+    * hex chars of "seed:id" — any engine reproduces the assignment, so
+    * the split itself is hash-exactly verifiable (q75). Same
+    * partitioning-independence; md5 costs ~3×/byte over xxhash64, so
+    * [[byRowHash]] stays the bulk path. */
+  def hashBucketPortable(idCol: Column, seed: String,
+      buckets: Long = 1000000L): Column =
+    conv(substring(md5(concat(lit(seed), lit(":"), idCol.cast("string"))), 1, 8),
+      16, 10).cast("long") % buckets
 }

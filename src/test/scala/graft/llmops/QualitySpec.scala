@@ -52,4 +52,44 @@ class QualitySpec extends SparkSpec {
     // df: a=3, b=2, others df=1 (z repeats within ONE doc → df 1)
     assert(v.toSeq == Seq(("a", 3L, 0L), ("b", 2L, 1L)))
   }
+
+  test("chunking reconstructs the document when overlap is stripped") {
+    val text = ('a' to 'z').mkString * 20 // 520 chars
+    val docs = Seq((1L, text), (2L, "short")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocs(docs, "doc_id", "text", 200, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val c1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    assert(c1.head.length == 200)
+    // strip the 50-char overlap from every chunk after the first
+    val rebuilt = c1.head + c1.tail.map(_.drop(50)).mkString
+    assert(rebuilt == text)
+    // consecutive chunks agree on their 50-char overlap
+    c1.sliding(2).foreach { case Array(a, b) =>
+      assert(a.takeRight(50) == b.take(50))
+    }
+    assert(chunks.filter(_._1 == 2L).map(_._3).toSeq == Seq("short"))
+  }
+
+  test("packing: bins start at cumulative budget boundaries, per shard") {
+    val docs = Seq(
+      (1L, "w " * 300, "s1"), (2L, "w " * 300, "s1"), (3L, "w " * 300, "s1"),
+      (4L, "w " * 10, "s2")
+    ).map { case (i, t, s) => (i, t.trim, s) }.toDF("doc_id", "text", "source")
+    val bins = TextAnalysis.packDocs(docs, "doc_id", "text", "source", 500)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // cum starts: 0, 300, 600 → bins 0, 0, 1; s2 independent → 0
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("portable hash split: ~90/10, deterministic, partition-independent") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val b = graft.reco.Splits.hashBucketPortable(
+      org.apache.spark.sql.functions.col("doc_id"), "42")
+    val frac = docs.filter(b < 900000L).count().toDouble / docs.count()
+    assert(frac > 0.8 && frac < 0.97, s"train frac $frac")
+    val a1 = docs.select($"doc_id", b.as("bk")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a2 = docs.repartition(7).select($"doc_id", b.as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a1 == a2)
+  }
 }
