@@ -51,8 +51,32 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // the round-1 gate set (BENCH_r01) — its subtotal is the
+    // apples-to-apples number against the 86.9 s baseline; `total`
+    // additionally includes every gate added since (20 more by r2,
+    // including two extra ML grid fits)
+    val r1Set = Set(
+      "q01_agg_pricing_summary", "q02_filter_project", "q03_join_top_revenue",
+      "q04_semi_join_priority", "q05_anti_join_customers", "q06_cross_join_regions",
+      "q07_window_topk", "q08_rank_ties", "q09_group_count_distinct",
+      "q10_distinct", "q11_union_except", "q12_string_ops", "q13_date_math",
+      "q14_case_when_bins", "q15_in_list_join", "q16_collect_list_sorted",
+      "q17_theta_join", "q18_null_impute", "q20_popular_items",
+      "q21_user_recent_topk", "q22_interaction_stats", "q23_item_cooccurrence",
+      "q24_negative_balance", "q25_als_recommend", "q26_popularity_ndcg",
+      "q27_curated_recommend", "q28_hourly_window_counts", "q29_user_sessions",
+      "q30_token_stats", "q31_quality_signals", "q32_fingerprint_md5",
+      "q33_exact_dedup", "q34_langid_fingerprint", "q35_minhash_near_dups",
+      "q36_simhash_near_dups", "q37_ann_brute_force", "q38_ann_lsh",
+      "q39_ann_ivf", "q40_label_centroids", "q41_tfidf_similar_docs",
+      "q42_porter_stems", "q43_word2vec_synonyms", "q44_lr_ranker_metrics",
+      "q45_multimodal_features", "q46_frame_samples", "q47_cv_grid_search",
+      "q48_asof_join", "q49_user_profiles", "q50_repo_profiles",
+      "q51_itemcf_recommend", "q52_rolling_windows", "q53_ngram_jaccard",
+      "q54_percentiles", "q55_approx_distinct", "q56_pii_redaction")
+    val r1Total = results.collect { case (k, v) if r1Set(k) => v }.sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
     // print last, after spark shutdown, so no executor log line can
     // interleave with the one JSON line the driver parses
