@@ -209,6 +209,12 @@ object Similarity {
 
     val ds = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("features", array_to_vector(transform(col("v"), _.cast("double"))))
+      // right-size for the iterative fit: KMeans launches one stage per
+      // iteration — 32-way over a bounded corpus means thousands of
+      // ~ms tasks dominating wall time (same lesson as the ML fits,
+      // NOTES_r2); 8 partitions keeps all cores busy per stage without
+      // the scheduling storm. Cluster runs pass a pre-partitioned df.
+      .repartition(8)
       .cache()
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
