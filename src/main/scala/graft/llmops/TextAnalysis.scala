@@ -206,6 +206,40 @@ object TextAnalysis {
       .toDF("doc_id", "fp_rolling")
   }
 
+  /** Character-trigram commonness score — the perplexity-filter shape
+    * with the corpus as its own model, made integer-exact: each doc
+    * scores the mean CORPUS frequency of its trigram instances.
+    * Gibberish (rare trigrams) scores low, fluent text high — the same
+    * ranking a char-LM log-prob gives, but every intermediate is a
+    * BIGINT sum (cross-engine float-log reorder error would make a
+    * hash-exact oracle flaky; one final division is deterministic).
+    *
+    * Scale: trigram space is bounded (alphabet³), so the count table
+    * broadcasts; instances never shuffle — one groupBy(tri) for the
+    * model, one groupBy(doc) for scores. */
+  def trigramCommonness(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // trigram explode as a typed kernel — the transform(sequence(...))
+    // column form is interpreted (CodegenFallback) and measured 4.6 s
+    // vs <1 s at sf0.1 (NOTES_r1 lesson 1)
+    val inst = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = Option(text).getOrElse("").toLowerCase
+          .replaceAll("\\s+", " ").trim
+        if (t.length < 3) Iterator.empty
+        else (0 to t.length - 3).iterator.map(i => (id, t.substring(i, i + 3)))
+      }.toDF(idCol, "tri")
+    val counts = inst.groupBy(col("tri")).agg(count(lit(1)).as("c"))
+    inst.join(broadcast(counts), Seq("tri"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tri"), sum(col("c")).as("sum_c"))
+      .select(col(idCol), col("n_tri"),
+        round(col("sum_c") / col("n_tri").cast("double"), 2).as("commonness"))
+  }
+
   /** Overlapping character-window chunking — the standard long-document
     * split for training-context preparation. Pure column expressions:
     * chunk i covers [i·stride, i·stride + chunkChars); the final chunk

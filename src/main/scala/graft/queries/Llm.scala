@@ -224,6 +224,25 @@ object Llm {
       |SELECT token, df, token_id FROM top WHERE token_id < 200
       |ORDER BY token_id""".stripMargin
 
+  /** Char-trigram commonness (perplexity-filter shape, integer-exact). */
+  def trigramScore(spark: SparkSession, dir: String): DataFrame =
+    TA.trigramCommonness(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private def trigramOracle: String =
+    """WITH d AS (SELECT doc_id,
+      |    trim(regexp_replace(lower(coalesce(text,'')), '\s+', ' ', 'g')) AS t
+      |  FROM documents),
+      |inst AS (SELECT doc_id, substr(t, i::INT, 3) AS tri
+      |         FROM d, LATERAL (SELECT unnest(range(1, length(t) - 1)) AS i)
+      |         WHERE length(t) >= 3),
+      |cnt AS (SELECT tri, count(*) AS c FROM inst GROUP BY 1),
+      |per AS (SELECT i.doc_id, count(*) AS n_tri, sum(c.c) AS sum_c
+      |        FROM inst i JOIN cnt c USING (tri) GROUP BY 1)
+      |SELECT doc_id, n_tri::BIGINT AS n_tri,
+      |       round(sum_c / n_tri::DOUBLE, 2) AS commonness
+      |FROM per ORDER BY doc_id""".stripMargin
+
   /** Overlapping-window chunking for context preparation (200 chars,
     * 50 overlap) — map-side posexplode, fully SQL-mirrored. */
   def chunkedDocs(spark: SparkSession, dir: String): DataFrame =
@@ -483,6 +502,7 @@ object Llm {
     QueryDef("q73_doc_chunks", chunkedDocs, Some(chunkOracle)),
     QueryDef("q74_seq_packing", packedDocs, Some(packOracle)),
     QueryDef("q75_hash_split", hashSplit, Some(hashSplitOracle)),
+    QueryDef("q76_trigram_score", trigramScore, Some(trigramOracle)),
     QueryDef("q37_ann_brute_force", annBruteForce, Some(
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 20),

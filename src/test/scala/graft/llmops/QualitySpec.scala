@@ -81,6 +81,19 @@ class QualitySpec extends SparkSpec {
     assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("trigram commonness ranks fluent text above gibberish") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the lazy dog sleeps near the quick river fox in the warm sun"),
+      (3L, "over the river the brown fox and the dog rest in the sun"),
+      (4L, "xq zvw qjk pzx wvq kjq zzx qqw jjz xxq wqz jkz zqx")
+    ).toDF("doc_id", "text")
+    val s = TextAnalysis.trigramCommonness(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(4L) < s(1L) && s(4L) < s(2L) && s(4L) < s(3L),
+      s"gibberish should score lowest: $s")
+  }
+
   test("portable hash split: ~90/10, deterministic, partition-independent") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val b = graft.reco.Splits.hashBucketPortable(
