@@ -206,7 +206,7 @@ object AlbedoRanker {
     val nFeatures = scored.select(col("features")).head()
       .getAs[org.apache.spark.ml.linalg.Vector](0).size
     Seq((nFeatures.toLong, train.count(), test.count(),
-      math.rint(auc * 1e6) / 1e6))
+      math.rint(auc * 1e3) / 1e3)) // run-stable digits only
       .toDF("n_features", "train_rows", "test_rows", "auc")
   }
 }

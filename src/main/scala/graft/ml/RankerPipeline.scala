@@ -147,7 +147,9 @@ object RankerPipeline {
     import spark.implicits._
     model.getEstimatorParamMaps.zip(model.avgMetrics).toSeq
       .map { case (pm, m) =>
-        (pm(lr.regParam), pm(lr.maxIter), math.rint(m * 1e6) / 1e6)
+        // 1e3: CV AUC drifts ~1e-5 between JVM runs (float-sum order in
+        // the distributed fit); report only run-stable digits
+        (pm(lr.regParam), pm(lr.maxIter), math.rint(m * 1e3) / 1e3)
       }.toDF("reg_param", "max_iter", "avg_auc")
       .orderBy(col("avg_auc").desc, col("reg_param"))
   }

@@ -80,7 +80,7 @@ object AlsRecommender {
     model.getEstimatorParamMaps.zip(model.avgMetrics).toSeq
       .map { case (pm, m) =>
         (pm(als.rank), pm(als.regParam), pm(als.alpha),
-          math.rint(m * 1e6) / 1e6)
+          math.rint(m * 1e3) / 1e3) // run-stable digits only (see RankerPipeline)
       }.toDF("rank", "reg_param", "alpha", "avg_ndcg")
       .orderBy(col("avg_ndcg").desc, col("rank"), col("reg_param"), col("alpha"))
   }
