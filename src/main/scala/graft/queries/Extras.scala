@@ -45,6 +45,38 @@ object Extras {
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** SCD-1 snapshot upsert merge: a synthetic v2 update stream (every
+    * 5th doc re-delivered with new text and a higher version) merged
+    * into the base snapshot; latest version wins. */
+  def snapshotMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), lit(1).as("version"), col("text"))
+    val updates = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), lit(2).as("version"),
+        concat(lit("[v2] "), col("text")).as("text"))
+    graft.sources.Snapshots.mergeUpsert(base, updates, "doc_id", "version")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Weekly retention cohorts over events: users grouped by first-seen
+    * day; distinct active users per (cohort, week offset). */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+    ev.join(cohorts, Seq("user_id"))
+      .withColumn("week_idx",
+        (datediff(col("d"), col("cohort")) / 7).cast("long"))
+      // dates stringify for the oracle: pandas reads Spark DATE as a
+      // python date but DuckDB DATE as datetime64 — string form is the
+      // representation both compare stably on (same as q13's approach)
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("week_idx"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort"), col("week_idx"))
+  }
+
   /** Multimodal feature extraction over a deterministic synthetic binary
     * corpus — real PNG decode for image rows, stubs for audio/video.
     * Fixed corpus size (the corpus is synthetic; sizing it off a driver
@@ -221,6 +253,24 @@ object Extras {
     QueryDef("q45_multimodal_features", multimodalFeatures, None),
     QueryDef("q46_frame_samples", frameSamples, None),
     QueryDef("q70_audio_features", audioFeatures, None),
+    QueryDef("q77_snapshot_merge", snapshotMerge, Some(
+      """WITH base AS (SELECT doc_id, 1 AS version, text FROM documents),
+        |upd AS (SELECT doc_id, 2 AS version, '[v2] ' || text AS text
+        |        FROM documents WHERE doc_id % 5 = 0),
+        |u AS (SELECT *, 0 AS side FROM base
+        |      UNION ALL SELECT *, 1 AS side FROM upd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY version DESC, side DESC) AS rn FROM u)
+        |SELECT doc_id, version, text FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q78_retention_cohorts", retentionCohorts, Some(
+      """WITH ev AS (SELECT user_id, ts::DATE AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY 1)
+        |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort,
+        |       (date_diff('day', c.cohort, ev.d) // 7)::BIGINT AS week_idx,
+        |       count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("q68_stream_dedup", streamDedup, Some(
       """WITH d AS (
         |  SELECT event_id, ts, user_id, event_type, value FROM events

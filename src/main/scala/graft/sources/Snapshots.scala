@@ -40,6 +40,28 @@ object Snapshots {
       partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** SCD-1 snapshot upsert: merge `updates` into `base` by key, the
+    * row with the highest `versionCol` (ties → update side) wins. The
+    * daily-snapshot refresh the reference's pipeline implies (sync jobs
+    * re-pull changed rows; the snapshot must converge to latest).
+    *
+    * Scale: one shuffle on the key — union → per-key max-version
+    * filter via window. No driver state; at 100 TB this is the
+    * standard merge shape (Delta/Iceberg MERGE INTO compiles to the
+    * same join-or-window plan). */
+  def mergeUpsert(base: DataFrame, updates: DataFrame, keyCol: String,
+      versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol).desc, col("__side").desc)
+    base.withColumn("__side", lit(0))
+      .unionByName(updates.withColumn("__side", lit(1)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__side")
+  }
+
   /** Model flavor: load an MLWritable/MLReadable model or fit + save.
     * Reference: ModelUtils.loadOrCreateModel. */
   def loadOrCreateModel[M <: org.apache.spark.ml.util.MLWritable](

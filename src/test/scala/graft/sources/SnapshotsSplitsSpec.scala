@@ -58,4 +58,15 @@ class SnapshotsSplitsSpec extends SparkSpec {
       .collect().toSet
     assert(s1 == s2)
   }
+
+  test("mergeUpsert: highest version wins, update side wins ties") {
+    val base = Seq((1, 1, "a"), (2, 1, "b"), (3, 2, "c"))
+      .toDF("k", "version", "v")
+    val upd = Seq((2, 2, "b2"), (3, 2, "c2"), (4, 1, "d"))
+      .toDF("k", "version", "v")
+    val out = Snapshots.mergeUpsert(base, upd, "k", "version")
+      .orderBy("k").as[(Int, Int, String)].collect().toSeq
+    // k=2: update has higher version; k=3: tie → update side; k=4: insert
+    assert(out == Seq((1, 1, "a"), (2, 2, "b2"), (3, 2, "c2"), (4, 1, "d")))
+  }
 }
