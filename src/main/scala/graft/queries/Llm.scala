@@ -112,6 +112,48 @@ object Llm {
       .select(col("id").as("doc_id"), col("sh"), col("n_near"))
       .orderBy(col("doc_id"))
 
+  /** Dedup GROUP formation: connected components over the portable
+    * MinHash candidate pairs (q64's edge set), every document labeled
+    * with its cluster representative (min doc_id), plus cluster size
+    * and a keep/drop flag. This is the step between candidate pairs
+    * and retention in a real dedup pipeline: pairs alone can't say
+    * "keep one of {a,b,c}" when a~b and b~c but a!~c. The oracle
+    * recomputes the SAME pair set (shared CTE chain with q64) and
+    * closes it with a recursive CTE, so a hash match certifies the
+    * fixpoint label propagation against true transitive closure. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashCandidatesPortable(docs, "doc_id", "text",
+      shingleK = 2, numHashes = 32, bands = 8, threshold = 0.3)
+    val labels = graft.ops.ConnectedComponents.hashMin(pairs, "id_a", "id_b")
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def dupClustersOracle: String =
+    s"""WITH RECURSIVE $minhashCteChain,
+       |pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.3),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+       |lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY 1),
+       |o AS (SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS cluster_id
+       |      FROM documents d LEFT JOIN lab l ON l.id = d.doc_id)
+       |SELECT doc_id, cluster_id,
+       |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |       doc_id = cluster_id AS is_canonical
+       |FROM o ORDER BY doc_id""".stripMargin
+
   /** Oracle SQL fragments shared by q64/q65: tokenization identical to
     * q30/q31/q53 (trim+lower+split on \s+). */
   private val tokCte =
@@ -120,11 +162,15 @@ object Llm {
       |     FROM documents),
       |tok AS (SELECT doc_id, unnest(toks) AS w, unnest(range(len(toks))) AS ord FROM t)""".stripMargin
 
-  private def minhashPortableOracle: String = {
+  /** Shared CTE chain recomputing the portable MinHash pipeline
+    * (signatures → bands → candidate pairs → overlap estimate) — the
+    * q64 oracle selects from `est` directly; the q79 oracle builds the
+    * dup graph on top of it. */
+  private def minhashCteChain: String = {
     val consts = Dedup.portableConstants(32)
     val values = consts.zipWithIndex
       .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
-    s"""WITH $tokCte,
+    s"""$tokCte,
        |sh AS (
        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS s
        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
@@ -144,10 +190,13 @@ object Llm {
        |        FROM cand c
        |        JOIN sig sa ON sa.doc_id = c.id_a
        |        JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
-       |        GROUP BY 1, 2)
+       |        GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def minhashPortableOracle: String =
+    s"""WITH $minhashCteChain
        |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
-  }
 
   private def simhashPortableOracle: String =
     s"""WITH $tokCte,
@@ -494,6 +543,7 @@ object Llm {
     QueryDef("q35_minhash_near_dups", minhashNearDups, None),
     QueryDef("q36_simhash_near_dups", simhashNearDups, None),
     QueryDef("q64_minhash_portable", minhashPortable, Some(minhashPortableOracle)),
+    QueryDef("q79_dup_clusters", dupClusters, Some(dupClustersOracle)),
     QueryDef("q65_simhash_portable", simhashPortable, Some(simhashPortableOracle)),
     QueryDef("q66_ann_lsh_portable", annLshPortable, Some(annLshPortableOracle)),
     QueryDef("q67_rolling_portable", rollingPortable, Some(rollingPortableOracle)),

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def labelsOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.hashMin(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("chain, clique, and separate pair resolve to min-id components") {
+    // chain 1-2-3 (transitive: 1!~3 directly), clique {10,11,12}, pair {20,21}
+    val l = labelsOf(Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (21L, 20L)))
+    assert(l == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long chain converges to a single component within the round cap") {
+    val n = 18 // diameter 17 < default maxIter 25
+    val l = labelsOf((0L until n).map(i => (i, i + 1L)))
+    assert(l.values.toSet == Set(0L))
+    assert(l.size == n + 1)
+  }
+
+  test("edge direction and duplicates are irrelevant") {
+    val a = labelsOf(Seq((5L, 3L), (3L, 5L), (5L, 3L), (7L, 5L)))
+    assert(a == Map(3L -> 3L, 5L -> 3L, 7L -> 3L))
+  }
+
+  test("dup-cluster gate marks exactly one canonical per cluster") {
+    val out = graft.queries.Llm.dupClusters(spark, sf0001)
+    val byCluster = out.groupBy("cluster_id")
+      .agg(sum(when(col("is_canonical"), 1).otherwise(0)).as("n_canon"),
+        count(lit(1)).as("n"), max("cluster_size").as("sz"),
+        min("doc_id").as("min_id"), min(when(col("is_canonical"),
+          col("doc_id"))).as("canon_id"))
+      .collect()
+    assert(byCluster.nonEmpty)
+    byCluster.foreach { r =>
+      assert(r.getLong(1) == 1L, s"cluster ${r.get(0)}: ${r.getLong(1)} canons")
+      assert(r.getLong(2) == r.getLong(3), "cluster_size mismatch")
+      assert(r.getLong(4) == r.getLong(5), "canonical is not the min doc_id")
+    }
+    // every document labeled exactly once
+    val docs = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(out.count() == docs)
+  }
+}
