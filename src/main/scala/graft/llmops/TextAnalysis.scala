@@ -240,6 +240,49 @@ object TextAnalysis {
         round(col("sum_c") / col("n_tri").cast("double"), 2).as("commonness"))
   }
 
+  /** Word-association mining: pointwise mutual information over
+    * within-document co-occurrence. pmi(a,b) = ln(c_ab·N / (c_a·c_b))
+    * with c_* document frequencies — all exact integers, so the only
+    * float op is one division + ln (cross-engine stable under round 6;
+    * ordering uses the ROUNDED value, rank ties broken by the pair).
+    *
+    * Scale: the per-doc token self-join is quadratic in DISTINCT
+    * per-doc tokens — capped at maxTokensPerDoc by document frequency
+    * rank (commonest first, deterministic), the same bounding move as
+    * ItemCF's per-user cap; the downstream joins against the unary
+    * count table broadcast it. */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+      minPairCount: Long = 5, topK: Int = 50,
+      maxTokensPerDoc: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(tokens(lower(col(textCol))))).as("w"))
+    val cw = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val capped = toks.join(broadcast(cw), Seq("w"))
+      .withColumn("tr", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("c").desc, col("w"))))
+      .filter(col("tr") <= maxTokensPerDoc)
+      .select(col("doc_id"), col("w"))
+    val pairs = capped.select(col("doc_id"), col("w").as("wa"))
+      .join(capped.select(col("doc_id"), col("w").as("wb")), Seq("doc_id"))
+      .filter(col("wa") < col("wb"))
+      .groupBy(col("wa"), col("wb"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPairCount)
+    pairs
+      .join(broadcast(cw.select(col("w").as("wa"), col("c").as("c_a"))), Seq("wa"))
+      .join(broadcast(cw.select(col("w").as("wb"), col("c").as("c_b"))), Seq("wb"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("pmi",
+        round(log((col("c_ab") * col("n_docs")).cast("double")
+          / (col("c_a") * col("c_b"))), 6))
+      .select(col("wa"), col("wb"), col("c_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("wa"), col("wb"))
+      .limit(topK)
+  }
+
   /** Overlapping character-window chunking — the standard long-document
     * split for training-context preparation. Pure column expressions:
     * chunk i covers [i·stride, i·stride + chunkChars); the final chunk

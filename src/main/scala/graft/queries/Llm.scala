@@ -341,6 +341,102 @@ object Llm {
       |  ('0x' || substr(md5('42:' || doc_id), 1, 8))::BIGINT % 1000000 < 900000 AS is_train
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Stratified corpus rebalance: cap the dominant language (en) at
+    * 30% keep-rate, keep the tail whole — deterministic portable-hash
+    * sampling, so the exact surviving row set is oracle-replayable. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.reco.Splits.stratifiedSampleBy(
+        Tables.documents(spark, dir), "lang", "doc_id",
+        fractions = Map("en" -> 0.3), defaultFrac = 1.0, seed = "rebal7")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  private def stratifiedSampleOracle: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE ('0x' || substr(md5('rebal7:' || doc_id), 1, 8))::BIGINT % 1000000
+      |      < CASE WHEN lang = 'en' THEN 300000 ELSE 1000000 END
+      |ORDER BY doc_id""".stripMargin
+
+  /** BM25 ranked retrieval for a fixed bag-of-words query — integer
+    * micro-score sum (see [[graft.text.Bm25]]) makes the full scoring
+    * pipeline hash-exact across engines. */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bm25.search(Tables.documents(spark, dir), "doc_id", "text",
+        queryTerms = Seq("spark", "window", "merge"), topK = 20)
+      .select(col("doc_id"), col("score_u"), col("score"), col("rank"))
+      .orderBy(col("rank"))
+
+  private def bm25Oracle: String =
+    """WITH base AS (SELECT doc_id,
+      |    CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(lower(coalesce(text,''))), '\s+')
+      |    END AS toks FROM documents),
+      |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM base),
+      |stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+      |       FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+      |       WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+      |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      |contrib AS (SELECT t.doc_id,
+      |    round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+      |      * t.tf * 2.2
+      |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl * s.n_docs / s.sum_dl))
+      |      * 1000000)::BIGINT AS s_u
+      |  FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id)
+      |  CROSS JOIN stats s),
+      |scored AS (SELECT doc_id, sum(s_u)::BIGINT AS score_u FROM contrib GROUP BY 1),
+      |ranked AS (SELECT doc_id, score_u, score_u / 1000000.0 AS score,
+      |    row_number() OVER (ORDER BY score_u DESC, doc_id) AS rank
+      |  FROM scored)
+      |SELECT doc_id, score_u, score, rank FROM ranked WHERE rank <= 20
+      |ORDER BY rank""".stripMargin
+
+  /** Hashing-trick featurization (portable md5 buckets — the whole
+    * fixed-width featurizer is oracle-replayed). */
+  def featureHash(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.FeatureHash.hashedTf(Tables.documents(spark, dir),
+        "doc_id", "text", nFeatures = 64)
+      .orderBy(col("doc_id"), col("bucket"))
+
+  private def featureHashOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      |  FROM documents WHERE trim(coalesce(text, '')) != '')
+      |SELECT doc_id,
+      |       ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS bucket,
+      |       count(*) AS n
+      |FROM toks GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** PMI word associations over within-doc co-occurrence (top 50). */
+  def pmiAssociations(spark: SparkSession, dir: String): DataFrame =
+    TA.pmiPairs(Tables.documents(spark, dir), "doc_id", "text",
+      minPairCount = 5, topK = 50, maxTokensPerDoc = 200)
+
+  private def pmiOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_distinct(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS ws
+      |  FROM documents),
+      |toks AS (SELECT doc_id, unnest(ws) AS w FROM t WHERE len(ws) > 0 AND ws != ['']),
+      |cw AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |capped AS (SELECT doc_id, w FROM (
+      |    SELECT tk.doc_id, tk.w,
+      |      row_number() OVER (PARTITION BY tk.doc_id
+      |                         ORDER BY cw.c DESC, tk.w) AS tr
+      |    FROM toks tk JOIN cw USING (w)) WHERE tr <= 200),
+      |pairs AS (SELECT a.w AS wa, b.w AS wb, count(*) AS c_ab
+      |  FROM capped a JOIN capped b
+      |    ON a.doc_id = b.doc_id AND a.w < b.w
+      |  GROUP BY 1, 2 HAVING count(*) >= 5),
+      |scored AS (SELECT p.wa, p.wb, p.c_ab,
+      |    round(ln((p.c_ab * n.n_docs)::DOUBLE / (ca.c * cb.c)), 6) AS pmi
+      |  FROM pairs p
+      |  JOIN cw ca ON ca.w = p.wa
+      |  JOIN cw cb ON cb.w = p.wb
+      |  CROSS JOIN n)
+      |SELECT wa, wb, c_ab, pmi FROM scored
+      |ORDER BY pmi DESC, wa, wb LIMIT 50""".stripMargin
+
   /** Brute-force cosine ANN baseline — oracle-able thanks to DuckDB's
     * list_cosine_similarity. */
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
@@ -544,6 +640,10 @@ object Llm {
     QueryDef("q36_simhash_near_dups", simhashNearDups, None),
     QueryDef("q64_minhash_portable", minhashPortable, Some(minhashPortableOracle)),
     QueryDef("q79_dup_clusters", dupClusters, Some(dupClustersOracle)),
+    QueryDef("q83_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
+    QueryDef("q84_bm25_search", bm25Search, Some(bm25Oracle)),
+    QueryDef("q85_feature_hash", featureHash, Some(featureHashOracle)),
+    QueryDef("q87_pmi_pairs", pmiAssociations, Some(pmiOracle)),
     QueryDef("q65_simhash_portable", simhashPortable, Some(simhashPortableOracle)),
     QueryDef("q66_ann_lsh_portable", annLshPortable, Some(annLshPortableOracle)),
     QueryDef("q67_rolling_portable", rollingPortable, Some(rollingPortableOracle)),

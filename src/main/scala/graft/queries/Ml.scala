@@ -115,7 +115,51 @@ object Ml {
   private val stopList =
     Tokenize.englishStopwords.map("'" + _ + "'").mkString(",")
 
+  /** L2-normalized TF-IDF document vectors, top-5 terms per doc — the
+    * vectorization surface itself (q41 gates the similarity JOIN built
+    * on these weights; this gates the weights). Rank on the rounded
+    * weight, term tiebreak, as q61 does for cross-engine stability. */
+  def tfidfVectors(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ContentRecommender.tfidfWeights(Tables.documents(spark, dir),
+        "doc_id", "text", minDf = 1, maxDfFrac = 0.8)
+      .withColumn("w6", round(col("w"), 6))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("w6").desc, col("term"))))
+      .filter(col("pr") <= 5)
+      .select(col("id").as("doc_id"), col("term"), col("w6").as("w"),
+        col("pr").cast("long").as("pr"))
+      .orderBy(col("doc_id"), col("pr"))
+  }
+
+  private def tfidfVectorsOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    regexp_extract_all(lower(text), '([a-z0-9]+(?:\\+\\+|#)?)', 1),
+       |    w -> (len(w) > 1 OR w IN ('c','r')) AND NOT list_contains([$stopList], w)
+       |  )) AS term
+       |  FROM documents),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |fdf AS (SELECT term, df FROM df, n WHERE df <= CAST(floor(n.n * 0.8) AS BIGINT)),
+       |w AS (SELECT tf.doc_id, tf.term,
+       |        tf.tf * (ln((n.n + 1.0) / (fdf.df + 1.0)) + 1.0) AS w_raw
+       |      FROM tf JOIN fdf USING (term) CROSS JOIN n),
+       |norms AS (SELECT doc_id, sqrt(sum(w_raw * w_raw)) AS norm
+       |          FROM w GROUP BY 1),
+       |wn AS (SELECT w.doc_id, w.term,
+       |         round(w.w_raw / norms.norm, 6) AS w6
+       |       FROM w JOIN norms USING (doc_id)),
+       |r AS (SELECT doc_id, term, w6,
+       |        row_number() OVER (PARTITION BY doc_id
+       |                           ORDER BY w6 DESC, term) AS pr
+       |      FROM wn)
+       |SELECT doc_id, term, w6 AS w, pr FROM r WHERE pr <= 5
+       |ORDER BY doc_id, pr""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q86_tfidf_vectors", tfidfVectors, Some(tfidfVectorsOracle)),
     QueryDef("q41_tfidf_similar_docs", tfidfSimilarDocs, Some(
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_filter(

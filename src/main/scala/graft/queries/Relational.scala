@@ -297,7 +297,143 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** ROLLUP revenue by region→nation with grouping id — the OLAP
+    * subtotal surface (Spark `rollup` ≡ DuckDB GROUP BY ROLLUP).
+    * Revenue is summed as integer CENTS: the grand-total row folds all
+    * orders into one float sum whose low bits depend on partition
+    * order, so a double sum is NOT cross-engine (or even run-to-run)
+    * stable at the 0.01 rounding boundary; round(x*100)::long is.
+    * Dimension sides are broadcast; the rollup itself is one partial →
+    * final hash aggregate (Expand feeds 3 grouping sets through the
+    * same shuffle — no extra scan per level). */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+    val nat = Tables.nation(spark, dir)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+    val reg = Tables.region(spark, dir).select($"r_regionkey", $"r_name")
+    Tables.orders(spark, dir).select($"o_custkey", $"o_totalprice")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(
+        sum(round($"o_totalprice" * 100).cast("long")).as("revenue_cents"),
+        count(lit(1)).as("n_orders"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce($"r_name", lit("ALL")).as("r_name"),
+        coalesce($"n_name", lit("ALL")).as("n_name"),
+        $"gid".cast("long").as("gid"),
+        $"revenue_cents", $"n_orders")
+      .orderBy($"gid", $"r_name", $"n_name")
+  }
+
+  private def rollupOracle: String =
+    """SELECT coalesce(r_name, 'ALL') AS r_name,
+      |       coalesce(n_name, 'ALL') AS n_name,
+      |       GROUPING(r_name, n_name)::BIGINT AS gid,
+      |       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS revenue_cents,
+      |       count(*) AS n_orders
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY gid, r_name, n_name""".stripMargin
+
+  /** Pivot: order counts per priority × status (wide matrix). Explicit
+    * value list ⇒ deterministic output schema AND a single-pass plan
+    * (no distinct-values pre-query); counts are integer-exact. */
+  def pivotStatusCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select($"o_orderpriority", $"O".as("n_open"), $"F".as("n_filled"),
+        $"P".as("n_pending"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private def pivotOracle: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Unpivot (melt): the wide status matrix back to long form —
+    * map-side Expand, no shuffle beyond the pivot's own aggregate. */
+  def unpivotStatusCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pivotStatusCounts(spark, dir)
+      .unpivot(Array($"o_orderpriority"),
+        Array($"n_open", $"n_filled", $"n_pending"), "status", "n")
+      .orderBy($"o_orderpriority", $"status")
+  }
+
+  private def unpivotOracle: String =
+    """WITH w AS (
+      |  SELECT o_orderpriority,
+      |    count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+      |    count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+      |    count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+      |  FROM orders GROUP BY 1)
+      |SELECT o_orderpriority, 'n_open' AS status, n_open AS n FROM w
+      |UNION ALL
+      |SELECT o_orderpriority, 'n_filled', n_filled FROM w
+      |UNION ALL
+      |SELECT o_orderpriority, 'n_pending', n_pending FROM w
+      |ORDER BY o_orderpriority, status""".stripMargin
+
+  /** Tukey-fence outlier profile per group: exact interpolated
+    * quartiles (portable — proven by q54), 1.5·IQR fences, outlier
+    * counts. Two passes over the scan (percentile agg, then a
+    * broadcast-join recount) — the standard anomaly-admission filter
+    * shape; counts are integer-exact, fences mirrored unrounded in
+    * both engines. */
+  def iqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_returnflag", $"l_extendedprice")
+    val fences = li.groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.25)").as("q1"),
+        expr("percentile(l_extendedprice, 0.75)").as("q3"))
+      .withColumn("lo", $"q1" - ($"q3" - $"q1") * 1.5)
+      .withColumn("hi", $"q3" + ($"q3" - $"q1") * 1.5)
+    li.join(broadcast(fences), Seq("l_returnflag"))
+      .groupBy($"l_returnflag")
+      .agg(
+        round(max($"q1"), 4).as("q1"),
+        round(max($"q3"), 4).as("q3"),
+        sum(when($"l_extendedprice" < $"lo" || $"l_extendedprice" > $"hi", 1L)
+          .otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  private def iqrOracle: String =
+    """WITH f AS (SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, 0.25) AS q1,
+      |    quantile_cont(l_extendedprice, 0.75) AS q3
+      |  FROM lineitem GROUP BY 1),
+      |ff AS (SELECT l_returnflag, q1, q3,
+      |    q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi FROM f)
+      |SELECT l.l_returnflag, round(max(ff.q1), 4) AS q1,
+      |       round(max(ff.q3), 4) AS q3,
+      |       sum(CASE WHEN l.l_extendedprice < ff.lo
+      |                  OR l.l_extendedprice > ff.hi
+      |                THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+      |       count(*) AS n_rows
+      |FROM lineitem l JOIN ff USING (l_returnflag)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q88_iqr_outliers", iqrOutliers, Some(iqrOracle)),
+    QueryDef("q80_rollup_revenue", rollupRevenue, Some(rollupOracle)),
+    QueryDef("q81_pivot_status", pivotStatusCounts, Some(pivotOracle)),
+    QueryDef("q82_unpivot_status", unpivotStatusCounts, Some(unpivotOracle)),
     QueryDef("q54_percentiles", percentiles, Some(
       """SELECT o_orderpriority,
         | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

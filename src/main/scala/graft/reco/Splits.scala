@@ -46,4 +46,21 @@ object Splits {
       buckets: Long = 1000000L): Column =
     conv(substring(md5(concat(lit(seed), lit(":"), idCol.cast("string"))), 1, 8),
       16, 10).cast("long") % buckets
+
+  /** Deterministic stratified downsample: per-stratum keep-fraction via
+    * the portable hash bucket (corpus rebalancing — cap the dominant
+    * language/source at f% while keeping the tail whole). Map-only — a
+    * pushdown-friendly filter, no shuffle, no driver key list — and
+    * partitioning-independent, so the sample is reproducible on any
+    * cluster layout AND replayable by the SQL oracle. Fractions are
+    * resolved to integer bucket cutoffs (frac × 1e6). */
+  def stratifiedSampleBy(df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double], defaultFrac: Double,
+      seed: String): DataFrame = {
+    val cut = fractions.foldLeft(lit((defaultFrac * 1000000).toLong)) {
+      case (acc, (k, f)) =>
+        when(col(strataCol) === k, lit((f * 1000000).toLong)).otherwise(acc)
+    }
+    df.filter(hashBucketPortable(col(idCol), seed) < cut)
+  }
 }
