@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registry query against
-  * SPARK_GRAFT_SF_DIR, prints one JSON line with per-query seconds.
-  * Session is configured for the local[32] harness: shuffle
-  * partitions = cores (not 200), AQE on for runtime coalescing /
-  * skew handling, UTC session time.
+  * SPARK_GRAFT_SF_DIR, prints per-query seconds as JSON. Session is
+  * configured for the local[32] harness: shuffle partitions = cores
+  * (not 200), AQE on for runtime coalescing / skew handling, UTC
+  * session time.
   *
   * Timing methodology: each result is fully materialized through the
   * `noop` batch sink (`write.format("noop")`), which evaluates every
@@ -14,11 +14,26 @@ import org.apache.spark.sql.SparkSession
   * `.count()` instead would let Catalyst prune unreferenced
   * projections, under-measuring expression-heavy queries (NOTES_r1.md
   * lesson 1; VERDICT r1 "What's wrong" #1).
+  *
+  * Contention robustness (VERDICT r2 "Next round" #1): the driver
+  * machine is co-tenant-loaded, so a single pass measures scheduler /
+  * GC noise as much as the engine — r2's recorded run showed seeded ML
+  * fits at 2-4x their quiet-machine times. Two mitigations:
+  *   1. best-of-N: the whole gate list runs SPARK_GRAFT_BENCH_PASSES
+  *      times (default 2) and each query reports its minimum — the min
+  *      is the statistic least contaminated by co-tenant interference.
+  *   2. tail-window-proof output: the full per-query JSON line is
+  *      ~3.5 KB and BENCH_r02 proved the driver's stdout tail window
+  *      can truncate its head ("parsed": null). The full line is
+  *      printed first; the LAST stdout line is a short summary
+  *      ({"metric":"total",...} without the per-query map) that always
+  *      fits the tail window and parses on its own.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -35,7 +50,8 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.sources.Tables.lineitem(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.registry.map { q =>
+
+    def onePass(): Seq[(String, Double)] = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -44,17 +60,27 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // queries cache intermediates; dropping them between queries keeps
       // each measurement self-contained (no cross-query GC pressure from
-      // 59 leaked cache entries in one JVM)
+      // dozens of leaked cache entries in one JVM)
       spark.catalog.clearCache()
       q.name -> dt
     }
+
+    val allPasses = (1 to passes).map { i =>
+      val r = onePass()
+      System.err.println(f"[bench] pass $i/$passes total ${r.map(_._2).sum}%.1f s")
+      r
+    }
+    // per-query minimum across passes (keyed merge — registry order kept)
+    val results: Seq[(String, Double)] = allPasses.head.map { case (name, _) =>
+      name -> allPasses.map(_.toMap.getOrElse(name, Double.MaxValue)).min
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // the round-1 gate set (BENCH_r01) — its subtotal is the
     // apples-to-apples number against the 86.9 s baseline; `total`
-    // additionally includes every gate added since (20 more by r2,
-    // including two extra ML grid fits)
+    // additionally includes every gate added since
     val r1Set = Set(
       "q01_agg_pricing_summary", "q02_filter_project", "q03_join_top_revenue",
       "q04_semi_join_priority", "q05_anti_join_customers", "q06_cross_join_regions",
@@ -75,12 +101,16 @@ object Bench {
       "q51_itemcf_recommend", "q52_rolling_windows", "q53_ngram_jaccard",
       "q54_percentiles", "q55_approx_distinct", "q56_pii_redaction")
     val r1Total = results.collect { case (k, v) if r1Set(k) => v }.sum
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"queries":$qs,"sf":"$sfDir"}"""
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"queries":$qs,"sf":"$sfDir"}"""
+    val shortLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"sf":"$sfDir"}"""
     spark.stop()
-    // print last, after spark shutdown, so no executor log line can
-    // interleave with the one JSON line the driver parses
-    println(json)
+    // print after spark shutdown so no executor log line interleaves.
+    // Full per-query line first (humans / history), short summary line
+    // LAST — the driver's tail window always captures and parses it.
+    println(fullLine)
+    println(shortLine)
     Console.out.flush()
   }
 }

@@ -15,17 +15,25 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (100 TB): each round is one shuffle join on the edge
   * list plus a min-aggregate — no driver-side graph state, no
-  * collect. Rounds needed = the largest component's diameter; LSH dup
-  * clusters are near-cliques (every member collides with the canon in
-  * some band), so 2–4 rounds in practice. For adversarial long-chain
-  * graphs the alternating large-star/small-star variant (Kiveris et
-  * al., "Connected Components in MapReduce and Beyond", SoCC'14)
-  * converges in O(log² n) rounds with the same per-round join shape;
-  * the hash-min form is kept here because dedup graphs are shallow and
-  * the simpler plan wins. Lineage is cut every round with
-  * localCheckpoint, else the iterated join plan grows unboundedly and
-  * re-optimizes from scratch each action (NOTES_r1 ALS checkpoint
-  * lesson applies to any driver-side iteration).
+  * collect. The per-round `changed` test is carried as a flag column
+  * inside the round's result and counted over the eagerly
+  * checkpointed frame, so it never re-executes the round's join
+  * (VERDICT r2 "What's wrong" #2). Rounds needed = the largest
+  * component's diameter; LSH dup clusters are near-cliques (every
+  * member collides with the canon in some band), so 2–4 rounds in
+  * practice. For adversarial long-chain graphs the alternating
+  * large-star/small-star variant (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14) converges in
+  * O(log² n) rounds with the same per-round join shape; the hash-min
+  * form is kept here because dedup graphs are shallow and the simpler
+  * plan wins — and if the cap is ever hit on a deeper graph the loop
+  * now THROWS instead of silently returning non-converged labels
+  * (ADVICE r2). Lineage is cut every round, else the iterated join
+  * plan grows unboundedly and re-optimizes from scratch each action;
+  * `reliableCheckpoint = true` writes rounds to the configured
+  * checkpoint dir so an executor loss on a real cluster cannot kill
+  * truncated lineage (localCheckpoint blocks are memory/disk-local to
+  * the executor that wrote them).
   */
 object ConnectedComponents {
 
@@ -34,19 +42,25 @@ object ConnectedComponents {
     * pair is symmetrized internally.
     *
     * @param edges   two long-typed columns naming an undirected edge
-    * @param maxIter hard round cap (convergence is checked each round;
-    *                the cap only guards adversarial chain graphs)
+    * @param maxIter hard round cap; if hit while labels are still
+    *                changing, throws IllegalStateException rather than
+    *                returning wrong (non-converged) components
+    * @param reliableCheckpoint cut lineage via `checkpoint()` (needs
+    *                `sparkContext.setCheckpointDir`) instead of
+    *                `localCheckpoint()`; use on real clusters where an
+    *                executor loss must not lose truncated lineage
     */
   def hashMin(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, reliableCheckpoint: Boolean = false): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
     val fwd = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val adj = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
 
-    var labels = adj.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+    var labels = cut(adj.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxIter) {
@@ -54,16 +68,23 @@ object ConnectedComponents {
       val nbrMin = adj.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("comp")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      // the changed flag rides along in the checkpointed result, so the
+      // convergence count below scans materialized blocks — the join
+      // executes exactly once per round
+      val next = cut(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      changed = next.join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
-        .filter(col("comp") =!= col("prev")).count()
-      labels = next
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
+          (coalesce(col("nbr_min"), col("comp")) < col("comp")).as("chg")))
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("id"), col("comp"))
       round += 1
     }
     adj.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"hashMin did not converge in $maxIter rounds ($changed labels still " +
+          "changing) — component diameter exceeds the cap; raise maxIter or " +
+          "switch to the large-star/small-star variant for deep graphs")
     labels
   }
 }

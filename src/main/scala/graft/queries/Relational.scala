@@ -400,8 +400,11 @@ object Relational {
     val fences = li.groupBy($"l_returnflag")
       .agg(expr("percentile(l_extendedprice, 0.25)").as("q1"),
         expr("percentile(l_extendedprice, 0.75)").as("q3"))
-      .withColumn("lo", $"q1" - ($"q3" - $"q1") * 1.5)
-      .withColumn("hi", $"q3" + ($"q3" - $"q1") * 1.5)
+      // fences quantized to 4 decimals IDENTICALLY in both engines: a
+      // 1-ulp quantile-interpolation delta with a price exactly at an
+      // unrounded fence could otherwise flip n_outliers (ADVICE r2)
+      .withColumn("lo", round($"q1" - ($"q3" - $"q1") * 1.5, 4))
+      .withColumn("hi", round($"q3" + ($"q3" - $"q1") * 1.5, 4))
     li.join(broadcast(fences), Seq("l_returnflag"))
       .groupBy($"l_returnflag")
       .agg(
@@ -419,7 +422,8 @@ object Relational {
       |    quantile_cont(l_extendedprice, 0.75) AS q3
       |  FROM lineitem GROUP BY 1),
       |ff AS (SELECT l_returnflag, q1, q3,
-      |    q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi FROM f)
+      |    round(q1 - (q3 - q1) * 1.5, 4) AS lo,
+      |    round(q3 + (q3 - q1) * 1.5, 4) AS hi FROM f)
       |SELECT l.l_returnflag, round(max(ff.q1), 4) AS q1,
       |       round(max(ff.q3), 4) AS q3,
       |       sum(CASE WHEN l.l_extendedprice < ff.lo

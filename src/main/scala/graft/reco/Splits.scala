@@ -57,9 +57,12 @@ object Splits {
   def stratifiedSampleBy(df: DataFrame, strataCol: String, idCol: String,
       fractions: Map[String, Double], defaultFrac: Double,
       seed: String): DataFrame = {
-    val cut = fractions.foldLeft(lit((defaultFrac * 1000000).toLong)) {
+    // math.round, not toLong: truncation would turn a double product
+    // landing 1 ulp below the integer (e.g. 0.29*1e6 = 289999.99…) into
+    // cutoff N-1 while a hand-written oracle uses N (ADVICE r2)
+    val cut = fractions.foldLeft(lit(math.round(defaultFrac * 1000000))) {
       case (acc, (k, f)) =>
-        when(col(strataCol) === k, lit((f * 1000000).toLong)).otherwise(acc)
+        when(col(strataCol) === k, lit(math.round(f * 1000000))).otherwise(acc)
     }
     df.filter(hashBucketPortable(col(idCol), seed) < cut)
   }

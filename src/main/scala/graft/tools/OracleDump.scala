@@ -12,9 +12,7 @@ object OracleDump {
     val entries = graft.SparkEntry.oracleSql
       .filter { case (n, _) => names.isEmpty || names.contains(n) }
     val json = entries.toSeq.sortBy(_._1).map { case (n, sql) =>
-      val esc = sql.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n").replace("\t", "\\t")
-      s""""$n": "$esc""""
+      s"${graft.JsonUtil.quote(n)}: ${graft.JsonUtil.quote(sql)}"
     }.mkString("{", ",\n", "}")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.write(

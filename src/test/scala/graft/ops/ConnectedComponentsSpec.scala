@@ -25,6 +25,31 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(l.size == n + 1)
   }
 
+  test("adversarial long chain: cap hit while still changing THROWS " +
+      "instead of returning non-converged labels") {
+    // path graph of 10^4 nodes — diameter 9999; hash-min propagates the
+    // min one hop per round, so maxIter=5 cannot converge. Before the
+    // r3 fix this silently returned wrong components (ADVICE r2).
+    val edges = (0L until 10000L).map(i => (i, i + 1L)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.hashMin(edges, "a", "b", maxIter = 5)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("reliableCheckpoint variant produces identical labels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (21L, 20L)).toDF("a", "b")
+      val l = ConnectedComponents
+        .hashMin(edges, "a", "b", reliableCheckpoint = true)
+        .as[(Long, Long)].collect().toMap
+      assert(l == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("edge direction and duplicates are irrelevant") {
     val a = labelsOf(Seq((5L, 3L), (3L, 5L), (5L, 3L), (7L, 5L)))
     assert(a == Map(3L -> 3L, 5L -> 3L, 7L -> 3L))
