@@ -11,12 +11,29 @@ import org.apache.spark.sql.functions._
 /** ML/text pipeline operator coverage (SURVEY.md §2.10). */
 object Ml {
 
+  /** One TF-IDF weights frame per (session, sfDir), shared by
+    * q41/q61/q86 — previously each gate rebuilt the weights AND ran its
+    * own docs.count() for the idf term (VERDICT r2 "What's wrong" #3).
+    * The frame is .cache()d: Verify reuses the materialized weights
+    * across the three gates; Bench's per-gate clearCache() evicts the
+    * blocks so each measurement stays self-contained (the plan then
+    * lazily recomputes — correctness never depends on cache state). */
+  private val tfidfMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  def docTfidfWeights(spark: SparkSession, dir: String): DataFrame =
+    tfidfMemo.computeIfAbsent(s"${System.identityHashCode(spark)}:$dir", _ => {
+      val docs = Tables.documents(spark, dir)
+      ContentRecommender.tfidfWeights(docs, "doc_id", "text",
+        minDf = 1, maxDfFrac = 0.8, nDocs = Some(docs.count())).cache()
+    })
+
   /** TF-IDF similar-docs via prefix-filtered inverted-index join (the
     * ES More-Like-This replacement, SURVEY.md §7.3; exact variant in
     * ContentRecommender.similarDocs, spec-covered). */
   def tfidfSimilarDocs(spark: SparkSession, dir: String): DataFrame =
     ContentRecommender.similarDocsPrefix(Tables.documents(spark, dir),
-        "doc_id", "text", k = 5, m = 4)
+        "doc_id", "text", k = 5, m = 4,
+        weights = Some(docTfidfWeights(spark, dir)))
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"),
         col("rn").cast("long").as("rn"))
       .orderBy(col("id_a"), col("rn"))
@@ -92,7 +109,8 @@ object Ml {
     val users = inter.select(col("user_id")).distinct()
       .filter(col("user_id") < 10)
     new ContentUserRecommender(inter, Tables.documents(spark, dir),
-        "doc_id", "text", recentK = 3, prefixM = 4)
+        "doc_id", "text", recentK = 3, prefixM = 4,
+        weights = Some(docTfidfWeights(spark, dir)))
       .recommendForUsers(users, 5)
       .select(col("user_id").cast("long").as("user_id"), col("item_id"),
         col("score"), col("source"), col("rn").cast("long").as("rn"))
@@ -121,8 +139,7 @@ object Ml {
     * weight, term tiebreak, as q61 does for cross-engine stability. */
   def tfidfVectors(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    ContentRecommender.tfidfWeights(Tables.documents(spark, dir),
-        "doc_id", "text", minDf = 1, maxDfFrac = 0.8)
+    docTfidfWeights(spark, dir)
       .withColumn("w6", round(col("w"), 6))
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("w6").desc, col("term"))))
