@@ -27,6 +27,47 @@ class MultimodalSpec extends SparkSpec {
     assert(strides.forall(_ % 4 == 0))
   }
 
+  test("video rows are REAL GVID streams of PNG frames, really decoded") {
+    val corpus = Multimodal.synthCorpus(spark, 30).cache()
+    val vids = corpus.filter($"kind" === "video").collect()
+    assert(vids.nonEmpty)
+    // container magic + every frame carries the PNG signature
+    vids.foreach { r =>
+      assert(r.payload(0) == 'G'.toByte && r.payload(1) == 'V'.toByte
+        && r.payload(2) == 'I'.toByte && r.payload(3) == 'D'.toByte)
+    }
+    // frame dims come from the PNG codec, not the metadata: declared
+    // dims are the logical size, frames are encoded at half (min 8)
+    val frames = Multimodal.sampleFrames(corpus, everyK = 1).collect()
+    val declared = vids.map(r => r.media_id -> (r.declared_w, r.declared_h)).toMap
+    assert(frames.nonEmpty)
+    frames.foreach { f =>
+      val (dw, dh) = declared(f.getAs[Long]("media_id"))
+      assert(f.getAs[Int]("frame_w") == (dw / 2).max(8))
+      assert(f.getAs[Int]("frame_h") == (dh / 2).max(8))
+      val g = f.getAs[Double]("frame_mean_gray")
+      assert(g > 0 && g < 255)
+    }
+    // frame content varies with the index (seeded "motion"): a video's
+    // frames don't all share one aHash
+    val perVid = frames.groupBy(_.getAs[Long]("media_id"))
+    assert(perVid.values.exists(_.map(_.getAs[Long]("frame_ahash")).distinct.length > 1))
+  }
+
+  test("GVID encode/decode round-trip is lossless on frame count and " +
+      "stride skips undecoded frames") {
+    val payload = Multimodal.encodeVideo(nFrames = 10, w = 16, h = 12, seed = 7L)
+    val all = Multimodal.videoFrames(payload).toArray
+    assert(all.length == 10)
+    assert(all.forall { case (_, _, img) =>
+      img.getWidth == 16 && img.getHeight == 12 })
+    val strided = Multimodal.videoFrames(payload, everyK = 3).toArray
+    assert(strided.map(_._1).toSeq == Seq(0, 3, 6, 9))
+    // deterministic: same seed, same bytes
+    assert(java.util.Arrays.equals(payload,
+      Multimodal.encodeVideo(10, 16, 12, 7L)))
+  }
+
   test("metadata-only projection prunes the payload column") {
     val meta = Multimodal.metadataOnly(Multimodal.synthCorpus(spark, 10).toDF())
     assert(!meta.columns.contains("payload"))
