@@ -500,6 +500,37 @@ object Llm {
         nCells = 8, nProbe = 2)
       .orderBy(col("query_id"), col("rn"))
 
+  /** ANN recall@5 of each approximate variant vs the exact brute-force
+    * truth (q37), as a driver-checked gate: (variant, recall_at_5,
+    * n_truth_pairs). Everything is seeded → the rounded recall is
+    * byte-stable, so a drift in LSH banding or IVF routing fails the
+    * driver, not just a spec (VERDICT r2 "Next round" #8). Declarative
+    * end to end: truth ⟕ approx semi-overlap counted in one agg per
+    * variant, no driver-side set math. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(queries, emb, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def recallRow(name: String, approx: DataFrame): DataFrame =
+      truth.join(
+          approx.filter(col("query_id") < 20)
+            .select(col("query_id"), col("neighbor_id"))
+            .withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(
+          round(sum(coalesce(col("hit"), lit(0L))) / count(lit(1)), 3)
+            .as("recall_at_5"),
+          count(lit(1)).as("n_truth_pairs"))
+        .select(lit(name).as("variant"), col("recall_at_5"),
+          col("n_truth_pairs"))
+    recallRow("lsh", Similarity.lshTopK(emb, k = 5, nPlanes = 6, dim = 64,
+        nTables = 8))
+      .union(recallRow("ivf", Similarity.ivfTopK(emb, k = 5, nCells = 8,
+        nProbe = 2)))
+      .orderBy(col("variant"))
+  }
+
   /** Per-label mean embedding, flattened to (label, pos, m). */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -669,6 +700,7 @@ object Llm {
         |ORDER BY query_id, rn""".stripMargin)),
     QueryDef("q38_ann_lsh", annLsh, None),
     QueryDef("q39_ann_ivf", annIvf, None),
+    QueryDef("q89_ann_recall", annRecall, None),
     QueryDef("q40_label_centroids", labelCentroids, Some(
       """SELECT label, ord AS pos, round(avg(val), 6) AS m
         |FROM (SELECT label, unnest(embedding) AS val,
