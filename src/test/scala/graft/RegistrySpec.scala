@@ -11,7 +11,8 @@ class RegistrySpec extends AnyFunSuite {
     val names = SparkEntry.registry.map(_.name)
     assert(names.distinct.size == names.size,
       s"duplicate gates: ${names.diff(names.distinct)}")
-    names.foreach(n => assert(n.matches("q\\d+_[a-z0-9_]+"), n))
+    // qNN_name, with an optional variant letter (q54b = approx twin of q54)
+    names.foreach(n => assert(n.matches("q\\d+[a-z]?_[a-z0-9_]+"), n))
   }
 
   test("every oracle belongs to a registered query and is non-empty") {
