@@ -205,8 +205,13 @@ object AlbedoRanker {
     import spark.implicits._
     val nFeatures = scored.select(col("features")).head()
       .getAs[org.apache.spark.ml.linalg.Vector](0).size
-    Seq((nFeatures.toLong, train.count(), test.count(),
-      math.rint(auc * 1e3) / 1e3)) // run-stable digits only
-      .toDF("n_features", "train_rows", "test_rows", "auc")
+    val auc3 = math.rint(auc * 1e3) / 1e3 // run-stable digits only
+    // quality-parity band (BASELINE.md row 5 lifecycle on the fixture
+    // corpus; observed 0.975): a broken feature path collapses toward
+    // chance, a label leak saturates to 1.0 — both escape the band
+    Seq((nFeatures.toLong, train.count(), test.count(), auc3,
+      auc3 >= 0.90 && auc3 <= 0.99))
+      .toDF("n_features", "train_rows", "test_rows", "auc",
+        "auc_within_band")
   }
 }
