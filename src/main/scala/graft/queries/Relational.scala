@@ -260,6 +260,24 @@ object Relational {
       .orderBy($"c_custkey")
   }
 
+  /** Grouped aggregation with a post-aggregation predicate (HAVING) —
+    * heavy-hitter customers by order count. Fills the q19 numbering gap
+    * (VERDICT r2 cosmetic note). Catalyst keeps the HAVING filter above
+    * the partial-agg exchange, so the map side still combines. */
+  def havingHeavyCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // integer-cents math end to end: float sums at a half boundary
+    // round differently across engines (ADVICE r2 quantization rule)
+    Tables.orders(spark, dir)
+      .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"cents").as("spend_cents"))
+      .filter($"n_orders" >= 10)
+      .withColumn("avg_cents", expr("spend_cents div n_orders"))
+      .orderBy($"spend_cents".desc, $"o_custkey")
+  }
+
   /** Exact interpolated percentiles per group (both engines use linear
     * interpolation) + a sketch-based approximate distinct for the same
     * frame (rows-only accuracy covered in spec). */
@@ -505,6 +523,14 @@ object Relational {
         | nullif(c_mktsegment, 'BUILDING') IS NULL AS has_null
         |FROM customer
         |ORDER BY c_custkey""".stripMargin)),
+    QueryDef("q19_having_heavy_customers", havingHeavyCustomers, Some(
+      """SELECT o_custkey, count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // count(*) AS BIGINT) AS avg_cents
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) >= 10
+        |ORDER BY spend_cents DESC, o_custkey""".stripMargin)),
     QueryDef("q01_agg_pricing_summary", pricingSummary, Some(
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
