@@ -4,7 +4,7 @@ import graft.QueryDef
 import graft.ml.RankerPipeline
 import graft.reco.{ContentRecommender, ContentUserRecommender, Interactions}
 import graft.sources.Tables
-import graft.text.{PorterStemmer, Tokenize}
+import graft.text.{Porter2Stemmer, Tokenize}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -38,10 +38,13 @@ object Ml {
         col("rn").cast("long").as("rn"))
       .orderBy(col("id_a"), col("rn"))
 
-  /** Tokenize + Porter-stem the corpus; emits sorted distinct stems per
-    * doc (rows-only: Porter not expressible in DuckDB). */
+  /** Tokenize + stem the corpus with Porter2 (the algorithm behind the
+    * reference's Snowball EnglishStemmer — SnowballStemmer.scala:7,18;
+    * r1/r2's classic-Porter delta is closed); emits sorted distinct
+    * stems per doc (rows-only: not expressible in DuckDB — its stem()
+    * needs the undownloadable fts extension). */
   def stemmedTokens(spark: SparkSession, dir: String): DataFrame = {
-    val stemUdf = udf((ts: Seq[String]) => ts.map(PorterStemmer.stem))
+    val stemUdf = udf((ts: Seq[String]) => ts.map(Porter2Stemmer.stem))
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         array_join(array_sort(array_distinct(
