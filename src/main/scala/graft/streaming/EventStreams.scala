@@ -140,6 +140,74 @@ object EventStreams {
       }
   }
 
+  case class SessionOut(userId: Long, startUs: Long, endUs: Long,
+      nEvents: Long, sessionValue: Double)
+  /** State record for [[sessionizeCustom]] (public: encoders codegen
+    * against its accessors). */
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long, v: Double)
+
+  /** Custom sessionization via flatMapGroupsWithState with
+    * EventTimeTimeout — the timeout-driven half of the custom-state API
+    * that [[runningUserTotals]] (mapGroupsWithState, NoTimeout) doesn't
+    * exercise. Semantics match session_window(gap): a session closes
+    * when a later event of the same user arrives past the gap (emitted
+    * inline) or when the watermark passes lastTs+gap (emitted by the
+    * no-data timeout batch); endUs = lastTs + gap, as session_window
+    * defines the window end.
+    *
+    * Scale design: state is ONE OpenSession per active user (bounded by
+    * timeout eviction, O(active users) not O(stream)); the per-call sort
+    * covers only one user's slice of one micro-batch, never the stream.
+    */
+  def sessionizeCustom(events: DataFrame, gapMinutes: Int = 30)
+      : Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+    def close(uid: Long, s: OpenSession): SessionOut =
+      SessionOut(uid, s.startUs, s.lastUs + gapUs, s.n,
+        math.rint(s.v * 100) / 100)
+    // the watermarked timestamp attribute itself must reach the
+    // stateful operator (EventTimeTimeout is defined against it) — any
+    // projection or map that drops it fails analysis, so the micros
+    // conversion happens inside the state function
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+    events.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rawRows, state) =>
+          if (state.hasTimedOut) {
+            val out = close(uid, state.get)
+            state.remove()
+            Iterator(out)
+          } else {
+            val sorted = rawRows.map(r => (r._1, micros(r._2), r._3))
+              .toArray.sortBy(r => (r._2, r._3))
+            val closed = Seq.newBuilder[SessionOut]
+            var open = state.getOption
+            for ((_, us, v) <- sorted) open match {
+              case Some(s) if us - s.lastUs <= gapUs =>
+                open = Some(OpenSession(s.startUs, us, s.n + 1, s.v + v))
+              case Some(s) =>
+                closed += close(uid, s)
+                open = Some(OpenSession(us, us, 1, v))
+              case None =>
+                open = Some(OpenSession(us, us, 1, v))
+            }
+            open.foreach { s =>
+              state.update(s)
+              // fire once the watermark passes the session's gap edge
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Drive a streaming query to completion against a bounded source and
     * return the materialized result (memory sink). */
   def runToMemory(df: DataFrame, name: String,

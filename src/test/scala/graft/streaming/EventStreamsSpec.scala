@@ -56,6 +56,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(overlaps == 0)
   }
 
+  test("flatMapGroupsWithState sessionizer matches session_window semantics") {
+    import spark.implicits._
+    // batch truth: built-in session_window over the same events
+    val batch = EventStreams.userSessions(
+        graft.sources.Tables.events(spark, sf0001))
+      .select($"user_id", expr("unix_micros(session_start)"),
+        expr("unix_micros(session_end)"), $"n_events", $"session_value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty)
+
+    val stream = EventStreams.readEvents(spark, sf0001)
+    val got = EventStreams.runToMemory(
+        EventStreams.sessionizeCustom(stream).toDF(), "fmgws_sessions")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.length == got.toSet.size, "duplicate session emissions")
+
+    // every emitted session is exactly a batch session
+    val gotSet = got.toSet
+    assert((gotSet -- batch).isEmpty,
+      s"streamed sessions not in batch truth: ${(gotSet -- batch).take(3)}")
+
+    // completeness: every session comfortably closed before the final
+    // watermark (end + 1h < max event time) must have been emitted —
+    // only each user's tail session may legitimately still be open
+    val maxUs = graft.sources.Tables.events(spark, sf0001)
+      .select(max(expr("unix_micros(ts)"))).head().getLong(0)
+    val mustEmit = batch.filter(_._3 + 3600000000L < maxUs)
+    assert((mustEmit -- gotSet).isEmpty,
+      s"closed sessions missing from stream: ${(mustEmit -- gotSet).take(3)}")
+    assert(mustEmit.nonEmpty && gotSet.size >= mustEmit.size)
+  }
+
   test("streaming dedup emits the same logical rows as the batch twin") {
     import spark.implicits._
     val batchEv = graft.sources.Tables.events(spark, sf0001)
