@@ -1,0 +1,87 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Dictionary-based CJK word segmentation via forward maximum matching
+  * (FMM — the classic greedy longest-match algorithm from the Chinese
+  * word-segmentation literature; see e.g. Wong & Chan 1996, and the
+  * MMSEG family it underlies).
+  *
+  * This supplies the capability behind the reference's HanLP
+  * dictionary segmentation (reference: src/main/scala/ws/vinta/albedo/
+  * transformers/HanLPTokenizer.scala:30-34 — `HanLP.newSegment().seg`,
+  * a dictionary/Viterbi segmenter). HanLP's core lexicon ships with its
+  * jar and is unavailable offline, so the engine makes the LEXICON
+  * pluggable: callers pass any word list; an embedded starter lexicon
+  * of common software-domain words covers the fixture corpora. With no
+  * dictionary hit the algorithm degrades to per-character tokens —
+  * exactly the r1/r2 fallback behavior, now the worst case instead of
+  * the only case.
+  *
+  * Scale: the dictionary is broadcast once per UDF closure (a Set of
+  * short strings — MBs at real-lexicon size, well under broadcast
+  * limits); segmentation is linear in text length with O(maxWordLen)
+  * lookahead per position. A UDF is acceptable here by the engine's own
+  * preference order: like the Porter stemmers, there is no built-in
+  * expression equivalent, and the reference's own implementation is a
+  * per-row UDF Transformer.
+  */
+object CjkSegmenter {
+
+  /** Starter lexicon: common Chinese software/tech compounds (public
+    * everyday vocabulary). Replace or extend with a real lexicon in
+    * deployment. */
+  val starterLexicon: Set[String] = Set(
+    "机器学习", "深度学习", "数据科学", "人工智能", "神经网络",
+    "自然语言", "语言处理", "数据分析", "数据库", "工程师", "程序员",
+    "开源", "软件", "开发", "代码", "算法", "框架", "工具", "项目",
+    "作業", "学习", "数据", "计算机", "系统", "网络", "应用",
+    "东京", "谷歌", "台北")
+
+  private def isCjk(c: Char): Boolean = c >= '一' && c <= '鿿'
+
+  /** FMM over a CJK run: at each position take the longest dictionary
+    * word starting there (bounded lookahead), else a single char. */
+  def segmentRun(run: String, dict: Set[String], maxWordLen: Int = 8)
+      : Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < run.length) {
+      var matched: String = null
+      var len = math.min(maxWordLen, run.length - i)
+      while (matched == null && len >= 2) {
+        val cand = run.substring(i, i + len)
+        if (dict.contains(cand)) matched = cand else len -= 1
+      }
+      if (matched == null) { out += run.substring(i, i + 1); i += 1 }
+      else { out += matched; i += matched.length }
+    }
+    out.result()
+  }
+
+  /** Segment every CJK run inside a mixed-script token list (non-CJK
+    * tokens pass through). */
+  def segmentTokens(tokens: Seq[String], dict: Set[String]): Seq[String] =
+    tokens.flatMap { t =>
+      if (t.nonEmpty && t.forall(isCjk)) segmentRun(t, dict) else Seq(t)
+    }
+
+  /** Column form: tokenize as [[Tokenize.cjkAware]] but with CJK runs
+    * dictionary-segmented instead of split per character. */
+  def cjkAwareDict(text: Column,
+      dict: Set[String] = starterLexicon): Column = {
+    val segmentUdf = udf { (s: String) =>
+      if (s == null) Seq.empty[String]
+      else {
+        val lower = s.toLowerCase
+        // latin words (with c++/c# suffixes) or whole CJK runs
+        val re = "([a-z0-9]+(?:\\+\\+|#)?|[\\u4e00-\\u9fff]+)".r
+        val raw = re.findAllIn(lower).toSeq
+        segmentTokens(raw, dict).filter(t =>
+          t.length > 1 || t == "c" || t == "r" || t.headOption.exists(isCjk))
+      }
+    }
+    segmentUdf(text)
+  }
+}

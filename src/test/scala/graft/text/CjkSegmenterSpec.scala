@@ -1,0 +1,52 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CjkSegmenterSpec extends SparkSpec {
+
+  private val dict = CjkSegmenter.starterLexicon
+
+  test("FMM takes the longest dictionary word at each position") {
+    assert(CjkSegmenter.segmentRun("机器学习", dict) == Seq("机器学习"))
+    // longest match wins over the shorter "学习" inside it
+    assert(CjkSegmenter.segmentRun("机器学习工程师", dict) ==
+      Seq("机器学习", "工程师"))
+    // unknown spans degrade to per-character (the r1/r2 fallback)
+    assert(CjkSegmenter.segmentRun("狮子", dict) == Seq("狮", "子"))
+    // mixed known/unknown
+    assert(CjkSegmenter.segmentRun("我爱机器学习", dict) ==
+      Seq("我", "爱", "机器学习"))
+  }
+
+  test("segmentTokens leaves non-CJK tokens untouched") {
+    assert(CjkSegmenter.segmentTokens(
+      Seq("spark", "机器学习", "c++"), dict) ==
+      Seq("spark", "机器学习", "c++"))
+  }
+
+  test("column form mirrors the HanLPTokenizer contract") {
+    import spark.implicits._
+    val df = Seq(
+      "I use C++ and 机器学习 at 谷歌",
+      "R and scala for 数据分析",
+      "x 深度学习框架").toDF("text")
+    val got = df.select(CjkSegmenter.cjkAwareDict($"text").as("toks"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("use", "c++", "and", "机器学习", "at", "谷歌"))
+    // 1-char non-CJK dropped except whitelisted c/r
+    assert(got(1) == Seq("r", "and", "scala", "for", "数据分析"))
+    assert(got(2) == Seq("深度学习", "框架"))
+  }
+
+  test("empty dictionary degrades exactly to per-character segmentation") {
+    import spark.implicits._
+    val df = Seq("機器学習 spark").toDF("text")
+    val perChar = df.select(Tokenize.cjkAware($"text").as("t"))
+      .as[Seq[String]].head()
+    val fmmEmpty = df.select(
+        CjkSegmenter.cjkAwareDict($"text", Set.empty).as("t"))
+      .as[Seq[String]].head()
+    assert(fmmEmpty == perChar)
+  }
+}
