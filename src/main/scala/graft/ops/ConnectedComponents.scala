@@ -84,7 +84,86 @@ object ConnectedComponents {
       throw new IllegalStateException(
         s"hashMin did not converge in $maxIter rounds ($changed labels still " +
           "changing) — component diameter exceeds the cap; raise maxIter or " +
-          "switch to the large-star/small-star variant for deep graphs")
+          "switch to largeStarSmallStar for deep graphs")
     labels
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components
+    * in MapReduce and Beyond", SoCC'14): converges in O(log² n) rounds
+    * on ANY graph shape, where [[hashMin]] needs diameter rounds. Same
+    * per-round plan shape (groupBy-min + join on the edge list), two
+    * shuffles per round instead of one — the right trade exactly when
+    * the graph is deep (adversarial chains, social-graph tails).
+    *
+    *   large-star: every node's strictly-larger neighbors re-point to
+    *     the minimum of its closed neighborhood m(u) = min(Γ(u) ∪ u):
+    *     LS(E) = { (v, m(u)) : v ∈ Γ(u), v > u }
+    *   small-star: every node and its smaller neighbors re-point to m:
+    *     SS(E) = { (v, m(u)) : v ∈ Γ(u), v < u } ∪ { (u, m(u)) }
+    *
+    * At the fixpoint the edge set is a union of stars (member → min);
+    * fixpoint is detected by an order-independent checksum of the edge
+    * set (count + hash sum) over the checkpointed frame — one extra
+    * cheap scan, never a re-join. Returns (id, component), identical
+    * labeling contract to [[hashMin]].
+    */
+  def largeStarSmallStar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20, reliableCheckpoint: Boolean = false): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    def neighbors(e: DataFrame): DataFrame =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    def minOfClosedNbr(nb: DataFrame): DataFrame =
+      nb.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
+        .select(col("src"), least(col("__mn"), col("src")).as("m"))
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = neighbors(e)
+      nb.join(minOfClosedNbr(nb), Seq("src"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val nb = neighbors(e)
+      val withM = nb.join(minOfClosedNbr(nb), Seq("src"))
+      withM.filter(col("dst") < col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(withM.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+    def checksum(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent, overflow-free under ANSI (a sum of
+      // xxhash64 values overflows long)
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    val input = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val allNodes = cut(neighbors(input).select(col("src").as("id")).distinct())
+
+    var e = cut(input.distinct())
+    var prev = checksum(e)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      e = cut(smallStar(largeStar(e)))
+      val cur = checksum(e)
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"largeStarSmallStar did not converge in $maxIter rounds — " +
+          "raise maxIter (expected O(log^2 n) rounds)")
+    // stars: src = member, dst = component root; roots label themselves
+    allNodes
+      .join(e.groupBy(col("src").as("id")).agg(min(col("dst")).as("root")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("comp"))
   }
 }

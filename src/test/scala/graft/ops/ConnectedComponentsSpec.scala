@@ -37,6 +37,36 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("largeStarSmallStar labels equal hashMin on mixed graph shapes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // random graph + a clique + a chain, shuffled ids
+    val edges = (
+      (1 to 300).map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong)) ++
+        (for (a <- 500 to 505; b <- 500 to 505 if a < b) yield (a.toLong, b.toLong)) ++
+        (600 until 650).map(i => (i.toLong, i + 1L))
+      ).filter(e => e._1 != e._2).toDF("a", "b")
+    val hm = ConnectedComponents.hashMin(edges, "a", "b", maxIter = 250)
+      .as[(Long, Long)].collect().toMap
+    val lsss = ConnectedComponents.largeStarSmallStar(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(lsss == hm)
+  }
+
+  test("largeStarSmallStar converges on a deep chain in O(log^2 n) rounds " +
+      "where hashMin needs diameter rounds") {
+    import spark.implicits._
+    val n = 2000
+    val edges = (1 until n).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    // hashMin at this diameter would need ~n rounds (spec above proves
+    // the throw); the star algorithm converges inside a small cap
+    val labels = ConnectedComponents
+      .largeStarSmallStar(edges, "a", "b", maxIter = 15)
+      .as[(Long, Long)].collect()
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 1L), "single chain must collapse to min id")
+  }
+
   test("reliableCheckpoint variant produces identical labels") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
