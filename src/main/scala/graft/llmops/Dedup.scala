@@ -143,12 +143,21 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup candidate pipeline.
     *
+    * @param maxBucketSize adversarial-corpus guard: band buckets larger
+    *        than this are dropped before the self-join (a bucket of
+    *        size B contributes B² candidate rows — an exact-dup flood
+    *        of 10^5 identical docs would otherwise emit 10^10 pairs).
+    *        Oversized buckets are near-certainly exact-dup floods,
+    *        which the exact-dedup pre-collapse (the composed pipeline's
+    *        first stage, q33 → q35) already handles; the cap makes the
+    *        near-dup stage safe even when run raw. None (default)
+    *        preserves exact recall — the oracled gates run uncapped.
     * @return (id_a, id_b, est_jaccard) for candidate pairs with
     *         signature-estimated Jaccard ≥ threshold, id_a < id_b.
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Option[Int] = None): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
 
@@ -159,7 +168,17 @@ object Dedup {
     // per bucket (degenerate corpora share global minima), so candidate
     // rows must be 16 bytes, not 16 bytes + two 512-byte signatures —
     // signatures re-attach AFTER pair dedup (measured 30× at sf0.1)
-    val banded = bandRows(withSig, bands, rowsPerBand)
+    val bandedAll = bandRows(withSig, bands, rowsPerBand)
+    // bucket-size cap: one count per (band, bucket) — a window over the
+    // same shuffle key the join needs anyway, no extra exchange
+    val banded = maxBucketSize match {
+      case Some(cap) =>
+        val byBucket = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))
+        bandedAll.withColumn("__bsz", count(lit(1)).over(byBucket))
+          .filter(col("__bsz") <= cap).drop("__bsz")
+      case None => bandedAll
+    }
 
     val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))

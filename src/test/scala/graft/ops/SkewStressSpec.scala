@@ -107,11 +107,25 @@ class SkewStressSpec extends SparkSpec {
     assert(canonMaxBucket <= 10,
       s"canonical corpus still floods buckets: $canonMaxBucket")
     // candidate pairs: n^2 avoided (2000^2/2 = 2M raw -> bounded)
-    val candidates = Dedup.minhashCandidates(canon, "doc_id", "text",
-      shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5).count()
+    val canonPairs = Dedup.minhashCandidates(canon, "doc_id", "text",
+      shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5).cache()
+    val candidates = canonPairs.count()
     assert(candidates < 1000)
+
+    // and the raw path is ALSO safe with the bucket cap engaged: the
+    // flood buckets are dropped wholesale, distinct-doc pairs survive
+    val capped = Dedup.minhashCandidates(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5,
+      maxBucketSize = Some(100)).cache()
+    val cappedN = capped.count()
+    assert(cappedN < 5000, s"bucket cap failed to bound the flood: $cappedN")
+    def amongDistinct(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("id_a") > 2000 && col("id_b") > 2000).count()
+    assert(amongDistinct(capped) == amongDistinct(canonPairs),
+      "cap must not change candidates among non-flood docs")
     info(s"bucket max: raw=$rawMaxBucket canonical=$canonMaxBucket, " +
-      s"candidate pairs after collapse=$candidates (vs ~2.0M all-pairs)")
+      s"candidate pairs after collapse=$candidates, raw+cap=$cappedN " +
+      "(vs ~2.0M all-pairs)")
   }
 
   test("AQE splits the skewed shuffle partition in a hot-key join") {
