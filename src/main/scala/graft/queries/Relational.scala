@@ -391,6 +391,87 @@ object Relational {
       .orderBy($"gid", $"r_name", $"n_name")
   }
 
+  /** Analytic-window breadth beyond ranking (SURVEY §2.5): ntile,
+    * percent_rank, cume_dist, lead, first_value over one total order —
+    * (price, key) so tie handling can't differ across engines (ntile is
+    * row-order-dependent; a partial order would be nondeterministic). */
+  def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"cents", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+      .select($"o_orderkey", $"o_orderpriority", $"cents")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .withColumn("next_cents", lead($"cents", 1).over(w))
+      .withColumn("min_cents", first($"cents").over(w))
+      .orderBy($"o_orderkey")
+  }
+
+  private def windowAnalyticsOracle: String =
+    """SELECT o_orderkey, o_orderpriority, cents,
+      | ntile(4) OVER w AS quartile,
+      | round(percent_rank() OVER w, 6) AS pr,
+      | round(cume_dist() OVER w, 6) AS cd,
+      | lead(cents, 1) OVER w AS next_cents,
+      | first_value(cents) OVER w AS min_cents
+      |FROM (SELECT o_orderkey, o_orderpriority,
+      |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |      FROM orders)
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** CUBE over (priority, status) with grouping_id — completes the
+    * grouping-sets family next to q80's ROLLUP. */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+      .cube($"o_orderpriority", $"o_orderstatus")
+      .agg(sum($"cents").as("revenue_cents"), count(lit(1)).as("n_orders"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce($"o_orderpriority", lit("ALL")).as("o_orderpriority"),
+        coalesce($"o_orderstatus", lit("ALL")).as("o_orderstatus"),
+        $"gid".cast("long").as("gid"), $"revenue_cents", $"n_orders")
+      .orderBy($"gid", $"o_orderpriority", $"o_orderstatus")
+  }
+
+  private def cubeOracle: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+      |       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+      |       GROUPING(o_orderpriority, o_orderstatus)::BIGINT AS gid,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |       count(*) AS n_orders
+      |FROM orders
+      |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin
+
+  /** Levenshtein edit distance over the bounded doc-pair set (the q53
+    * family's fuzzy-match sibling; both engines implement the standard
+    * character-level DP). Prefix-bounded: edit distance is O(n·m) per
+    * pair — at scale you run it only on candidate pairs (LSH output),
+    * never all-pairs, and cap the compared span. */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 30)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+    val a = docs.select(col("doc_id").as("id_a"), col("prefix").as("pa"))
+    val b = docs.select(col("doc_id").as("id_b"), col("prefix").as("pb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def editDistanceOracle: String =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS BIGINT) AS edit_dist
+      |FROM documents a CROSS JOIN documents b
+      |WHERE a.doc_id < 30 AND b.doc_id < 30 AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
   private def rollupOracle: String =
     """SELECT coalesce(r_name, 'ALL') AS r_name,
       |       coalesce(n_name, 'ALL') AS n_name,
@@ -498,6 +579,9 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_iqr_outliers", iqrOutliers, Some(iqrOracle)),
     QueryDef("q80_rollup_revenue", rollupRevenue, Some(rollupOracle)),
+    QueryDef("q91_window_analytics", windowAnalytics, Some(windowAnalyticsOracle)),
+    QueryDef("q92_cube_revenue", cubeRevenue, Some(cubeOracle)),
+    QueryDef("q93_edit_distance", editDistancePairs, Some(editDistanceOracle)),
     QueryDef("q81_pivot_status", pivotStatusCounts, Some(pivotOracle)),
     QueryDef("q82_unpivot_status", unpivotStatusCounts, Some(unpivotOracle)),
     QueryDef("q54_percentiles", percentiles, Some(
