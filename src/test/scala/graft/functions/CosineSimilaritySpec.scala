@@ -45,4 +45,30 @@ class CosineSimilaritySpec extends SparkSpec {
       .as[Double].collect()(0)
     assert(got == 1.0)
   }
+
+  test("GraftExtensions injects cosine_native at session build time") {
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    try {
+      // getOrCreate returns the existing default session untouched, so
+      // clear both slots — the builder then constructs a NEW session on
+      // the same SparkContext and applies the conf-wired extensions,
+      // exactly the spark.sql.extensions deployment path
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      val s = SparkSession.builder()
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      import s.implicits._
+      Seq((Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+        .createOrReplaceTempView("vv_ext")
+      val got = s.sql("SELECT cosine_native(a, b) AS c FROM vv_ext")
+        .as[Double].collect()(0)
+      assert(math.abs(got - 1.0) < 1e-12)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
