@@ -170,7 +170,32 @@ object Reco {
       .orderBy(col("event_id"))
   }
 
+  /** BoundedPriorityQueue top-k as a driver-checked gate: the
+    * k-bounded-buffer Aggregator (`ops/TopK.viaAggregator` — shuffle
+    * carries ≤ k rows per key per map partition, the reference's BPQ
+    * semantics re-expressed as partial aggregation) must equal the
+    * declarative window form, which the oracle replays in SQL. */
+  def topkAggregator(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Interactions.fromEvents(spark, dir)
+      .groupBy(col("user_id"), col("item_id"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    graft.ops.TopK.viaAggregator(counts, "user_id", "item_id", "cnt", 3)
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  private val topkOracle: String =
+    s"""WITH counts AS (
+       |  SELECT user_id, item_id, count(*)::DOUBLE AS cnt
+       |  FROM ($uiSql) GROUP BY 1, 2),
+       |r AS (SELECT user_id::BIGINT AS user_id, item_id::BIGINT AS item_id,
+       |        cnt, row_number() OVER (PARTITION BY user_id
+       |          ORDER BY cnt DESC, item_id) AS rn
+       |      FROM counts)
+       |SELECT user_id, item_id, cnt, rn FROM r WHERE rn <= 3
+       |ORDER BY user_id, rn""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q95_topk_aggregator", topkAggregator, Some(topkOracle)),
     QueryDef("q51_itemcf_recommend", itemCfRecommend, Some(
       s"""WITH ui AS (SELECT DISTINCT user_id, item_id FROM ($uiSql)),
          |pop AS (SELECT item_id, count(*) AS pop FROM ui GROUP BY 1),

@@ -472,6 +472,29 @@ object Relational {
       |WHERE a.doc_id < 30 AND b.doc_id < 30 AND a.doc_id < b.doc_id
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Salted equi-join as a driver-checked gate: the skew guard
+    * (`ops/Skew.saltedEquiJoin`, hot key split across nSalts reducers)
+    * must produce EXACTLY the plain join's rows — the oracle replays
+    * the plain join, so any salting bug (lost rows, dup replication)
+    * hash-fails. */
+  def saltedJoinOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" > 45)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+    val small = Tables.orders(spark, dir)
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+    graft.ops.Skew.saltedEquiJoin(big, small, "l_orderkey", nSalts = 8)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"o_orderpriority")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  private def saltedJoinOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_quantity > 45
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   private def rollupOracle: String =
     """SELECT coalesce(r_name, 'ALL') AS r_name,
       |       coalesce(n_name, 'ALL') AS n_name,
@@ -582,6 +605,7 @@ object Relational {
     QueryDef("q91_window_analytics", windowAnalytics, Some(windowAnalyticsOracle)),
     QueryDef("q92_cube_revenue", cubeRevenue, Some(cubeOracle)),
     QueryDef("q93_edit_distance", editDistancePairs, Some(editDistanceOracle)),
+    QueryDef("q94_salted_join", saltedJoinOrders, Some(saltedJoinOracle)),
     QueryDef("q81_pivot_status", pivotStatusCounts, Some(pivotOracle)),
     QueryDef("q82_unpivot_status", unpivotStatusCounts, Some(unpivotOracle)),
     QueryDef("q54_percentiles", percentiles, Some(
