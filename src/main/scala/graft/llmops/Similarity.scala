@@ -62,7 +62,7 @@ object Similarity {
   def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42): Column = {
     val planes = hyperplanes(nPlanes, dim, seed)
     planes.zipWithIndex.map { case (p, i) =>
-      val lp = array(p.map(lit): _*)
+      val lp = array(p.toIndexedSeq.map(lit): _*)
       val dot = aggregate(zip_with(transform(vec, _.cast("double")), lp,
         (x, y) => x * y), lit(0.0), (s, v) => s + v)
       when(dot > 0, lit(1L << i)).otherwise(lit(0L))

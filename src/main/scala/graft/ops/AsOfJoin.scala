@@ -51,7 +51,7 @@ object AsOfJoin {
     val carried = lAligned.unionByName(rAligned)
       .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select((left.columns.map(col) ++
+      .select((left.columns.toIndexedSeq.map(col) ++
         rightPayload.map(p => col("__asof").getField(p).as(s"asof_$p"))): _*)
   }
 }

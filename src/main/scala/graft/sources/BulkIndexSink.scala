@@ -35,7 +35,7 @@ object BulkIndexSink {
     val action = concat(
       lit(s"""{"index":{"_index":"$index","_id":""""),
       col(idCol).cast("string"), lit("\"}}"))
-    val source = to_json(struct(df.columns.map(col): _*))
+    val source = to_json(struct(df.columns.toIndexedSeq.map(col): _*))
     df.select(concat(action, lit("\n"), source).as("bulk_unit"))
   }
 
