@@ -60,7 +60,7 @@ object Llm {
       .orderBy(col("doc_id"))
 
   private def rollingPortableOracle: String =
-    s"""WITH $tokCte
+    s"""WITH ${tokCte()}
        |SELECT doc_id,
        |  CASE WHEN len(toks) = 0 THEN 0
        |       ELSE list_reduce(
@@ -138,7 +138,7 @@ object Llm {
   }
 
   private def dupClustersOracle: String =
-    s"""WITH RECURSIVE $minhashCteChain,
+    s"""WITH RECURSIVE ${minhashCteChain()},
        |pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.3),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |          UNION SELECT id_b, id_a FROM pairs),
@@ -154,23 +154,24 @@ object Llm {
        |       doc_id = cluster_id AS is_canonical
        |FROM o ORDER BY doc_id""".stripMargin
 
-  /** Oracle SQL fragments shared by q64/q65: tokenization identical to
-    * q30/q31/q53 (trim+lower+split on \s+). */
-  private val tokCte =
-    """t AS (SELECT doc_id, CASE WHEN trim(coalesce(text,''))='' THEN []::VARCHAR[]
-      |       ELSE string_split_regex(trim(lower(coalesce(text,''))), '\s+') END AS toks
-      |     FROM documents),
-      |tok AS (SELECT doc_id, unnest(toks) AS w, unnest(range(len(toks))) AS ord FROM t)""".stripMargin
+  /** Oracle SQL fragments shared by q64/q65/q79/q96: tokenization
+    * identical to q30/q31/q53 (trim+lower+split on \s+).
+    * @param src relation the chain reads (documents, or a filtered CTE) */
+  private def tokCte(src: String = "documents") =
+    s"""t AS (SELECT doc_id, CASE WHEN trim(coalesce(text,''))='' THEN []::VARCHAR[]
+       |       ELSE string_split_regex(trim(lower(coalesce(text,''))), '\\s+') END AS toks
+       |     FROM $src),
+       |tok AS (SELECT doc_id, unnest(toks) AS w, unnest(range(len(toks))) AS ord FROM t)""".stripMargin
 
   /** Shared CTE chain recomputing the portable MinHash pipeline
     * (signatures → bands → candidate pairs → overlap estimate) — the
-    * q64 oracle selects from `est` directly; the q79 oracle builds the
-    * dup graph on top of it. */
-  private def minhashCteChain: String = {
+    * q64 oracle selects from `est` directly; the q79/q96 oracles build
+    * the dup graph on top of it. */
+  private def minhashCteChain(src: String = "documents"): String = {
     val consts = Dedup.portableConstants(32)
     val values = consts.zipWithIndex
       .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
-    s"""$tokCte,
+    s"""${tokCte(src)},
        |sh AS (
        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS s
        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
@@ -193,13 +194,91 @@ object Llm {
        |        GROUP BY 1, 2)""".stripMargin
   }
 
+  /** The complete training-data admission pipeline composed as ONE
+    * declarative plan — the engine's flagship composition: quality
+    * filter → language-ID gate → exact dedup collapse → near-dup
+    * clustering (portable MinHash + connected components) → chunking.
+    * Every stage is individually oracled (q31/q34/q33/q64/q79/q73);
+    * this gate certifies their COMPOSITION hash-exactly: the oracle
+    * replays all five stages in SQL over the same filtered subsets.
+    * Catalyst sees one plan end to end — filters push into the scan,
+    * and only dedup survivors reach the chunker. */
+  def llmPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val admitted = docs.filter(col("text").isNotNull &&
+      length(trim(col("text"))) >= 20)
+    val en = admitted.filter(TA.langId(col("text")) === "en")
+    val exactCanon = en
+      .withColumn("__canon", min(col("doc_id")).over(
+        Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("__canon"))
+      .select(col("doc_id"), col("text"))
+    val pairs = Dedup.minhashCandidatesPortable(exactCanon, "doc_id", "text",
+      shingleK = 2, numHashes = 32, bands = 8, threshold = 0.3)
+    val labels = graft.ops.ConnectedComponents.hashMin(pairs, "id_a", "id_b")
+    val survivors = exactCanon
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .filter(col("comp").isNull || col("comp") === col("doc_id"))
+      .select(col("doc_id"), col("text"))
+    TA.chunkDocs(survivors, "doc_id", "text",
+        chunkChars = 200, overlapChars = 50)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private def llmPipelineOracle: String =
+    s"""WITH RECURSIVE
+       |adm AS (SELECT doc_id, text FROM documents
+       |        WHERE text IS NOT NULL AND length(trim(text)) >= 20),
+       |lt AS (SELECT doc_id, text, coalesce(text,'') AS txt,
+       |         CASE WHEN trim(coalesce(text,''))='' THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(lower(coalesce(text,''))), '\\s+') END AS ltoks
+       |       FROM adm),
+       |lh AS (SELECT doc_id, text,
+       |         length(regexp_replace(txt, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+       |         greatest(length(txt),1) AS nchars,
+       |         len(list_filter(ltoks, w -> list_contains(['the','and','of','to','is','with','that','for'], w))) AS h_en,
+       |         len(list_filter(ltoks, w -> list_contains(['el','la','de','que','y','los','las','una','por'], w))) AS h_es,
+       |         len(list_filter(ltoks, w -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], w))) AS h_de,
+       |         len(list_filter(ltoks, w -> list_contains(['le','la','les','des','est','une','dans','pour','et'], w))) AS h_fr
+       |       FROM lt),
+       |enl AS (SELECT doc_id, text FROM lh
+       |        WHERE NOT (cjk/nchars::DOUBLE > 0.2)
+       |          AND greatest(h_en,h_es,h_de,h_fr) > 0
+       |          AND h_en >= greatest(h_es,h_de,h_fr)),
+       |exd AS (SELECT doc_id, text,
+       |          min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+       |        FROM enl),
+       |base AS (SELECT doc_id, text FROM exd WHERE doc_id = canon),
+       |${minhashCteChain("base")},
+       |pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.3),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+       |lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY 1),
+       |surv AS (SELECT b.doc_id, b.text FROM base b
+       |         LEFT JOIN lab l ON l.id = b.doc_id
+       |         WHERE l.comp IS NULL OR l.comp = b.doc_id),
+       |d AS (SELECT doc_id, text, length(text) AS n FROM surv),
+       |p AS (SELECT doc_id, text,
+       |        unnest(range(CASE WHEN n <= 200 THEN 1
+       |          ELSE CAST(ceil((n - 200) / 150.0) AS BIGINT) + 1 END)) AS chunk_idx
+       |      FROM d)
+       |SELECT doc_id, chunk_idx,
+       |       substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200) AS chunk_text
+       |FROM p ORDER BY doc_id, chunk_idx""".stripMargin
+
   private def minhashPortableOracle: String =
-    s"""WITH $minhashCteChain
+    s"""WITH ${minhashCteChain()}
        |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
 
   private def simhashPortableOracle: String =
-    s"""WITH $tokCte,
+    s"""WITH ${tokCte()},
        |hs AS (SELECT doc_id, ('0x' || substr(md5(w),1,15))::BIGINT AS h FROM tok),
        |bits AS (SELECT doc_id, i,
        |           sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
@@ -671,6 +750,7 @@ object Llm {
     QueryDef("q36_simhash_near_dups", simhashNearDups, None),
     QueryDef("q64_minhash_portable", minhashPortable, Some(minhashPortableOracle)),
     QueryDef("q79_dup_clusters", dupClusters, Some(dupClustersOracle)),
+    QueryDef("q96_llm_pipeline_e2e", llmPipelineE2e, Some(llmPipelineOracle)),
     QueryDef("q83_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     QueryDef("q84_bm25_search", bm25Search, Some(bm25Oracle)),
     QueryDef("q85_feature_hash", featureHash, Some(featureHashOracle)),
