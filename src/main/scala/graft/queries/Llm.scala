@@ -194,6 +194,46 @@ object Llm {
        |        GROUP BY 1, 2)""".stripMargin
   }
 
+  /** Embedding-cosine near-duplicate PAIRS — the dedup-flavored use of
+    * the embedding space, completing the dedup family (exact / MinHash
+    * / SimHash / n-gram Jaccard / embedding-cosine). All pairs at
+    * rounded cosine ≥ 0.4, exact brute force, oracled via DuckDB
+    * list_cosine_similarity (the q37-proven parity surface — the
+    * threshold compares the ROUND-6 value so a last-ulp float
+    * difference can't flip a boundary pair). The 0.4 operating point
+    * is the fixture's discriminative range (random 64-dim embeddings
+    * cap at cos ≈ 0.51; real near-dup corpora run ~0.95 — same plan).
+    * Scale path: the identical threshold filter composes over the
+    * LSH-bucketed / IVF-celled candidate joins (q38/q39/q66) instead
+    * of the all-pairs product. */
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
+    // deterministic corpus bound: brute-force all-pairs is the ORACLE
+    // vehicle, not the scale path — cap the quadratic term so the
+    // sf0.1 bench measures the math, not a 312M-row cross product
+    // (covers the whole corpus at the sf0.01 verify scale)
+    val emb = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 5000)
+      .select(col("vec_id"), col("embedding"))
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(
+        graft.functions.VectorFunctions.cosineNative(col("va"), col("vb")), 6))
+      .filter(col("cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def embeddingNearDupsOracle: String =
+    """SELECT id_a, id_b, cos FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |                                      b.embedding::DOUBLE[]), 6) AS cos
+      |  FROM embeddings a CROSS JOIN embeddings b
+      |  WHERE a.vec_id < 5000 AND b.vec_id < 5000 AND a.vec_id < b.vec_id)
+      |WHERE cos >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** The complete training-data admission pipeline composed as ONE
     * declarative plan — the engine's flagship composition: quality
     * filter → language-ID gate → exact dedup collapse → near-dup
@@ -751,6 +791,7 @@ object Llm {
     QueryDef("q64_minhash_portable", minhashPortable, Some(minhashPortableOracle)),
     QueryDef("q79_dup_clusters", dupClusters, Some(dupClustersOracle)),
     QueryDef("q96_llm_pipeline_e2e", llmPipelineE2e, Some(llmPipelineOracle)),
+    QueryDef("q97_embedding_near_dups", embeddingNearDups, Some(embeddingNearDupsOracle)),
     QueryDef("q83_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     QueryDef("q84_bm25_search", bm25Search, Some(bm25Oracle)),
     QueryDef("q85_feature_hash", featureHash, Some(featureHashOracle)),
