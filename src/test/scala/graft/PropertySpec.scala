@@ -24,6 +24,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("porter2 stemmer is total, never grows words, and never leaks " +
+      "the internal Y marker") {
+    samples(word, 500).foreach { w =>
+      val s = graft.text.Porter2Stemmer.stem(w)
+      assert(s != null && s.length <= w.length, s"stem($w) = $s")
+      assert(!s.contains('Y'), s"marker leaked: stem($w) = $s")
+    }
+    // non-alphabetic and short tokens pass through untouched
+    samples(Gen.asciiPrintableStr, 300).foreach { w =>
+      val s = graft.text.Porter2Stemmer.stem(w)
+      assert(s != null, s"null for $w")
+      if (w != null && (w.length < 3 || !w.forall(c =>
+        (c >= 'a' && c <= 'z') || c == '\''))) assert(s == w)
+    }
+  }
+
   test("cleanCompany is idempotent") {
     val gen = Gen.oneOf(
       Gen.const(null.asInstanceOf[String]),
