@@ -165,10 +165,20 @@ object RankerPipeline {
     val (model, auc, _) = trainAndEvaluate(spark, train)
 
     val users = test.select(col("user_id")).distinct()
+    // the reference's full serving union: ALS(topK·2) ∪ curation(topK)
+    // ∪ popularity(topK), distinct (LogisticRegressionRanker.scala:
+    // 368-404); ALS at candidate-source scale (it feeds the re-ranker,
+    // the LR model does the grading)
+    val alsCg = AlsRecommender.train(
+      train.groupBy(col("user_id"), col("item_id"))
+        .agg(count(lit(1)).cast("double").as("rating")),
+      rank = 8, regParam = 0.1, alpha = 10, maxIter = 4, seed = 42)
     val candidates = Seq(
-      new PopularityRecommender(train).recommendForUsers(users, topK * 2),
+      alsCg.recommendForUsers(users, topK * 2),
+      new PopularityRecommender(train).recommendForUsers(users, topK),
       new CurationRecommender(train, Seq(1, 2, 3, 5, 8)).recommendForUsers(users, topK))
-      .reduce(_.select("user_id", "item_id") unionByName _.select("user_id", "item_id"))
+      .map(_.select("user_id", "item_id"))
+      .reduce(_ unionByName _)
       .distinct()
 
     val feats = candidates
