@@ -195,5 +195,10 @@ object RankerPipeline {
       .select(col("k"), col("n_users"), round(col("ndcg"), 6).as("ndcg"),
         round(col("precision"), 6).as("precision"), round(col("map"), 6).as("map"),
         col("auc"))
+      // serving-quality parity band (BASELINE.md row 6 lifecycle on the
+      // events fixture; observed 0.133): a broken CG leg or scoring
+      // path collapses toward 0, a test leak saturates toward 1
+      .withColumn("ndcg_within_band",
+        col("ndcg") >= 0.05 && col("ndcg") <= 0.30)
   }
 }
