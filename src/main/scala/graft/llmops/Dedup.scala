@@ -309,8 +309,14 @@ object Dedup {
     * narrower blocks ⇒ denser buckets; id-only rows go through the
     * bucket join and payloads re-attach after pair-dedup, same as the
     * MinHash path. */
+  /** @param maxBucketSize same adversarial-flood guard as
+    *        [[minhashCandidates]]: an exact-dup flood shares every
+    *        block bucket, making the block self-join quadratic in the
+    *        flood size. Oversized buckets are dropped (the exact-dedup
+    *        pre-collapse stage owns those pairs); None (default)
+    *        preserves exact recall for the gates. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Option[Int] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 31]")
     val nBlocks = maxHamming + 1
     // block widths: distribute 64 bits as evenly as possible
@@ -322,8 +328,16 @@ object Dedup {
       struct(lit(i).as("q"),
         shiftrightunsigned(col("sh"), offsets(i)).bitwiseAND(mask).as("qkey"))
     }: _*)
-    val blocks = sh.select(col("id"), explode(blockStructs).as("qq"))
+    val blocksAll = sh.select(col("id"), explode(blockStructs).as("qq"))
       .select(col("id"), col("qq.q").as("q"), col("qq.qkey").as("qkey"))
+    val blocks = maxBucketSize match {
+      case Some(cap) =>
+        val byBucket = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q"), col("qkey"))
+        blocksAll.withColumn("__bsz", count(lit(1)).over(byBucket))
+          .filter(col("__bsz") <= cap).drop("__bsz")
+      case None => blocksAll
+    }
     val a = blocks.select(col("q"), col("qkey"), col("id").as("id_a"))
     val b = blocks.select(col("q"), col("qkey"), col("id").as("id_b"))
     a.join(b, Seq("q", "qkey"))

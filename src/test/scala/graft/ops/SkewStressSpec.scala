@@ -123,9 +123,16 @@ class SkewStressSpec extends SparkSpec {
       df.filter(col("id_a") > 2000 && col("id_b") > 2000).count()
     assert(amongDistinct(capped) == amongDistinct(canonPairs),
       "cap must not change candidates among non-flood docs")
+    // the SimHash block join gets the same two guards: collapse first,
+    // or cap the flood buckets on the raw path
+    val simCapped = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = Some(100)).count()
+    assert(simCapped < 5000,
+      s"simhash bucket cap failed to bound the flood: $simCapped")
+
     info(s"bucket max: raw=$rawMaxBucket canonical=$canonMaxBucket, " +
-      s"candidate pairs after collapse=$candidates, raw+cap=$cappedN " +
-      "(vs ~2.0M all-pairs)")
+      s"candidate pairs after collapse=$candidates, raw+cap=$cappedN, " +
+      s"simhash raw+cap=$simCapped (vs ~2.0M all-pairs)")
   }
 
   test("AQE splits the skewed shuffle partition in a hot-key join") {
