@@ -74,8 +74,25 @@ object VectorFunctions {
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Arity-checked builder shared by both SQL registration paths
+    * (temp function here; conf-wired [[GraftExtensions]]): a wrong
+    * SQL arity must be an analysis error naming the function and the
+    * expected count — never a silent extra-arg drop or a raw
+    * IndexOutOfBoundsException. */
+  private[functions] def buildChecked(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "`cosine_native`",
+          "expectedNum" -> "2",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    CosineSimilarity(exprs.head, exprs(1))
+  }
+
   /** Register `cosine_native` for SQL callers. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_native", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+      "cosine_native", buildChecked, "scala_udf")
 }

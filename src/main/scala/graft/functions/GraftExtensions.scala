@@ -22,6 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_native"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_native"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(exprs.head, exprs(1))))
+        VectorFunctions.buildChecked(exprs)))
   }
 }

@@ -145,29 +145,39 @@ object Similarity {
     * final cosine uses the same double-precision path the oracle
     * already matches on q37. Quantization only affects which bucket a
     * near-zero dot lands in — recall behavior is unchanged. */
-  def lshTopKPortable(vectors: DataFrame, k: Int, nPlanes: Int, dim: Int,
-      nTables: Int = 8, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+  /** Portable (md5-±1, quantized-integer) sign-LSH bucket assignment:
+    * one row per (id, table, bucket) — exact integer arithmetic an
+    * external oracle recomputes bit-for-bit. Shared by the top-k and
+    * near-dup-pairs products. */
+  private def portableBuckets(vectors: DataFrame, nPlanes: Int, dim: Int,
+      nTables: Int, idCol: String, vecCol: String): DataFrame = {
     val signs = Array.tabulate(nTables, nPlanes, dim)(portableSign)
     val spark = vectors.sparkSession
     import spark.implicits._
-    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val withB = base.as[(Long, Seq[Float])].flatMap { case (id, v) =>
-      val qv = Array.tabulate(v.length)(d => math.floor(v(d).toDouble * 1000).toLong)
-      (0 until nTables).iterator.map { t =>
-        var bucket = 0L
-        var j = 0
-        while (j < nPlanes) {
-          var dot = 0L
-          var d = 0
-          val n = math.min(dim, qv.length)
-          while (d < n) { dot += qv(d) * signs(t)(j)(d); d += 1 }
-          if (dot > 0) bucket |= (1L << j)
-          j += 1
+    vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .as[(Long, Seq[Float])].flatMap { case (id, v) =>
+        val qv = Array.tabulate(v.length)(d => math.floor(v(d).toDouble * 1000).toLong)
+        (0 until nTables).iterator.map { t =>
+          var bucket = 0L
+          var j = 0
+          while (j < nPlanes) {
+            var dot = 0L
+            var d = 0
+            val n = math.min(dim, qv.length)
+            while (d < n) { dot += qv(d) * signs(t)(j)(d); d += 1 }
+            if (dot > 0) bucket |= (1L << j)
+            j += 1
+          }
+          (id, t, bucket)
         }
-        (id, t, bucket)
-      }
-    }.toDF("id", "tbl", "bucket")
+      }.toDF("id", "tbl", "bucket")
+  }
+
+  def lshTopKPortable(vectors: DataFrame, k: Int, nPlanes: Int, dim: Int,
+      nTables: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withB = portableBuckets(vectors, nPlanes, dim, nTables, idCol, vecCol)
     val a = withB.select(col("tbl"), col("bucket"), col("id").as("query_id"))
     val b = withB.select(col("tbl"), col("bucket"), col("id").as("neighbor_id"))
     val pairs = a.join(b, Seq("tbl", "bucket"))
@@ -183,6 +193,40 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rn"))
+  }
+
+  /** Embedding near-duplicate PAIRS through the bucketed LSH candidate
+    * path — the 100 TB plan for the product that
+    * [[graft.queries.Llm.embeddingNearDups]] (q97) anchors with exact
+    * all-pairs: candidates are (table, bucket) equi-join collisions
+    * (shuffle-partitioned, never a cross product), deduped BEFORE the
+    * vector payloads are hauled, then exact-cosine verified against
+    * `threshold` on the round-6 value (identical comparison to q97, so
+    * a surviving pair is bit-identical to the all-pairs pair).
+    *
+    * Uses the portable quantized-sign buckets, so an external oracle
+    * replays the whole product hash-exactly; recall vs the all-pairs
+    * truth is 1-(1-p^nPlanes)^nTables for bit-agreement prob
+    * p = 1-θ/π — tunable per corpus, measured by the companion recall
+    * gate (q97c). */
+  def lshNearDupPairsPortable(vectors: DataFrame, threshold: Double,
+      nPlanes: Int, dim: Int, nTables: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withB = portableBuckets(vectors, nPlanes, dim, nTables, idCol, vecCol)
+    val a = withB.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val b = withB.select(col("tbl"), col("bucket"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("cos", round(
+        graft.functions.VectorFunctions.cosineNative(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   /** Per-label centroid (mean vector) — array-wise avg via posexplode +

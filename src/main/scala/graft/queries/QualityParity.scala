@@ -91,7 +91,7 @@ object QualityParity {
         "repo_id", "text", recentK = 3, prefixM = 4)
         .recommendForUsers(users, k))
 
-    recommenders.map { case (name, recs) =>
+    val out = recommenders.map { case (name, recs) =>
       val (lo, hi) = bands(name)
       RankingEvaluator.evaluate(
           recs.select(col("user_id"), col("item_id"), col("score")), test, k)
@@ -105,6 +105,14 @@ object QualityParity {
         .withColumn("within_band",
           col("ndcg") >= col("band_lo") && col("ndcg") <= col("band_hi"))
     }.reduce(_.unionByName(_)).orderBy(col("recommender"))
+    // the result is 4 rows — materialize it into a local relation so the
+    // fixture caches can be released NOW instead of pinning executor
+    // memory for the life of the session (ADVICE r3 #5: cache leak)
+    val rows = out.collect()
+    inter.unpersist()
+    test.unpersist()
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -142,22 +142,32 @@ object EventStreams {
 
   case class SessionOut(userId: Long, startUs: Long, endUs: Long,
       nEvents: Long, sessionValue: Double)
-  /** State record for [[sessionizeCustom]] (public: encoders codegen
-    * against its accessors). */
+  /** One open session in [[sessionizeCustom]] state (public: encoders
+    * codegen against its accessors). */
   case class OpenSession(startUs: Long, lastUs: Long, n: Long, v: Double)
+  /** Per-user state for [[sessionizeCustom]]: the open sessions inside
+    * the watermark horizon, disjoint and sorted by start. */
+  case class SessionBuf(sessions: Seq[OpenSession])
 
   /** Custom sessionization via flatMapGroupsWithState with
     * EventTimeTimeout — the timeout-driven half of the custom-state API
     * that [[runningUserTotals]] (mapGroupsWithState, NoTimeout) doesn't
-    * exercise. Semantics match session_window(gap): a session closes
-    * when a later event of the same user arrives past the gap (emitted
-    * inline) or when the watermark passes lastTs+gap (emitted by the
-    * no-data timeout batch); endUs = lastTs + gap, as session_window
-    * defines the window end.
+    * exercise. Semantics match session_window(gap) exactly, INCLUDING
+    * cross-batch late events: each batch's rows are turned into
+    * singleton sessions, interval-merged with the buffered open
+    * sessions (two sessions merge iff the later one starts within gap
+    * of the earlier one's last event), and a session is emitted only
+    * once the watermark passes lastTs+gap — the point after which no
+    * watermark-legal event can still extend it. A late event that lands
+    * inside or just before a buffered session therefore widens it
+    * (min start / max last), never truncates it, and a late event that
+    * is disjoint from every buffered session opens its own — correct
+    * for ANY lateness-vs-gap relation, not just lag < gap.
     *
-    * Scale design: state is ONE OpenSession per active user (bounded by
-    * timeout eviction, O(active users) not O(stream)); the per-call sort
-    * covers only one user's slice of one micro-batch, never the stream.
+    * Scale design: state is the open sessions of one user inside the
+    * watermark horizon — O(horizon/gap) per active user, bounded by
+    * timeout eviction, not O(stream); the per-call sort covers only one
+    * user's slice of one micro-batch plus that bounded buffer.
     */
   def sessionizeCustom(events: DataFrame, gapMinutes: Int = 30)
       : Dataset[SessionOut] = {
@@ -173,38 +183,44 @@ object EventStreams {
     // conversion happens inside the state function
     def micros(t: java.sql.Timestamp): Long =
       (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+    // standard interval merge over [startUs, lastUs+gap) windows of a
+    // start-sorted session list; deterministic double-sum order because
+    // the input order is deterministic
+    def mergeSorted(ss: Seq[OpenSession]): List[OpenSession] =
+      ss.foldLeft(List.empty[OpenSession]) {
+        case (prev :: rest, s) if s.startUs - prev.lastUs <= gapUs =>
+          OpenSession(prev.startUs, math.max(prev.lastUs, s.lastUs),
+            prev.n + s.n, prev.v + s.v) :: rest
+        case (acc, s) => s :: acc
+      }.reverse
     events.withWatermark("ts", "10 minutes")
       .select(col("user_id"), col("ts"), col("value"))
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSession, SessionOut](
+      .flatMapGroupsWithState[SessionBuf, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, rawRows, state) =>
-          if (state.hasTimedOut) {
-            val out = close(uid, state.get)
-            state.remove()
-            Iterator(out)
-          } else {
-            val sorted = rawRows.map(r => (r._1, micros(r._2), r._3))
-              .toArray.sortBy(r => (r._2, r._3))
-            val closed = Seq.newBuilder[SessionOut]
-            var open = state.getOption
-            for ((_, us, v) <- sorted) open match {
-              case Some(s) if us - s.lastUs <= gapUs =>
-                open = Some(OpenSession(s.startUs, us, s.n + 1, s.v + v))
-              case Some(s) =>
-                closed += close(uid, s)
-                open = Some(OpenSession(us, us, 1, v))
-              case None =>
-                open = Some(OpenSession(us, us, 1, v))
-            }
-            open.foreach { s =>
-              state.update(s)
-              // fire once the watermark passes the session's gap edge
-              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000)
-            }
-            closed.result().iterator
-          }
+          // one unified path: a timeout call is just "no new rows" —
+          // the watermark partition below decides what closes
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000
+          val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val fresh = rawRows.map { r =>
+            val us = micros(r._2); OpenSession(us, us, 1, r._3)
+          }.toSeq
+          val merged = mergeSorted(
+            (prior ++ fresh).sortBy(s => (s.startUs, s.lastUs, s.v)))
+          // a session can still grow only if a watermark-legal event
+          // (ts >= watermark) could merge into it, i.e. wm <= lastUs+gap
+          val (open, done) = merged.partition(s => s.lastUs + gapUs > wmUs)
+          if (open.nonEmpty) {
+            state.update(SessionBuf(open))
+            // fire once the watermark passes the earliest gap edge
+            // (must be strictly above the current watermark)
+            state.setTimeoutTimestamp(math.max(wmMs + 1,
+              (open.map(_.lastUs).min + gapUs) / 1000))
+          } else state.remove()
+          done.map(close(uid, _)).iterator
       }
   }
 

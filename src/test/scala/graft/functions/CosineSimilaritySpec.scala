@@ -46,6 +46,21 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(got == 1.0)
   }
 
+  test("wrong SQL arity is an AnalysisException naming the function, " +
+      "never a silent arg drop or IndexOutOfBounds") {
+    VectorFunctions.register(spark)
+    Seq((Array(1.0f), Array(1.0f))).toDF("a", "b").createOrReplaceTempView("vv_arity")
+    for (sql <- Seq(
+        "SELECT cosine_native(a) FROM vv_arity",
+        "SELECT cosine_native(a, b, a) FROM vv_arity")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).collect()
+      }
+      assert(e.getMessage.contains("cosine_native"), s"for: $sql")
+      assert(e.getMessage.contains("2"), s"expected arity missing for: $sql")
+    }
+  }
+
   test("GraftExtensions injects cosine_native at session build time") {
     import org.apache.spark.sql.SparkSession
     val prevDefault = SparkSession.getDefaultSession

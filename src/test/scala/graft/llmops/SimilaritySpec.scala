@@ -53,6 +53,28 @@ class SimilaritySpec extends SparkSpec {
       s"recall ${recalled.toDouble / brute.size} too low")
   }
 
+  test("bucketed near-dup pairs: subset of all-pairs truth, same cosines, " +
+      "recall above floor") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).cache()
+    val truth = emb.as("a").crossJoin(emb.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        round(graft.functions.VectorFunctions
+          .cosineNative($"a.embedding", $"b.embedding"), 6).as("cos"))
+      .filter($"cos" >= 0.4)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Similarity.lshNearDupPairsPortable(emb, threshold = 0.4,
+        nPlanes = 4, dim = 64, nTables = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty && truth.nonEmpty)
+    // every LSH pair is a truth pair with the identical round-6 cosine
+    lsh.foreach { case (a, b, c) =>
+      assert(truth.get((a, b)).contains(c), s"pair ($a,$b,$c) not in truth")
+    }
+    val recall = lsh.length.toDouble / truth.size
+    assert(recall >= 0.5, s"recall $recall below pinned floor 0.5")
+  }
+
   test("portable sign grid is deterministic and balanced-ish") {
     val signs = for (t <- 0 until 8; j <- 0 until 6; d <- 0 until 64)
       yield Similarity.portableSign(t, j, d)

@@ -88,6 +88,95 @@ class EventStreamsSpec extends SparkSpec {
     assert(mustEmit.nonEmpty && gotSet.size >= mustEmit.size)
   }
 
+  // --- two-batch late-event fixtures for the custom sessionizer ------
+  // A file-source staged in waves: the query processes wave 1 (advancing
+  // the watermark), then wave 2 arrives carrying a within-watermark LATE
+  // event. The sessionizer must match batch session_window truth — the
+  // late event widens its session (min start / max last); it must never
+  // move a session end backward or split the following event.
+
+  private def sessionFixtureRun(waves: Seq[Seq[(Long, Long, Double)]],
+      gapMinutes: Int, queryName: String): (Set[(Long, Long, Long, Long, Double)], Long) = {
+    import spark.implicits._
+    val base = 1704067200L // 2024-01-01T00:00:00Z
+    val root = java.nio.file.Files.createTempDirectory("sess-late").toString
+    val stage = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+    def toDf(rows: Seq[(Long, Long, Double)]) =
+      rows.toDF("user_id", "m", "value")
+        .withColumn("ts", timestamp_seconds(lit(base) + $"m" * 60))
+        .select($"user_id", $"ts", $"value")
+    val schema = toDf(waves.head).schema
+
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(stage)
+    val q = EventStreams.sessionizeCustom(stream, gapMinutes).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName).start()
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      toDf(rows).coalesce(1).write.parquet(s"$stage/wave$i")
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table(queryName)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.length == got.toSet.size, "duplicate session emissions")
+    (got.toSet, base * 1000000L)
+  }
+
+  test("sessionizer: cross-batch late event widens its session to match " +
+      "batch session_window truth") {
+    import spark.implicits._
+    def us(baseUs: Long, m: Long) = baseUs + m * 60000000L
+    // wave 1: minutes 0, 5, 60  -> watermark 50 after the batch
+    // wave 2: minute 55 is LATE (>= wm 50, inside gap of 60) plus 70
+    //         and 115 (advances wm to 105, closing [55..70])
+    val (got, baseUs) = sessionFixtureRun(
+      waves = Seq(
+        Seq((1L, 0L, 1.0), (1L, 5L, 2.0), (1L, 60L, 3.0)),
+        Seq((1L, 55L, 4.0), (1L, 70L, 5.0), (1L, 115L, 6.0))),
+      gapMinutes = 30, queryName = "sess_late_30")
+    // batch truth over the union, 30-min gap: [0,5] end 35; [55,70] end
+    // 100 (the late 55 is the session START, not a truncated end);
+    // [115] still open at final watermark 105 so legitimately withheld
+    val expected = Set(
+      (1L, us(baseUs, 0), us(baseUs, 35), 2L, 3.0),
+      (1L, us(baseUs, 55), us(baseUs, 100), 3L, 12.0))
+    assert(got == expected,
+      s"streamed sessions diverge from session_window truth: $got")
+
+    // cross-check the hand truth against the built-in session_window
+    val batch = Seq((1L, 0L, 1.0), (1L, 5L, 2.0), (1L, 60L, 3.0),
+        (1L, 55L, 4.0), (1L, 70L, 5.0), (1L, 115L, 6.0))
+      .toDF("user_id", "m", "value")
+      .withColumn("ts", timestamp_seconds(lit(baseUs / 1000000L) + $"m" * 60))
+    val truth = EventStreams.userSessions(batch)
+      .select($"user_id", expr("unix_micros(session_start)"),
+        expr("unix_micros(session_end)"), $"n_events", $"session_value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(expected.subsetOf(truth) && truth.size == 3)
+  }
+
+  test("sessionizer: late event disjoint from every open session opens " +
+      "its own (lateness > gap)") {
+    def us(baseUs: Long, m: Long) = baseUs + m * 60000000L
+    // gap 5 min < watermark lag 10 min: a legal late event CAN be
+    // disjoint from all open sessions. wave 1: 0, 20 (wm 10); wave 2:
+    // 12 is late-but-legal and >5min from both neighbors -> own
+    // session; 40 advances wm to 30, closing [0], [12], [20].
+    val (got, baseUs) = sessionFixtureRun(
+      waves = Seq(
+        Seq((2L, 0L, 1.0), (2L, 20L, 2.0)),
+        Seq((2L, 12L, 3.0), (2L, 40L, 4.0))),
+      gapMinutes = 5, queryName = "sess_late_5")
+    val expected = Set(
+      (2L, us(baseUs, 0), us(baseUs, 5), 1L, 1.0),
+      (2L, us(baseUs, 12), us(baseUs, 17), 1L, 3.0),
+      (2L, us(baseUs, 20), us(baseUs, 25), 1L, 2.0))
+    assert(got == expected,
+      s"disjoint late event mishandled: $got")
+  }
+
   test("streaming dedup emits the same logical rows as the batch twin") {
     import spark.implicits._
     val batchEv = graft.sources.Tables.events(spark, sf0001)
