@@ -106,6 +106,16 @@ object Bench {
     val shortLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"sf":"$sfDir"}"""
     spark.stop()
+    // the complete per-query record must survive ANY stdout window:
+    // persist it as a repo artifact too (BENCH_r04's captured window
+    // truncated q01-q18 — VERDICT r4 "Next round" #6)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."))
+        .resolve("BENCH_full.json"),
+      fullLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
     // print after spark shutdown so no executor log line interleaves.
     // Full per-query line first (humans / history), short summary line
     // LAST — the driver's tail window always captures and parses it.

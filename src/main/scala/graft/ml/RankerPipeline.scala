@@ -158,21 +158,34 @@ object RankerPipeline {
     * feature join → LR probability re-rank → NDCG against a time-split
     * holdout. Returns one metrics row. */
   def endToEnd(spark: SparkSession, interactions: DataFrame,
-      splitNs: Long, topK: Int = 10): DataFrame = {
+      splitNs: Long, topK: Int = 10, memoKey: Option[String] = None)
+      : DataFrame = {
     val train = interactions.filter(col("ts_ns") < splitNs).cache()
     val test = interactions.filter(col("ts_ns") >= splitNs)
 
-    val (model, auc, _) = trainAndEvaluate(spark, train)
+    // both seeded fits memoized when the caller provides a stable key
+    // (gates pass the sf dir); None = always refit (specs, ad hoc)
+    val (model, auc, _) = memoKey match {
+      case Some(k) => ModelMemo.cached(spark, s"lr-e2e:$k:$splitNs") {
+        trainAndEvaluate(spark, train)
+      }
+      case None => trainAndEvaluate(spark, train)
+    }
 
     val users = test.select(col("user_id")).distinct()
     // the reference's full serving union: ALS(topK·2) ∪ curation(topK)
     // ∪ popularity(topK), distinct (LogisticRegressionRanker.scala:
     // 368-404); ALS at candidate-source scale (it feeds the re-ranker,
     // the LR model does the grading)
-    val alsCg = AlsRecommender.train(
+    def fitAlsCg() = AlsRecommender.train(
       train.groupBy(col("user_id"), col("item_id"))
         .agg(count(lit(1)).cast("double").as("rating")),
       rank = 8, regParam = 0.1, alpha = 10, maxIter = 4, seed = 42)
+    val alsCg = memoKey match {
+      case Some(k) =>
+        ModelMemo.cached(spark, s"als-e2e:$k:$splitNs")(fitAlsCg())
+      case None => fitAlsCg()
+    }
     val candidates = Seq(
       alsCg.recommendForUsers(users, topK * 2),
       new PopularityRecommender(train).recommendForUsers(users, topK),

@@ -89,7 +89,8 @@ object Ml {
   def lrRankerMetrics(spark: SparkSession, dir: String): DataFrame =
     RankerPipeline.endToEnd(spark,
       Interactions.fromEvents(spark, dir),
-      splitNs = 1706054400000000000L) // 2024-01-24 UTC
+      splitNs = 1706054400000000000L, // 2024-01-24 UTC
+      memoKey = Some(dir)) // reuse the seeded fits across invocations
 
   /** Word2Vec corpus construction mirroring the reference's union of
     * user-text ∪ repo-text (Word2VecCorpusBuilder.scala:48-56):

@@ -82,9 +82,12 @@ object QualityParity {
     val recommenders: Seq[(String, DataFrame)] = Seq(
       "popularity" -> new PopularityRecommender(train).recommendForUsers(users, k),
       // reference hyperparams shape (ALSRecommenderBuilder.scala:45-59)
-      // at fixture-scale rank/iters; seed pinned
-      "als" -> AlsRecommender.train(trainRatings, rank = 16, regParam = 0.5,
-        alpha = 40, maxIter = 8, seed = 42).recommendForUsers(users, k),
+      // at fixture-scale rank/iters; seed pinned; fit memoized per
+      // session (fixture corpus is dir-independent)
+      "als" -> graft.ml.ModelMemo.cached(spark, "als-q90") {
+          AlsRecommender.train(trainRatings, rank = 16, regParam = 0.5,
+            alpha = 40, maxIter = 8, seed = 42)
+        }.recommendForUsers(users, k),
       "curation" -> new CurationRecommender(train, Seq(1, 2, 3, 5, 8))
         .recommendForUsers(users, k),
       "content" -> new ContentUserRecommender(train, repoDocs(spark),

@@ -112,22 +112,35 @@ class SkewStressSpec extends SparkSpec {
     val candidates = canonPairs.count()
     assert(candidates < 1000)
 
-    // and the raw path is ALSO safe with the bucket cap engaged: the
-    // flood buckets are dropped wholesale, distinct-doc pairs survive
+    // and the raw path is ALSO safe with the bucket cap engaged: flood
+    // buckets are SAMPLED to the cap (r5: no longer dropped wholesale),
+    // bounding the join at ≤ bands·cap²/2 flood pairs instead of B²/2
+    val cap = 100
     val capped = Dedup.minhashCandidates(docs, "doc_id", "text",
       shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5,
-      maxBucketSize = Some(100)).cache()
+      maxBucketSize = Some(cap)).cache()
     val cappedN = capped.count()
-    assert(cappedN < 5000, s"bucket cap failed to bound the flood: $cappedN")
+    assert(cappedN < 8 * cap * cap / 2 + 1000,
+      s"bucket cap failed to bound the flood: $cappedN")
     def amongDistinct(df: org.apache.spark.sql.DataFrame): Long =
       df.filter(col("id_a") > 2000 && col("id_b") > 2000).count()
     assert(amongDistinct(capped) == amongDistinct(canonPairs),
       "cap must not change candidates among non-flood docs")
+    // band-varied sampling keeps MORE flood members represented than a
+    // single bucket's cap — the recall property motivating the r5
+    // sample-not-drop change (members appear in different bands)
+    import spark.implicits._
+    val floodMembers = capped.filter(col("id_a") <= 2000)
+      .select(col("id_a")).union(
+        capped.filter(col("id_b") <= 2000).select(col("id_b")))
+      .distinct().count()
+    assert(floodMembers > cap,
+      s"band-varied sample covered only $floodMembers flood members")
     // the SimHash block join gets the same two guards: collapse first,
-    // or cap the flood buckets on the raw path
+    // or cap (sample) the flood buckets on the raw path
     val simCapped = Dedup.simhashPairs(docs, "doc_id", "text",
-      maxHamming = 3, maxBucketSize = Some(100)).count()
-    assert(simCapped < 5000,
+      maxHamming = 3, maxBucketSize = Some(cap)).count()
+    assert(simCapped < 4 * cap * cap / 2 + 1000,
       s"simhash bucket cap failed to bound the flood: $simCapped")
 
     info(s"bucket max: raw=$rawMaxBucket canonical=$canonMaxBucket, " +

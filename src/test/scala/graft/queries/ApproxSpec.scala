@@ -60,11 +60,12 @@ class ApproxSpec extends SparkSpec {
 
   test("approx_count_distinct within default HLL error of exact") {
     val rows = Relational.approxDistinct(spark, sf0001)
-      .as[(String, Long, Long)].collect()
+      .as[(String, Long, Long, Boolean)].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (flag, approx, exact) =>
+    rows.foreach { case (flag, approx, exact, within) =>
       val err = math.abs(approx - exact).toDouble / exact
       assert(err < 0.1, s"$flag: approx=$approx exact=$exact err=$err")
+      assert(within, s"$flag: in-gate within_err column disagrees")
     }
   }
 }
