@@ -1,0 +1,27 @@
+package graft.ml
+
+import graft.SparkSpec
+
+class ModelMemoSpec extends SparkSpec {
+
+  test("same (session, key) fits once and returns the same instance") {
+    var fits = 0
+    def fit(): Integer = { fits += 1; Integer.valueOf(fits) }
+    val a = ModelMemo.cached(spark, "memo-spec-a")(fit())
+    val b = ModelMemo.cached(spark, "memo-spec-a")(fit())
+    assert(a eq b)
+    assert(fits == 1)
+  }
+
+  test("different keys and different sessions fit independently") {
+    var fits = 0
+    def fit(): Integer = { fits += 1; Integer.valueOf(fits) }
+    ModelMemo.cached(spark, "memo-spec-b")(fit())
+    ModelMemo.cached(spark, "memo-spec-c")(fit())
+    assert(fits == 2)
+    // a new session object must not see the first session's entry
+    val s2 = spark.newSession()
+    ModelMemo.cached(s2, "memo-spec-b")(fit())
+    assert(fits == 3)
+  }
+}

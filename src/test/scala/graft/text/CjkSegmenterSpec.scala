@@ -39,6 +39,56 @@ class CjkSegmenterSpec extends SparkSpec {
     assert(got(2) == Seq("深度学习", "框架"))
   }
 
+  test("property: segmentation never drops or reorders characters " +
+      "(concat of tokens == input run)") {
+    val rnd = new scala.util.Random(42)
+    val dictWords = dict.toVector
+    // random mixes of dictionary words and random CJK chars
+    val runs = (1 to 200).map { _ =>
+      (1 to rnd.nextInt(8) + 1).map { _ =>
+        if (rnd.nextBoolean()) dictWords(rnd.nextInt(dictWords.size))
+        else (0x4e00 + rnd.nextInt(0x51a6)).toChar.toString
+      }.mkString
+    }
+    runs.foreach { r =>
+      assert(CjkSegmenter.segmentRun(r, dict).mkString == r,
+        s"characters lost for: $r")
+    }
+  }
+
+  test("property: every emitted multi-char token is a dictionary word " +
+      "and is the longest match at its position") {
+    val rnd = new scala.util.Random(7)
+    val dictWords = dict.toVector
+    val runs = (1 to 200).map { _ =>
+      (1 to rnd.nextInt(6) + 1).map { _ =>
+        dictWords(rnd.nextInt(dictWords.size))
+      }.mkString
+    }
+    runs.foreach { r =>
+      var pos = 0
+      CjkSegmenter.segmentRun(r, dict).foreach { t =>
+        if (t.length > 1) {
+          assert(dict.contains(t), s"non-dictionary token $t in $r")
+          // no strictly longer dictionary word starts at the same spot
+          val longer = ((t.length + 1) to math.min(8, r.length - pos))
+            .map(l => r.substring(pos, pos + l)).filter(dict.contains)
+          assert(longer.isEmpty,
+            s"FMM took $t at $pos of $r but ${longer.mkString(",")} matches")
+        }
+        pos += t.length
+      }
+      assert(pos == r.length)
+    }
+  }
+
+  test("broadened lexicon segments everyday compounds") {
+    assert(CjkSegmenter.segmentRun("我们一起学习数据挖掘", dict) ==
+      Seq("我们", "一起", "学习", "数据挖掘"))
+    assert(CjkSegmenter.segmentRun("大数据云计算", dict) ==
+      Seq("大数据", "云计算"))
+  }
+
   test("empty dictionary degrades exactly to per-character segmentation") {
     import spark.implicits._
     val df = Seq("機器学習 spark").toDF("text")
