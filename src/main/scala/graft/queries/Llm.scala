@@ -723,7 +723,7 @@ object Llm {
   /** IVF (KMeans-cell) approximate ANN (rows-only — ML clustering). */
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(spark, dir), k = 5,
-        nCells = 8, nProbe = 2)
+        nCells = 8, nProbe = 2, memoKey = Some(dir))
       .orderBy(col("query_id"), col("rn"))
 
   /** ANN recall@5 of each approximate variant vs the exact brute-force
@@ -753,7 +753,7 @@ object Llm {
     recallRow("lsh", Similarity.lshTopK(emb, k = 5, nPlanes = 6, dim = 64,
         nTables = 8))
       .union(recallRow("ivf", Similarity.ivfTopK(emb, k = 5, nCells = 8,
-        nProbe = 2)))
+        nProbe = 2, memoKey = Some(dir))))
       .orderBy(col("variant"))
   }
 

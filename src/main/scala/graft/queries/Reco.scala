@@ -109,7 +109,7 @@ object Reco {
       .select(col("user_id"), col("item_id"))
     AlsRecommender.crossValidate(ratings, actual,
       ranks = Seq(8, 16), regParams = Seq(0.1), alphas = Seq(10.0),
-      maxIter = 3, k = 10)
+      maxIter = 3, k = 10, memoKey = Some(dir))
   }
 
   /** Time-split popularity recommendation evaluated with NDCG/P@k/MAP —

@@ -318,14 +318,16 @@ object Relational {
         round(expr("approx_percentile(o_totalprice, 0.9, 10000)"), 4).as("p90"),
         round(min($"o_totalprice"), 2).as("lo"),
         round(max($"o_totalprice"), 2).as("hi"),
-        expr("percentile(o_totalprice, 0.499)").as("__p50_lo"),
-        expr("percentile(o_totalprice, 0.501)").as("__p50_hi"),
-        expr("percentile(o_totalprice, 0.899)").as("__p90_lo"),
-        expr("percentile(o_totalprice, 0.901)").as("__p90_hi"))
+        // array form: ONE percentile buffer+sort for all four envelope
+        // points, not four independent ImperativeAggregate buffers
+        expr("percentile(o_totalprice, array(0.499, 0.501, 0.899, 0.901))")
+          .as("__env"))
       .withColumn("within_err",
-        $"p50".between($"__p50_lo" - 0.0001, $"__p50_hi" + 0.0001) &&
-          $"p90".between($"__p90_lo" - 0.0001, $"__p90_hi" + 0.0001))
-      .drop("__p50_lo", "__p50_hi", "__p90_lo", "__p90_hi")
+        $"p50".between(element_at($"__env", 1) - 0.0001,
+          element_at($"__env", 2) + 0.0001) &&
+          $"p90".between(element_at($"__env", 3) - 0.0001,
+            element_at($"__env", 4) + 0.0001))
+      .drop("__env")
       .orderBy($"o_orderpriority")
   }
 
@@ -350,15 +352,16 @@ object Relational {
           .otherwise(0L)).as("n_outliers"),
         count(lit(1)).as("n_rows"),
         // in-gate error band (r4 list #7): approx quartiles must land
-        // inside the exact [p−ε, p+ε] envelope, ε = 10× rank guarantee
-        expr("percentile(l_extendedprice, 0.249)").as("__q1_lo"),
-        expr("percentile(l_extendedprice, 0.251)").as("__q1_hi"),
-        expr("percentile(l_extendedprice, 0.749)").as("__q3_lo"),
-        expr("percentile(l_extendedprice, 0.751)").as("__q3_hi"))
+        // inside the exact [p−ε, p+ε] envelope, ε = 10× rank guarantee;
+        // array form = ONE percentile buffer for all four points
+        expr("percentile(l_extendedprice, array(0.249, 0.251, 0.749, 0.751))")
+          .as("__env"))
       .withColumn("within_err",
-        $"q1".between($"__q1_lo" - 0.0001, $"__q1_hi" + 0.0001) &&
-          $"q3".between($"__q3_lo" - 0.0001, $"__q3_hi" + 0.0001))
-      .drop("__q1_lo", "__q1_hi", "__q3_lo", "__q3_hi")
+        $"q1".between(element_at($"__env", 1) - 0.0001,
+          element_at($"__env", 2) + 0.0001) &&
+          $"q3".between(element_at($"__env", 3) - 0.0001,
+            element_at($"__env", 4) + 0.0001))
+      .drop("__env")
       .orderBy($"l_returnflag")
   }
 

@@ -54,7 +54,8 @@ object AlsRecommender {
     * the reference does); each fit/eval is fully distributed. */
   def crossValidate(ratings: DataFrame, actual: DataFrame, ranks: Seq[Int],
       regParams: Seq[Double], alphas: Seq[Double], maxIter: Int = 5,
-      k: Int = 10, folds: Int = 2, seed: Long = 42): DataFrame = {
+      k: Int = 10, folds: Int = 2, seed: Long = 42,
+      memoKey: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
     val spark = ratings.sparkSession
     val als = new ALS()
@@ -75,7 +76,13 @@ object AlsRecommender {
       .setEstimatorParamMaps(grid)
       .setEvaluator(new graft.ml.NdcgEvaluator(actual, k))
       .setNumFolds(folds).setSeed(seed).setParallelism(2)
-    val model = cv.fit(ratings)
+    // seeded grid fits — memoized per session when a stable key is given
+    val model = memoKey match {
+      case Some(mk) =>
+        graft.ml.ModelMemo.cached(ratings.sparkSession,
+          s"als-cv:$mk:$folds")(cv.fit(ratings))
+      case None => cv.fit(ratings)
+    }
     import spark.implicits._
     model.getEstimatorParamMaps.zip(model.avgMetrics).toSeq
       .map { case (pm, m) =>
