@@ -177,6 +177,48 @@ class EventStreamsSpec extends SparkSpec {
       s"disjoint late event mishandled: $got")
   }
 
+  test("sessionizer property: random multi-batch arrival with legal late " +
+      "events matches batch session_window truth exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val gapMin = 30L
+    val lagMin = 10L
+    // ~120 events over 20 users across 8 hours, in 3 arrival waves.
+    // An event is allowed into a later wave only if it stays >= the
+    // watermark its wave will see (max ts of prior waves - lag).
+    val all = (1 to 120).map { i =>
+      (1L + rnd.nextInt(20), rnd.nextInt(8 * 60).toLong, // minute
+        math.rint(rnd.nextDouble() * 10 * 100) / 100)
+    }.distinct
+    val sorted = all.sortBy(_._2)
+    val (w1, rest) = sorted.splitAt(sorted.length / 3)
+    val (w2base, w3base) = rest.splitAt(rest.length / 3)
+    // move some wave-2 events into wave 3 when still watermark-legal:
+    // watermark during wave 3 = max ts of waves 1+2 - lag
+    val wm3 = (w1 ++ w2base).map(_._2).max - lagMin
+    val (w2late, w2keep) = w2base.partition(e =>
+      e._2 >= wm3 && rnd.nextBoolean())
+    val waves = Seq(w1, w2keep, (w3base ++ w2late))
+      .map(w => rnd.shuffle(w)) // intra-batch disorder
+    assert(w2late.nonEmpty, "fixture degenerate: no late events moved")
+
+    val (got, baseUs) = sessionFixtureRun(waves, gapMin.toInt, "sess_prop")
+
+    // batch truth over the union; only sessions closed before the final
+    // watermark are emitted in Append mode
+    val batch = all.toDF("user_id", "m", "value")
+      .withColumn("ts", timestamp_seconds(lit(baseUs / 1000000L) + $"m" * 60))
+    val finalWmUs = baseUs + (all.map(_._2).max - lagMin) * 60000000L
+    val truth = EventStreams.userSessions(batch)
+      .select($"user_id", expr("unix_micros(session_start)"),
+        expr("unix_micros(session_end)"), $"n_events", $"session_value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val mustEmit = truth.filter(_._3 <= finalWmUs)
+    assert(mustEmit.nonEmpty)
+    assert(got == mustEmit,
+      s"missing=${(mustEmit -- got).take(3)} extra=${(got -- mustEmit).take(3)}")
+  }
+
   test("streaming dedup emits the same logical rows as the batch twin") {
     import spark.implicits._
     val batchEv = graft.sources.Tables.events(spark, sf0001)
