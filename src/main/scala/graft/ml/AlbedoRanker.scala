@@ -211,9 +211,13 @@ object AlbedoRanker {
     // quality-parity band (BASELINE.md row 5 lifecycle on the fixture
     // corpus; observed 0.975): a broken feature path collapses toward
     // chance, a label leak saturates to 1.0 — both escape the band
-    Seq((nFeatures.toLong, train.count(), test.count(), auc3,
+    val out = Seq((nFeatures.toLong, train.count(), test.count(), auc3,
       auc3 >= 0.90 && auc3 <= 0.99))
       .toDF("n_features", "train_rows", "test_rows", "auc",
         "auc_within_band")
+    // every consumer of the cached frame has run (fit, AUC, counts) —
+    // release it now (r5 leak sweep); the result is a local relation
+    data.unpersist()
+    out
   }
 }

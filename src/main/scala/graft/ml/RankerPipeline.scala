@@ -114,6 +114,10 @@ object RankerPipeline {
     val auc = new BinaryClassificationEvaluator()
       .setLabelCol("label").setRawPredictionCol("rawPrediction")
       .setMetricName("areaUnderROC").evaluate(scored)
+    // fit and AUC are both eager — release the feature cache now (r5
+    // leak sweep); the returned frame recomputes lazily if a caller
+    // actually scans it (none currently do)
+    data.unpersist()
     (model, auc, data)
   }
 
@@ -149,6 +153,8 @@ object RankerPipeline {
       case Some(k) => ModelMemo.cached(spark, s"lr-cv:$k:$folds")(cv.fit(data))
       case None => cv.fit(data)
     }
+    // grid metrics live on the driver once the fit returns (r5 leak sweep)
+    data.unpersist()
     import spark.implicits._
     model.getEstimatorParamMaps.zip(model.avgMetrics).toSeq
       .map { case (pm, m) =>
@@ -209,7 +215,7 @@ object RankerPipeline {
 
     val ndcgRow = RankingEvaluator.evaluate(
       scored, test.select(col("user_id"), col("item_id")).distinct(), topK)
-    ndcgRow.withColumn("auc", round(lit(auc), 6))
+    val out = ndcgRow.withColumn("auc", round(lit(auc), 6))
       .select(col("k"), col("n_users"), round(col("ndcg"), 6).as("ndcg"),
         round(col("precision"), 6).as("precision"), round(col("map"), 6).as("map"),
         col("auc"))
@@ -218,5 +224,7 @@ object RankerPipeline {
       // path collapses toward 0, a test leak saturates toward 1
       .withColumn("ndcg_within_band",
         col("ndcg") >= 0.05 && col("ndcg") <= 0.30)
+    // one metrics row — release the train cache now (r5 leak sweep)
+    graft.ops.Materialize.localThenUnpersist(out, train)
   }
 }

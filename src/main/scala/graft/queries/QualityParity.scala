@@ -111,11 +111,7 @@ object QualityParity {
     // the result is 4 rows — materialize it into a local relation so the
     // fixture caches can be released NOW instead of pinning executor
     // memory for the life of the session (ADVICE r3 #5: cache leak)
-    val rows = out.collect()
-    inter.unpersist()
-    test.unpersist()
-    spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), out.schema)
+    graft.ops.Materialize.localThenUnpersist(out, inter, test)
   }
 
   val defs: Seq[QueryDef] = Seq(

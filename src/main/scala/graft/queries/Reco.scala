@@ -124,12 +124,14 @@ object Reco {
     val test = inter.filter(col("ts_ns") >= cut)
     val users = test.select(col("user_id")).distinct()
     val recs = new PopularityRecommender(train).recommendForUsers(users, 10)
-    RankingEvaluator.evaluate(
+    val out = RankingEvaluator.evaluate(
         recs, test.select(col("user_id"), col("item_id")), 10)
       .select(col("k"), col("n_users"),
         round(col("ndcg"), 6).as("ndcg"),
         round(col("precision"), 6).as("precision"),
         round(col("map"), 6).as("map"))
+    // one metrics row — release the fixture cache now (r5 leak sweep)
+    graft.ops.Materialize.localThenUnpersist(out, inter)
   }
 
   /** Curation recommender: fixed curator ids, most-recent-interaction
