@@ -185,8 +185,17 @@ object AlbedoRanker {
     }
     // fixture-scale frame: collapse to a few partitions so the iterative
     // fit doesn't schedule 32-way shuffles over 10k rows, and cache so
-    // each pipeline stage fit reuses the join lineage once
-    val data = weigher.transform(base).repartition(4).cache()
+    // each pipeline stage fit reuses the join lineage once.
+    // HASH-partition on the key and sort within partitions (unique
+    // (user_id, repo_id)) — round-robin repartition leaves intra-
+    // partition order at shuffle-fetch order, which randomSplit then
+    // samples, flipping split membership (and the fitted vocab sizes)
+    // between runs; with a total deterministic order the seeded split
+    // is bit-stable (r5 doublecheck caught 881 vs 878 n_features)
+    val data = weigher.transform(base)
+      .repartition(4, col("user_id"))
+      .sortWithinPartitions("user_id", "repo_id")
+      .cache()
 
     val lr = new LogisticRegression()
       .setMaxIter(15).setRegParam(0.1).setElasticNetParam(0.0)

@@ -30,4 +30,9 @@ object ModelMemo {
     memo.computeIfAbsent(
       s"${System.identityHashCode(spark)}:$key",
       _ => fit).asInstanceOf[T]
+
+  /** Drop every memoized artifact (all sessions). For very long-lived
+    * drivers cycling many datasets — entries are driver references and
+    * accumulate per distinct (session, key) — and for tests. */
+  def clear(): Unit = memo.clear()
 }

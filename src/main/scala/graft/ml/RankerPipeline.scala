@@ -99,9 +99,13 @@ object RankerPipeline {
   def trainAndEvaluate(spark: SparkSession, interactions: DataFrame,
       maxIter: Int = 20, regParam: Double = 0.1): (org.apache.spark.ml.PipelineModel, Double, DataFrame) = {
     // right-size partitions for the iterative fit: ~10^5 rows across 32
-    // shuffle partitions is pure task-scheduling overhead per iteration
+    // shuffle partitions is pure task-scheduling overhead per iteration.
+    // hash + in-partition sort on the unique key = deterministic row
+    // order, so the seeded randomSplit is bit-stable (see AlbedoRanker)
     val data = weigher.transform(trainingFrame(interactions))
-      .repartition(8).cache()
+      .repartition(8, col("user_id"))
+      .sortWithinPartitions("user_id", "item_id")
+      .cache()
     val lr = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam).setElasticNetParam(0.0)
       .setStandardization(true)
@@ -129,9 +133,13 @@ object RankerPipeline {
       folds: Int = 2, memoKey: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
     // cached + right-sized: the grid×folds fits would otherwise re-derive
-    // the feature joins per fit and schedule 32-way waves per iteration
+    // the feature joins per fit and schedule 32-way waves per iteration.
+    // hash + in-partition sort: CrossValidator's seeded kFold is order-
+    // sensitive exactly like randomSplit (see AlbedoRanker)
     val data = weigher.transform(trainingFrame(interactions))
-      .repartition(8).cache()
+      .repartition(8, col("user_id"))
+      .sortWithinPartitions("user_id", "item_id")
+      .cache()
     val lr = new LogisticRegression()
       .setElasticNetParam(0.0).setStandardization(true)
       .setFeaturesCol("features").setLabelCol("label")

@@ -90,9 +90,22 @@ object QualityParity {
         }.recommendForUsers(users, k),
       "curation" -> new CurationRecommender(train, Seq(1, 2, 3, 5, 8))
         .recommendForUsers(users, k),
-      "content" -> new ContentUserRecommender(train, repoDocs(spark),
-        "repo_id", "text", recentK = 3, prefixM = 4)
-        .recommendForUsers(users, k))
+      "content" -> {
+        // TF-IDF weights over the fixed fixture corpus — memoized per
+        // session so repeat invocations skip the index rebuild
+        val docs = repoDocs(spark)
+        val weights = graft.ml.ModelMemo.cached(spark, "tfidf-repo-fixture") {
+          val w = graft.reco.ContentRecommender.tfidfWeights(docs,
+            "repo_id", "text", minDf = 1, maxDfFrac = 0.8,
+            nDocs = Some(docs.count())).cache()
+          w.count() // materialize once at fit time
+          w
+        }
+        new ContentUserRecommender(train, docs,
+          "repo_id", "text", recentK = 3, prefixM = 4,
+          weights = Some(weights))
+          .recommendForUsers(users, k)
+      })
 
     val out = recommenders.map { case (name, recs) =>
       val (lo, hi) = bands(name)
