@@ -25,11 +25,26 @@ object ModelMemo {
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
   /** Return the memoized artifact for `key`, fitting once per
-    * (session, key). `fit` must be deterministic for the key. */
-  def cached[T <: AnyRef](spark: SparkSession, key: String)(fit: => T): T =
-    memo.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$key",
-      _ => fit).asInstanceOf[T]
+    * (session, key). `fit` must be deterministic for the key.
+    *
+    * The fit runs OUTSIDE any map lock (get, then putIfAbsent) rather
+    * than under `computeIfAbsent`: a multi-second model fit must not
+    * pin a hash bin (blocking unrelated keys that share it), and a
+    * memoized fit that composes another memoized fit must not trip
+    * CHM's reentrant-update prohibition. Racing threads may both fit —
+    * fits are deterministic, the first publish wins, and the engine's
+    * drivers run gates sequentially, so in practice the fit still
+    * happens once. */
+  def cached[T <: AnyRef](spark: SparkSession, key: String)(fit: => T): T = {
+    val k = s"${System.identityHashCode(spark)}:$key"
+    val hit = memo.get(k)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      val fitted = fit
+      val prev = memo.putIfAbsent(k, fitted)
+      (if (prev != null) prev else fitted).asInstanceOf[T]
+    }
+  }
 
   /** Drop every memoized artifact (all sessions). For very long-lived
     * drivers cycling many datasets — entries are driver references and

@@ -210,8 +210,15 @@ object EventStreams {
           }.toSeq
           val merged = mergeSorted(
             (prior ++ fresh).sortBy(s => (s.startUs, s.lastUs, s.v)))
-          // a session can still grow only if a watermark-legal event
-          // (ts >= watermark) could merge into it, i.e. wm <= lastUs+gap
+          // a session can still grow only if a later event could merge
+          // into it, i.e. wm < lastUs+gap. Boundaries probed on Spark
+          // 4.1: batch session_window's merge comparator is INCLUSIVE
+          // (tools/GapBoundaryProbe — mergeSorted's `<=` matches), the
+          // built-in streaming aggregation evicts at wm == lastUs+gap
+          // (tools/WmEdgeProbe — strict `>` here matches), and a row at
+          // ts == wm never reaches this function anyway: the operator's
+          // own late filter drops it (tools/SessionEdgeTrace), so only
+          // rows strictly above the watermark can arrive.
           val (open, done) = merged.partition(s => s.lastUs + gapUs > wmUs)
           if (open.nonEmpty) {
             state.update(SessionBuf(open))

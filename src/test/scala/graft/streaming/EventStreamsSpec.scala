@@ -177,6 +177,32 @@ class EventStreamsSpec extends SparkSpec {
       s"disjoint late event mishandled: $got")
   }
 
+  test("sessionizer: late event exactly gap after the previous one " +
+      "MERGES (inclusive comparator, matching batch session_window)") {
+    def us(baseUs: Long, m: Long) = baseUs + m * 60000000L
+    // Boundary probed on Spark 4.1: batch session_window merges an
+    // event exactly gap after the previous one (tools/GapBoundaryProbe)
+    // — the merge comparator is INCLUSIVE, so the custom sessionizer's
+    // `<=` must match; a strict `<` would split [0] and [30] here.
+    // (An event at ts == watermark is a separate, moot boundary:
+    // flatMapGroupsWithState + EventTimeTimeout drops it before the
+    // state function runs — tools/SessionEdgeTrace — so this fixture
+    // keeps the late event strictly above the watermark.)
+    // wave 1: u1@0, u2@35 -> wm 25. wave 2: u1@30 (legal: 30 > wm 25,
+    // exactly gap 30 after u1@0) must MERGE; u3@100 -> wm 90 closes all.
+    val (got, baseUs) = sessionFixtureRun(
+      waves = Seq(
+        Seq((1L, 0L, 1.0), (2L, 35L, 2.0)),
+        Seq((1L, 30L, 3.0), (3L, 100L, 4.0))),
+      gapMinutes = 30, queryName = "sess_edge_30")
+    val expected = Set(
+      (1L, us(baseUs, 0), us(baseUs, 60), 2L, 4.0),
+      (2L, us(baseUs, 35), us(baseUs, 65), 1L, 2.0))
+    // u3's session (end 130) is open at final wm 90: withheld
+    assert(got == expected,
+      s"exact-gap late event mishandled: $got")
+  }
+
   test("sessionizer property: random multi-batch arrival with legal late " +
       "events matches batch session_window truth exactly") {
     import spark.implicits._
