@@ -328,6 +328,9 @@ object Llm {
       |truth AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
       |          FROM e a CROSS JOIN e b
       |          WHERE a.vec_id < b.vec_id
+      |            -- q97's deterministic corpus bound: the Spark truth
+      |            -- side is embeddingNearDups, which caps vec_id < 5000
+      |            AND a.vec_id < 5000 AND b.vec_id < 5000
       |            AND round(list_cosine_similarity(a.embedding::DOUBLE[],
       |                                             b.embedding::DOUBLE[]), 6) >= 0.4),
       |j AS (SELECT t.id_a, t.id_b,
