@@ -29,6 +29,51 @@ object Dedup {
       .withColumn("is_dup", col(idCol) =!= col("canon_id"))
   }
 
+  /** Exact SUBSTRING-duplication scan via hashed token windows — the
+    * distributed analogue of suffix-array substring dedup (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"):
+    * a doc-level near-dup pass (MinHash/SimHash) misses a long span
+    * copied into an otherwise-novel document, which is exactly the
+    * memorization vector that paper targets. Every w-token window is
+    * hashed; a window whose hash occurs ≥2 times anywhere in the corpus
+    * (within OR across docs) is a duplicated span, and each doc reports
+    * its duplicated-window coverage — the admission signal a training
+    * pipeline thresholds on.
+    *
+    * Scale: the fan-out is one row per token (×1 window each), the only
+    * shuffles are on the uniform window hash and on the doc id — no
+    * quadratic term anywhere; suffix arrays beat it on constants
+    * single-node but do not shard declaratively.
+    *
+    * @return one row per doc with ≥ w tokens:
+    *         (doc_id, n_windows, n_dup_windows, dup_coverage).
+    */
+  def substringDupScan(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 8): DataFrame = {
+    val wins = docs
+      .select(col(idCol).cast("long").as("id"),
+        filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+          .as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= w)
+      .select(col("id"),
+        explode(transform(sequence(lit(0), col("n") - w),
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(w))))))
+          .as("h"))
+    // windows occurring >= 2 times anywhere are duplicated spans
+    val dupH = wins.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("h"))
+    val perDoc = wins.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"))
+    val dupPerDoc = wins.join(dupH, Seq("h"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_windows"))
+    perDoc.join(dupPerDoc, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup_windows"), lit(0L)) / col("n_windows"), 4)
+          .as("dup_coverage"))
+  }
+
   // ---- shingling + MinHash ----------------------------------------
 
   /** k-word shingles of normalized text, distinct. */

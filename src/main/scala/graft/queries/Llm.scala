@@ -36,6 +36,36 @@ object Llm {
       .select(col("doc_id"), col("content_hash"), col("canon_id"), col("is_dup"))
       .orderBy(col("doc_id"))
 
+  /** Exact substring-duplication coverage per doc (hashed w-token
+    * windows, [[Dedup.substringDupScan]]): catches a long span copied
+    * into an otherwise-novel doc, which the doc-level MinHash/SimHash
+    * passes (q35/q36) miss by design. Fully oracled: whitespace
+    * tokenization, md5 window hashing and the coverage ratio all
+    * replay in SQL. */
+  def substringDupScan(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupScan(Tables.documents(spark, dir), "doc_id", "text",
+        w = 8)
+      .orderBy(col("doc_id"))
+
+  private def substringDupScanOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> x <> '') AS toks
+      |  FROM documents),
+      |e AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+      |u AS (SELECT doc_id, toks, unnest(range(n - 7)) AS i FROM e),
+      |w AS (SELECT doc_id,
+      |             md5(array_to_string(toks[i+1:i+8], ' ')) AS h FROM u),
+      |d AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+      |per AS (SELECT doc_id, count(*) AS n_windows,
+      |               sum(CASE WHEN h IN (SELECT h FROM d)
+      |                        THEN 1 ELSE 0 END) AS n_dup
+      |        FROM w GROUP BY doc_id)
+      |SELECT doc_id, n_windows, CAST(n_dup AS BIGINT) AS n_dup_windows,
+      |       round(n_dup / n_windows, 4) AS dup_coverage
+      |FROM per ORDER BY doc_id""".stripMargin
+
   /** Language-ID heuristic + BPE-ish subword estimate (oracled: the
     * marker-word argmax and regex segmentation are pure SQL). Runs the
     * bulk typed kernel — expression-identical to TA.langId /
@@ -904,6 +934,7 @@ object Llm {
     QueryDef("q97_embedding_near_dups", embeddingNearDups, Some(embeddingNearDupsOracle)),
     QueryDef("q97b_near_dup_pairs_lsh", embeddingNearDupsLsh, Some(embeddingNearDupsLshOracle)),
     QueryDef("q97c_near_dup_recall", embeddingNearDupRecall, Some(embeddingNearDupRecallOracle)),
+    QueryDef("q98_substring_dup_scan", substringDupScan, Some(substringDupScanOracle)),
     QueryDef("q83_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     QueryDef("q84_bm25_search", bm25Search, Some(bm25Oracle)),
     QueryDef("q85_feature_hash", featureHash, Some(featureHashOracle)),

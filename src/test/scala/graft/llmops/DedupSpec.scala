@@ -138,4 +138,27 @@ class DedupSpec extends SparkSpec {
       .select(Dedup.shingles($"t", 3).as("s")).as[Seq[String]].collect()(0)
     assert(short == Seq("a b"))
   }
+
+  test("substringDupScan: cross-doc copied span flagged, unique doc " +
+      "clean, short doc excluded, within-doc repeat counts") {
+    // span = 4 shared tokens; w = 4 so exactly one window covers it
+    val docs = Seq(
+      (1L, "one two three four alpha beta gamma delta"),   // span at head
+      (2L, "x y one two three four z q"),                  // same span copied
+      (3L, "p q r s t u v w"),                             // novel, no dups
+      (4L, "too short"),                                   // < w tokens: excluded
+      (5L, "r1 r2 r3 r4 r1 r2 r3 r4 r1 r2 r3 r4")          // within-doc repeat
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDupScan(docs, "doc_id", "text", w = 4)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(!got.contains(4L), "short doc must be excluded")
+    // docs 1/2: 5 windows each (8-4+1), exactly one duplicated
+    assert(got(1L) == ((5L, 1L, 0.2)) && got(2L) == ((5L, 1L, 0.2)),
+      s"copied span mis-scored: $got")
+    assert(got(3L) == ((5L, 0L, 0.0)), "unique doc must score zero")
+    // doc 5: 9 windows, period 4 -> every window recurs within the doc
+    assert(got(5L)._1 == 9L && got(5L)._2 == 9L && got(5L)._3 == 1.0,
+      s"within-doc repeat mis-scored: ${got(5L)}")
+  }
 }
