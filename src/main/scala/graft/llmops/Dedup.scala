@@ -50,16 +50,7 @@ object Dedup {
     */
   def substringDupScan(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 8): DataFrame = {
-    val wins = docs
-      .select(col(idCol).cast("long").as("id"),
-        filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
-          .as("toks"))
-      .withColumn("n", size(col("toks")))
-      .filter(col("n") >= w)
-      .select(col("id"),
-        explode(transform(sequence(lit(0), col("n") - w),
-          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(w))))))
-          .as("h"))
+    val wins = tokenWindows(docs, idCol, textCol, w)
     // windows occurring >= 2 times anywhere are duplicated spans
     val dupH = wins.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2).select(col("h"))
@@ -72,6 +63,52 @@ object Dedup {
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
         round(coalesce(col("n_dup_windows"), lit(0L)) / col("n_windows"), 4)
           .as("dup_coverage"))
+  }
+
+  /** Hashed w-token windows: one (id, h) row per window of w
+    * consecutive whitespace tokens (lowercased, empties dropped). Docs
+    * with < w tokens emit nothing. Shared by [[substringDupScan]] and
+    * [[decontaminate]] so both agree on tokenization and hashing. */
+  private[graft] def tokenWindows(docs: DataFrame, idCol: String,
+      textCol: String, w: Int): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+          .as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= w)
+      .select(col("id"),
+        explode(transform(sequence(lit(0), col("n") - w),
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(w))))))
+          .as("h"))
+
+  /** Benchmark decontamination (the GPT-3 / Gopher eval-overlap rule):
+    * a training doc is contaminated when any of its w-token windows
+    * also occurs in the held-out eval corpus. Reports every training
+    * doc with its matching-window count; the admission filter is
+    * `!contaminated`.
+    *
+    * Scale: the eval side is a benchmark — tiny by construction — so
+    * its distinct window hashes broadcast and the probe is a map-side
+    * semi-join over the linear training-window stream; the only
+    * shuffle is the per-doc hit count on doc id. A training doc with
+    * < w tokens has no window and cannot be flagged.
+    *
+    * @return one row per training doc:
+    *         (doc_id, n_hits, contaminated).
+    */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, w: Int = 8): DataFrame = {
+    val evalH = tokenWindows(evalDocs, idCol, textCol, w)
+      .select(col("h")).distinct()
+    val hits = tokenWindows(train, idCol, textCol, w)
+      .join(broadcast(evalH), Seq("h"), "inner")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    train.select(col(idCol).cast("long").as("doc_id"))
+      .join(hits.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
   // ---- shingling + MinHash ----------------------------------------

@@ -240,6 +240,53 @@ object TextAnalysis {
         round(col("sum_c") / col("n_tri").cast("double"), 2).as("commonness"))
   }
 
+  /** Gopher-style repetition filters (Rae et al. 2021, appendix A1),
+    * adapted token-wise for single-line corpora: the paper's line-based
+    * rules need newline structure, its n-gram rules don't.
+    *   - top2_frac / top3_frac: characters covered by the most
+    *     repeated {2,3}-gram over total chars. Coverage of a gram is
+    *     count × gram char length; the doc score is the MAX coverage
+    *     product over grams (deterministic — no tie-break between
+    *     equally-frequent grams of different lengths).
+    *   - dup5_frac: fraction of 5-token windows whose gram occurs ≥ 2
+    *     times within the doc (the paper's duplicate-n-gram family).
+    * Paper thresholds for admission: ~0.20 / 0.18 / 0.15.
+    *
+    * Scale: windows fan out one row per token per n; shuffles key on
+    * (doc, gram) then doc — linear, the substringDupScan shape. */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+        .as("toks"),
+      length(coalesce(col(textCol), lit(""))).cast("long").as("n_chars"))
+    def gramCounts(n: Int): DataFrame = base
+      .withColumn("nt", size(col("toks")))
+      .filter(col("nt") >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("nt") - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    def topCov(n: Int, out: String): DataFrame = gramCounts(n)
+      .groupBy(col("doc_id"))
+      .agg(max(col("c") * length(col("g"))).as(out))
+    val d5 = gramCounts(5)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("w5"),
+        sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup5"))
+    val chars = greatest(col("n_chars"), lit(1L)).cast("double")
+    base.select(col("doc_id"), col("n_chars"))
+      .join(topCov(2, "cov2"), Seq("doc_id"), "left")
+      .join(topCov(3, "cov3"), Seq("doc_id"), "left")
+      .join(d5, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("cov2"), lit(0L)) / chars, 6).as("top2_frac"),
+        round(coalesce(col("cov3"), lit(0L)) / chars, 6).as("top3_frac"),
+        round(coalesce(col("dup5"), lit(0L)) /
+          greatest(coalesce(col("w5"), lit(0L)), lit(1L)).cast("double"), 6)
+          .as("dup5_frac"))
+  }
+
   /** Word-association mining: pointwise mutual information over
     * within-document co-occurrence. pmi(a,b) = ln(c_ab·N / (c_a·c_b))
     * with c_* document frequencies — all exact integers, so the only

@@ -66,6 +66,84 @@ object Llm {
       |       round(n_dup / n_windows, 4) AS dup_coverage
       |FROM per ORDER BY doc_id""".stripMargin
 
+  /** Benchmark decontamination ([[Dedup.decontaminate]]): docs with
+    * doc_id % 31 == 0 play the held-out eval set; every other doc is
+    * flagged when it shares any 8-token window with that set. Fully
+    * oracled — the window hashing and the broadcast semi-join replay
+    * as SQL. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.decontaminate(
+        docs.filter(col("doc_id") % 31 =!= 0),
+        docs.filter(col("doc_id") % 31 === 0),
+        "doc_id", "text", w = 8)
+      .orderBy(col("doc_id"))
+  }
+
+  private def decontaminateOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> x <> '') AS toks
+      |  FROM documents),
+      |e AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+      |u AS (SELECT doc_id, toks, unnest(range(n - 7)) AS i FROM e),
+      |w AS (SELECT doc_id,
+      |             md5(array_to_string(toks[i+1:i+8], ' ')) AS h FROM u),
+      |ev AS (SELECT DISTINCT h FROM w WHERE doc_id % 31 = 0),
+      |hits AS (SELECT doc_id, count(*) AS n_hits FROM w
+      |         WHERE doc_id % 31 <> 0 AND h IN (SELECT h FROM ev)
+      |         GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+      |       coalesce(n_hits, 0) > 0 AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 31 <> 0) d
+      |LEFT JOIN hits USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style per-doc repetition filters
+    * ([[TA.repetitionSignals]]): top-{2,3}-gram char coverage and
+    * duplicate-5-gram window fraction — the admission signals that
+    * catch boilerplate/looping text which length and stopword ratios
+    * (q31) miss. Fully oracled. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
+    TA.repetitionSignals(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private def repetitionSignalsOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> x <> '') AS toks,
+      |         length(coalesce(text, '')) AS n_chars
+      |  FROM documents),
+      |g2 AS (SELECT doc_id, array_to_string(toks[i+1:i+2], ' ') AS g
+      |       FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
+      |             FROM t WHERE len(toks) >= 2)),
+      |c2 AS (SELECT doc_id, max(c * length(g)) AS cov2
+      |       FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+      |       GROUP BY doc_id),
+      |g3 AS (SELECT doc_id, array_to_string(toks[i+1:i+3], ' ') AS g
+      |       FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i
+      |             FROM t WHERE len(toks) >= 3)),
+      |c3 AS (SELECT doc_id, max(c * length(g)) AS cov3
+      |       FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+      |       GROUP BY doc_id),
+      |g5 AS (SELECT doc_id, array_to_string(toks[i+1:i+5], ' ') AS g
+      |       FROM (SELECT doc_id, toks, unnest(range(len(toks) - 4)) AS i
+      |             FROM t WHERE len(toks) >= 5)),
+      |c5 AS (SELECT doc_id, sum(c) AS w5,
+      |              sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup5
+      |       FROM (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2)
+      |       GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |       round(coalesce(cov2, 0) / greatest(n_chars, 1), 6) AS top2_frac,
+      |       round(coalesce(cov3, 0) / greatest(n_chars, 1), 6) AS top3_frac,
+      |       round(coalesce(dup5, 0) / greatest(coalesce(w5, 0), 1), 6)
+      |         AS dup5_frac
+      |FROM t LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+      |       LEFT JOIN c5 USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   /** Language-ID heuristic + BPE-ish subword estimate (oracled: the
     * marker-word argmax and regex segmentation are pure SQL). Runs the
     * bulk typed kernel — expression-identical to TA.langId /
@@ -935,6 +1013,8 @@ object Llm {
     QueryDef("q97b_near_dup_pairs_lsh", embeddingNearDupsLsh, Some(embeddingNearDupsLshOracle)),
     QueryDef("q97c_near_dup_recall", embeddingNearDupRecall, Some(embeddingNearDupRecallOracle)),
     QueryDef("q98_substring_dup_scan", substringDupScan, Some(substringDupScanOracle)),
+    QueryDef("q99_decontaminate", decontaminate, Some(decontaminateOracle)),
+    QueryDef("q100_repetition_signals", repetitionSignals, Some(repetitionSignalsOracle)),
     QueryDef("q83_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     QueryDef("q84_bm25_search", bm25Search, Some(bm25Oracle)),
     QueryDef("q85_feature_hash", featureHash, Some(featureHashOracle)),

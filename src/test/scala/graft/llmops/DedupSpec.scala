@@ -161,4 +161,24 @@ class DedupSpec extends SparkSpec {
     assert(got(5L)._1 == 9L && got(5L)._2 == 9L && got(5L)._3 == 1.0,
       s"within-doc repeat mis-scored: ${got(5L)}")
   }
+
+  test("decontaminate: eval-overlapping doc flagged with hit count, " +
+      "clean and short docs admitted") {
+    val evalDocs = Seq(
+      (100L, "secret bench question alpha beta gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // shares the eval doc's first 4-token window
+      (1L, "intro secret bench question alpha coda one two three"),
+      (2L, "totally unrelated text with enough tokens to window"),
+      (3L, "too short")                       // < w tokens: admitted
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(train, evalDocs, "doc_id", "text", w = 4)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((1L, true)), s"overlap doc mis-flagged: $got")
+    assert(got(2L) == ((0L, false)), "clean doc must be admitted")
+    assert(got(3L) == ((0L, false)), "short doc must be admitted")
+    assert(got.size == 3, "every training doc must be reported")
+  }
 }

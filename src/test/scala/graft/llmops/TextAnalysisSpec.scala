@@ -67,4 +67,27 @@ class TextAnalysisSpec extends SparkSpec {
         TextAnalysis.tokenCount($"t").as("w")).collect()(0)
     assert(row.getAs[Long]("s") >= row.getAs[Int]("w"))
   }
+
+  test("repetition signals: looping text scores high, unique text low, " +
+      "short doc zero") {
+    val docs = Seq(
+      // "aa bb" x3 (len 5) over 17 chars; every 3-gram repeats; the two
+      // 5-gram windows are distinct
+      (1L, "aa bb aa bb aa bb"),
+      (2L, "t1 t2 t3 t4 t5 t6"),                // all grams unique
+      (3L, "one"),                              // below every window size
+      (4L, "x y z w v x y z w v")               // 5-gram repeats: 2 of 6
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((0.882353, 0.941176, 0.0)),
+      s"looping doc mis-scored: ${got(1L)}")   // 15/17, 16/17, 0
+    assert(got(2L) == ((0.294118, 0.470588, 0.0)),
+      s"unique doc mis-scored: ${got(2L)}")    // 5/17, 8/17, 0
+    assert(got(3L) == ((0.0, 0.0, 0.0)), "short doc must score zero")
+    assert(got(4L)._3 == 0.333333,
+      s"duplicate 5-gram fraction wrong: ${got(4L)}")  // 2/6
+    assert(got(1L)._1 > got(2L)._1, "repetition must rank above unique")
+  }
 }
