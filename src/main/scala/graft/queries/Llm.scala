@@ -694,6 +694,39 @@ object Llm {
       |      < CASE WHEN lang = 'en' THEN 300000 ELSE 1000000 END
       |ORDER BY doc_id""".stripMargin
 
+  /** Temperature-scaled language-mixture rebalance
+    * ([[graft.reco.Splits.temperatureRebalance]]): keep rates derive
+    * from per-language char mass in-plan (α = 0.5 flattening), the
+    * dominant language is downsampled toward the smoothed mixture and
+    * the tail kept whole. Fully oracled — integer weights + one
+    * fixed-shape float expression per stratum replay in SQL. */
+  def mixtureRebalance(spark: SparkSession, dir: String): DataFrame =
+    graft.reco.Splits.temperatureRebalance(
+        Tables.documents(spark, dir), "lang", "doc_id", "n_chars", "mix42")
+      .select(col("doc_id"), col("lang"), col("keep_rate"), col("admitted"))
+      .orderBy(col("doc_id"))
+
+  private def mixtureRebalanceOracle: String =
+    """WITH s AS (
+      |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_g
+      |  FROM documents GROUP BY lang),
+      |w AS (SELECT lang, n_g,
+      |        CAST(floor(sqrt(CAST(n_g AS DOUBLE)) * 1000) AS BIGINT) AS w_g
+      |      FROM s),
+      |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_tot,
+      |               CAST(sum(w_g) AS BIGINT) AS w_tot FROM w),
+      |r AS (SELECT lang,
+      |        least(CAST(1.0 AS DOUBLE),
+      |          CAST(w_g AS DOUBLE) / CAST(w_tot AS DOUBLE)
+      |            * CAST(n_tot AS DOUBLE) / CAST(n_g AS DOUBLE)) AS kr
+      |      FROM w, tot)
+      |SELECT d.doc_id, d.lang, round(kr, 6) AS keep_rate,
+      |       ('0x' || substr(md5('mix42:' || d.doc_id), 1, 8))::BIGINT
+      |         % 1000000 < CAST(round(kr * 1000000, 0) AS BIGINT)
+      |         AS admitted
+      |FROM documents d JOIN r USING (lang)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** BM25 ranked retrieval for a fixed bag-of-words query — integer
     * micro-score sum (see [[graft.text.Bm25]]) makes the full scoring
     * pipeline hash-exact across engines. */
@@ -1015,6 +1048,7 @@ object Llm {
     QueryDef("q98_substring_dup_scan", substringDupScan, Some(substringDupScanOracle)),
     QueryDef("q99_decontaminate", decontaminate, Some(decontaminateOracle)),
     QueryDef("q100_repetition_signals", repetitionSignals, Some(repetitionSignalsOracle)),
+    QueryDef("q101_mixture_rebalance", mixtureRebalance, Some(mixtureRebalanceOracle)),
     QueryDef("q83_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     QueryDef("q84_bm25_search", bm25Search, Some(bm25Oracle)),
     QueryDef("q85_feature_hash", featureHash, Some(featureHashOracle)),

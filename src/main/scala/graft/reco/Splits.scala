@@ -66,4 +66,47 @@ object Splits {
     }
     df.filter(hashBucketPortable(col(idCol), seed) < cut)
   }
+
+  /** Temperature-scaled mixture rebalance (the multilingual-training
+    * sampling rule, cf. mBERT / XLM-R exponent-smoothed mixtures):
+    * target share of stratum g is share_g^α normalized, here α = 0.5 —
+    * dominant strata are downsampled toward the flattened mixture,
+    * tail strata keep everything (no upsampling). Rates derive from
+    * corpus stats IN-PLAN: keep_rate_g = min(1, p_g·N / n_g) with
+    * p_g = w_g / Σw, w_g = floor(sqrt(n_g)·1000).
+    *
+    * Determinism across engines: n_g and w_g are exact integers (sqrt
+    * is IEEE-correctly-rounded in both the JVM and DuckDB — pow is
+    * not, which is why α is fixed at 0.5), so Σw is order-independent
+    * and the one float expression per stratum replays bit-identically.
+    * Admission is the portable per-doc hash bucket against the
+    * stratum's integer cutoff.
+    *
+    * Scale: the stats table is |strata| rows — broadcast — and the
+    * admission test is a map-side filter over the corpus; the only
+    * full-data shuffle is the per-stratum weight sum. Weighted by an
+    * exact integer column (chars/tokens), not row counts.
+    *
+    * @return the input plus (keep_rate, admitted); filter on admitted.
+    */
+  def temperatureRebalance(df: DataFrame, strataCol: String, idCol: String,
+      weightCol: String, seed: String): DataFrame = {
+    val stats = df.groupBy(col(strataCol))
+      .agg(sum(col(weightCol)).cast("long").as("n_g"))
+      .withColumn("w_g",
+        floor(sqrt(col("n_g").cast("double")) * 1000).cast("long"))
+    val tot = stats.agg(sum(col("n_g")).as("n_tot"),
+      sum(col("w_g")).as("w_tot"))
+    val rates = stats.crossJoin(broadcast(tot))
+      .withColumn("kr", least(lit(1.0),
+        col("w_g").cast("double") / col("w_tot").cast("double")
+          * col("n_tot").cast("double") / col("n_g").cast("double")))
+      .select(col(strataCol),
+        round(col("kr"), 6).as("keep_rate"),
+        round(col("kr") * 1000000, 0).cast("long").as("cutoff"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .withColumn("admitted",
+        hashBucketPortable(col(idCol), seed) < col("cutoff"))
+      .drop("cutoff")
+  }
 }

@@ -37,4 +37,27 @@ class StratifiedSampleSpec extends SparkSpec {
         ($"stratum" === "tail" && cut >= 1000000L))
     assert(recheck.count() == 0)
   }
+
+  test("temperature rebalance: dominant stratum capped at the smoothed " +
+      "rate, tail kept whole, admission matches the hand math") {
+    // head: 1600 rows x 10 units, tail: 400 rows x 10 units
+    val df = (0L until 2000L)
+      .map(i => (i, if (i < 1600) "head" else "tail", 10L))
+      .toDF("id", "stratum", "units")
+    val out = Splits.temperatureRebalance(df, "stratum", "id", "units", "t1")
+    val rates = out.select($"stratum", $"keep_rate").distinct()
+      .as[(String, Double)].collect().toMap
+    // n_head=16000, n_tail=4000; w = floor(sqrt(n)*1000): 126491, 63245
+    // p_head = 126491/189736; kr_head = p_head*20000/16000 = 0.8333356
+    assert(rates("tail") == 1.0, s"tail must keep everything: $rates")
+    assert(rates("head") == 0.833336, s"head rate wrong: $rates")
+    // admission replays the portable hash against the integer cutoff
+    val bad = out.filter($"admitted" =!=
+      (Splits.hashBucketPortable($"id", "t1") <
+        when($"stratum" === "head", 833336L).otherwise(1000000L)))
+    assert(bad.count() == 0)
+    // realized head rate is near the target
+    val kept = out.filter($"admitted" && $"stratum" === "head").count()
+    assert(kept > 1250 && kept < 1410, s"realized head keeps $kept")
+  }
 }
