@@ -96,4 +96,43 @@ object Quality {
       .limit(vocabSize)
       .withColumn("token_id", row_number().over(byFreq).cast("long") - 1)
   }
+
+  /** Language-model quality scoring (the CCNet-style perplexity
+    * filter, Wenzek et al. 2020, with the n-gram LM reduced to a
+    * unigram fit on the corpus itself): each doc's mean negative
+    * log-likelihood under an add-1-smoothed unigram model —
+    * lp(t) = ln((c_t + 1) / (N + V)) — flags machine-generated /
+    * boilerplate text whose token distribution diverges from the
+    * corpus. Per-token contributions are quantized to integer
+    * micro-nats BEFORE summing (the Bm25 move), so doc scores are an
+    * exact BIGINT sum — no float-sum order nondeterminism across
+    * engines or partition layouts; the two final divisions and exp
+    * run on identical inputs everywhere.
+    *
+    * Scale: one shuffle on token for the count table, one keyed join
+    * of instances to counts (shuffle or broadcast — Catalyst picks by
+    * vocab size), one shuffle on doc for the sum. Linear; no driver
+    * state. Docs with zero tokens emit nothing.
+    *
+    * @return (doc_id, n_tokens, avg_nll, ppl) per non-empty doc.
+    */
+  def unigramPerplexity(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val inst = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(filter(split(lower(col(textCol)), "\\s+"),
+        t => length(t) > 0)).as("t"))
+    val counts = inst.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val stats = counts.agg(sum(col("c")).as("n_tok"),
+      count(lit(1)).as("v"))
+    val avg = col("nll_sum_u") / (col("n_tokens") * 1000000.0)
+    inst.join(counts, Seq("t"))
+      .crossJoin(broadcast(stats))
+      .withColumn("nll_u", (-round(log((col("c") + 1).cast("double") /
+        (col("n_tok") + col("v")).cast("double")) * 1000000)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll_u")).as("nll_sum_u"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(avg, 6).as("avg_nll"),
+        round(exp(avg), 2).as("ppl"))
+  }
 }

@@ -727,6 +727,34 @@ object Llm {
       |FROM documents d JOIN r USING (lang)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Unigram-LM perplexity quality filter
+    * ([[Quality.unigramPerplexity]]): mean negative log-likelihood per
+    * doc under an add-1 unigram model fit on the corpus — the
+    * CCNet-style scoring step. Integer micro-nat contributions make
+    * the gate hash-exact (the q84 BM25 move). */
+  def unigramPpl(spark: SparkSession, dir: String): DataFrame =
+    Quality.unigramPerplexity(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private def unigramPplOracle: String =
+    """WITH inst AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                            x -> x <> '')) AS t
+      |  FROM documents),
+      |c AS (SELECT t, count(*) AS c FROM inst GROUP BY t),
+      |st AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok,
+      |              CAST(count(*) AS BIGINT) AS v FROM c),
+      |sc AS (SELECT doc_id,
+      |         CAST(-round(ln(CAST(c + 1 AS DOUBLE)
+      |                        / CAST(n_tok + v AS DOUBLE)) * 1000000)
+      |              AS BIGINT) AS nll_u
+      |       FROM inst JOIN c USING (t), st)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       round(sum(nll_u) / (count(*) * 1000000.0), 6) AS avg_nll,
+      |       round(exp(sum(nll_u) / (count(*) * 1000000.0)), 2) AS ppl
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** BM25 ranked retrieval for a fixed bag-of-words query — integer
     * micro-score sum (see [[graft.text.Bm25]]) makes the full scoring
     * pipeline hash-exact across engines. */
@@ -1049,6 +1077,7 @@ object Llm {
     QueryDef("q99_decontaminate", decontaminate, Some(decontaminateOracle)),
     QueryDef("q100_repetition_signals", repetitionSignals, Some(repetitionSignalsOracle)),
     QueryDef("q101_mixture_rebalance", mixtureRebalance, Some(mixtureRebalanceOracle)),
+    QueryDef("q102_unigram_ppl", unigramPpl, Some(unigramPplOracle)),
     QueryDef("q83_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     QueryDef("q84_bm25_search", bm25Search, Some(bm25Oracle)),
     QueryDef("q85_feature_hash", featureHash, Some(featureHashOracle)),

@@ -94,6 +94,25 @@ class QualitySpec extends SparkSpec {
       s"gibberish should score lowest: $s")
   }
 
+  test("unigram perplexity: hand-computed nll on a 3-token vocab, " +
+      "rare-token doc scores higher, empty doc omitted") {
+    // corpus: a=3, b=1, c=1; N=5, V=3 -> lp(a)=ln(4/8), lp(b|c)=ln(2/8)
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val got = Quality.unigramPerplexity(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(!got.contains(3L), "empty doc must emit nothing")
+    // doc1: (2*693147 + 1386294) / 3e6 = 0.924196
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - 0.924196) < 1e-6,
+      s"doc1 nll wrong: ${got(1L)}")
+    // doc2: (693147 + 1386294) / 2e6 = 1.0397205; ppl ~ sqrt(8)
+    assert(got(2L)._1 == 2L && math.abs(got(2L)._2 - 1.039721) < 1e-6,
+      s"doc2 nll wrong: ${got(2L)}")
+    assert(math.abs(got(2L)._3 - 2.83) < 0.005, s"ppl wrong: ${got(2L)}")
+    assert(got(2L)._2 > got(1L)._2, "rarer tokens must raise the nll")
+  }
+
   test("portable hash split: ~90/10, deterministic, partition-independent") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val b = graft.reco.Splits.hashBucketPortable(
