@@ -77,6 +77,13 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
+    // per-pass raw timings (VERDICT r5 "Next round" #8): the min map alone
+    // cannot distinguish co-tenant contention (one slow pass) from a
+    // systematic cost (every pass slow) — r5's q44 doubling was
+    // undiagnosable from the min. Ordered per pass like `queries`.
+    val passesJson = allPasses.map { pass =>
+      pass.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // the round-1 gate set (BENCH_r01) — its subtotal is the
     // apples-to-apples number against the 86.9 s baseline; `total`
@@ -102,19 +109,26 @@ object Bench {
       "q54_percentiles", "q55_approx_distinct", "q56_pii_redaction")
     val r1Total = results.collect { case (k, v) if r1Set(k) => v }.sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"queries":$qs,"pass_times":$passesJson,"sf":"$sfDir"}"""
     val shortLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"sf":"$sfDir"}"""
     spark.stop()
     // the complete per-query record must survive ANY stdout window:
     // persist it as a repo artifact too (BENCH_r04's captured window
-    // truncated q01-q18 — VERDICT r4 "Next round" #6)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."))
-        .resolve("BENCH_full.json"),
-      fullLine + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    // truncated q01-q18 — VERDICT r4 "Next round" #6). Artifact path is
+    // explicit (ADVICE r5: user.dir after spark.stop() silently lands
+    // wherever the JVM was launched): SPARK_GRAFT_BENCH_OUT wins, else
+    // the repo root if it exists, else cwd — and the absolute path is
+    // logged either way.
+    val outDir = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(Option("/root/repo").filter(d => new java.io.File(d).isDirectory))
+      .getOrElse(sys.props.getOrElse("user.dir", "."))
+    try {
+      val p = java.nio.file.Paths.get(outDir).resolve("BENCH_full.json").toAbsolutePath
+      java.nio.file.Files.writeString(p, fullLine + "\n")
+      System.err.println(s"[bench] artifact written: $p")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed ($outDir): ${e.getMessage}")
     }
     // print after spark shutdown so no executor log line interleaves.
     // Full per-query line first (humans / history), short summary line

@@ -166,9 +166,17 @@ object RankerPipeline {
     import spark.implicits._
     model.getEstimatorParamMaps.zip(model.avgMetrics).toSeq
       .map { case (pm, m) =>
+        // look grid params up by NAME, not via this call's lr instance:
+        // on a memo hit the maps belong to the FIRST invocation's
+        // estimator, and Param equality includes the parent uid, so
+        // pm(lr.regParam) throws "Cannot find param" on every second
+        // in-session invocation (r6 bench pass-2 failure)
+        def byName[T](n: String): T =
+          pm.toSeq.find(_.param.name == n).get.value.asInstanceOf[T]
         // 1e3: CV AUC drifts ~1e-5 between JVM runs (float-sum order in
         // the distributed fit); report only run-stable digits
-        (pm(lr.regParam), pm(lr.maxIter), math.rint(m * 1e3) / 1e3)
+        (byName[Double]("regParam"), byName[Int]("maxIter"),
+          math.rint(m * 1e3) / 1e3)
       }.toDF("reg_param", "max_iter", "avg_auc")
       .orderBy(col("avg_auc").desc, col("reg_param"))
   }

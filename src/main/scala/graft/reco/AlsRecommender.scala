@@ -86,7 +86,13 @@ object AlsRecommender {
     import spark.implicits._
     model.getEstimatorParamMaps.zip(model.avgMetrics).toSeq
       .map { case (pm, m) =>
-        (pm(als.rank), pm(als.regParam), pm(als.alpha),
+        // by NAME, not pm(als.rank): on a memo hit the maps belong to
+        // the first invocation's estimator and Param equality includes
+        // the parent uid (see RankerPipeline.crossValidate)
+        def byName[T](n: String): T =
+          pm.toSeq.find(_.param.name == n).get.value.asInstanceOf[T]
+        (byName[Int]("rank"), byName[Double]("regParam"),
+          byName[Double]("alpha"),
           math.rint(m * 1e3) / 1e3) // run-stable digits only (see RankerPipeline)
       }.toDF("rank", "reg_param", "alpha", "avg_ndcg")
       .orderBy(col("avg_ndcg").desc, col("rank"), col("reg_param"), col("alpha"))
