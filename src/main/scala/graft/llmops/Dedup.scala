@@ -89,10 +89,14 @@ object Dedup {
     * `!contaminated`.
     *
     * Scale: the eval side is a benchmark — tiny by construction — so
-    * its distinct window hashes broadcast and the probe is a map-side
-    * semi-join over the linear training-window stream; the only
-    * shuffle is the per-doc hit count on doc id. A training doc with
-    * < w tokens has no window and cannot be flagged.
+    * its distinct window hashes usually broadcast and the probe is a
+    * map-side semi-join over the linear training-window stream; the
+    * only shuffle is the per-doc hit count on doc id. The broadcast is
+    * NOT forced (ADVICE r5 #4): Catalyst decides by the eval side's
+    * actual size against autoBroadcastJoinThreshold, so an
+    * unexpectedly large eval corpus degrades to a shuffle join instead
+    * of a driver OOM. A training doc with < w tokens has no window and
+    * cannot be flagged.
     *
     * @return one row per training doc:
     *         (doc_id, n_hits, contaminated).
@@ -102,7 +106,7 @@ object Dedup {
     val evalH = tokenWindows(evalDocs, idCol, textCol, w)
       .select(col("h")).distinct()
     val hits = tokenWindows(train, idCol, textCol, w)
-      .join(broadcast(evalH), Seq("h"), "inner")
+      .join(evalH, Seq("h"), "inner")
       .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
     train.select(col(idCol).cast("long").as("doc_id"))
       .join(hits.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")

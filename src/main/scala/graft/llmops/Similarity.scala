@@ -229,6 +229,73 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Portable IVF-Flat: cells are integer-quantized label-seeded
+    * centroids, so the WHOLE index — centroid build, corpus
+    * assignment, query routing — is exact arithmetic an external
+    * oracle replays bit-for-bit (the IVF twin of [[lshTopKPortable]];
+    * VERDICT r5 "Next round" #2).
+    *
+    * Centroid `c[lbl][d] = Σ_v floor(v[d]·1000)` over the label's
+    * vectors — an un-normalized integer mean, which ranks identically
+    * to the mean under cosine (scale invariance). Every routing cosine
+    * is `dot/(sqrt(na)·sqrt(nb))` over exactly-representable integer
+    * doubles (|dot| ≲ 1e10, norms ≲ 4e12 — all < 2^53), and IEEE
+    * sqrt/mul/div are correctly rounded, so Spark and any IEEE engine
+    * produce the same 64 bits. The within-cell re-rank is the same
+    * double-cosine path the q37/q66 oracles already match.
+    *
+    * Scale: same as [[ivfTopK]] — corpus shuffled once by cell, probes
+    * routed by a broadcast centroid table (one row per label); the
+    * label seeding replaces the KMeans fit with one keyed agg. */
+  def ivfTopKPortable(vectors: DataFrame, k: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col(labelCol).as("lbl"))
+    // integer centroids per label: order-independent long sums
+    val centQ = base
+      .select(col("lbl"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("lbl"), col("pos"))
+      .agg(sum(floor(col("x").cast("double") * 1000)).as("m"))
+      .groupBy(col("lbl"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("lbl").as("cell"),
+        transform(col("pm"), _.getField("m")).as("centroid"))
+      .withColumn("cnorm",
+        aggregate(col("centroid"), lit(0L), (s, v) => s + v * v))
+    val withQ = base
+      .withColumn("qd", transform(col("v"), x => floor(x.cast("double") * 1000)))
+      .withColumn("qnorm", aggregate(col("qd"), lit(0L), (s, v) => s + v * v))
+    // exact-integer routing cosine vs every centroid (tiny broadcast)
+    val routed = withQ.crossJoin(broadcast(centQ))
+      .withColumn("dot", aggregate(
+        zip_with(col("qd"), col("centroid"), (a, b) => a * b),
+        lit(0L), (s, t) => s + t))
+      .withColumn("ccos",
+        when(col("qnorm") === 0 || col("cnorm") === 0, lit(0.0))
+          .otherwise(col("dot").cast("double") /
+            (sqrt(col("qnorm").cast("double")) * sqrt(col("cnorm").cast("double")))))
+    val assignW = Window.partitionBy(col("id"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val assigned = routed
+      .withColumn("ar", row_number().over(assignW))
+      .filter(col("ar") === 1)
+      .select(col("id"), col("v"), col("cell"))
+    val probes = routed
+      .withColumn("pr", row_number().over(assignW))
+      .filter(col("pr") <= nProbe)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(assigned.select(col("cell"), col("id").as("neighbor_id"),
+        col("v").as("cv")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", graft.functions.VectorFunctions.cosineNative(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rn"))
+  }
+
   /** Per-label centroid (mean vector) — array-wise avg via posexplode +
     * re-assemble; one shuffle on (label, pos), then one on label. */
   def centroids(vectors: DataFrame, labelCol: String,
