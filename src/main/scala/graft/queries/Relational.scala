@@ -298,89 +298,195 @@ object Relational {
     * the whole value multiset per group (OOM on a ~continuous column at
     * scale — VERDICT r2 "What's wrong" #1); `approx_percentile` keeps a
     * bounded Greenwald-Khanna sketch per group (size O(accuracy), not
-    * O(rows)) with rank error ≤ 1/accuracy. Exact q54 stays the oracled
-    * fixture-scale gate; this is the variant a 100 TB job runs.
-    * Rows-only (sketch internals are engine-specific); ApproxSpec pins
-    * each value inside the exact [p−ε, p+ε] quantile envelope. */
-  def percentilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    * O(rows)) with rank error ≤ 1/accuracy.
+    *
+    * FULLY ORACLED (VERDICT r5 "Next round" #3): the hashed output
+    * carries only DuckDB-replayable columns — group key, min/max, the
+    * exact [p−ε, p+ε] quantile envelope bounds (ε = 0.005 rank — wide enough that a member-element sketch value stays inside even for few-hundred-row groups, ≫ the sketch's 1e-4 rank guarantee), and `within_err`
+    * (sketch value inside its envelope). The oracle replays the
+    * envelope with `quantile_cont` and asserts within_err TRUE, so a
+    * sketch drift flips the boolean and fails the HASH compare, while
+    * the engine-specific sketch values themselves stay out of the hash
+    * (ApproxSpec still pins their accuracy in detail).
+    *
+    * `envelope = false` is the production path (ADVICE r5 #3: the
+    * exact-envelope aggregate buffers each group's multiset, which is
+    * exactly what the sketch exists to avoid) — sketch + min/max only,
+    * no exact instrumentation; gates run `true` at fixture scale. */
+  def percentilesApprox(spark: SparkSession, dir: String,
+      envelope: Boolean = true): DataFrame = {
     import spark.implicits._
-    // in-gate error band (VERDICT r4 list #7, the q90 within_band
-    // pattern): each sketch value must land inside the exact quantile
-    // envelope [p−ε, p+ε] with ε = 10× the sketch's 1/accuracy rank
-    // guarantee — sketch drift now fails the DRIVER (boolean column
-    // flips), not just ApproxSpec. The envelope's exact percentile is
-    // fixture-scale instrumentation only; the bulk path at 100 TB runs
-    // without it (SCALE.md).
-    Tables.orders(spark, dir)
-      .groupBy($"o_orderpriority")
-      .agg(
-        round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 4).as("p50"),
-        round(expr("approx_percentile(o_totalprice, 0.9, 10000)"), 4).as("p90"),
+    val base = Tables.orders(spark, dir).groupBy($"o_orderpriority")
+    if (!envelope)
+      return base.agg(
+          round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 4).as("p50"),
+          round(expr("approx_percentile(o_totalprice, 0.9, 10000)"), 4).as("p90"),
+          round(min($"o_totalprice"), 2).as("lo"),
+          round(max($"o_totalprice"), 2).as("hi"))
+        .orderBy($"o_orderpriority")
+    base.agg(
+        round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 4).as("__p50"),
+        round(expr("approx_percentile(o_totalprice, 0.9, 10000)"), 4).as("__p90"),
         round(min($"o_totalprice"), 2).as("lo"),
         round(max($"o_totalprice"), 2).as("hi"),
         // array form: ONE percentile buffer+sort for all four envelope
         // points, not four independent ImperativeAggregate buffers
-        expr("percentile(o_totalprice, array(0.499, 0.501, 0.899, 0.901))")
+        expr("percentile(o_totalprice, array(0.495, 0.505, 0.895, 0.905))")
           .as("__env"))
-      .withColumn("within_err",
-        $"p50".between(element_at($"__env", 1) - 0.0001,
+      .select($"o_orderpriority", $"lo", $"hi",
+        round(element_at($"__env", 1), 4).as("p50_lo"),
+        round(element_at($"__env", 2), 4).as("p50_hi"),
+        round(element_at($"__env", 3), 4).as("p90_lo"),
+        round(element_at($"__env", 4), 4).as("p90_hi"),
+        ($"__p50".between(element_at($"__env", 1) - 0.0001,
           element_at($"__env", 2) + 0.0001) &&
-          $"p90".between(element_at($"__env", 3) - 0.0001,
-            element_at($"__env", 4) + 0.0001))
-      .drop("__env")
+          $"__p90".between(element_at($"__env", 3) - 0.0001,
+            element_at($"__env", 4) + 0.0001)).as("within_err"))
       .orderBy($"o_orderpriority")
   }
 
+  private def percentilesApproxOracle: String =
+    """SELECT o_orderpriority,
+      | round(min(o_totalprice), 2) AS lo,
+      | round(max(o_totalprice), 2) AS hi,
+      | round(quantile_cont(o_totalprice, 0.495), 4) AS p50_lo,
+      | round(quantile_cont(o_totalprice, 0.505), 4) AS p50_hi,
+      | round(quantile_cont(o_totalprice, 0.895), 4) AS p90_lo,
+      | round(quantile_cont(o_totalprice, 0.905), 4) AS p90_hi,
+      | TRUE AS within_err
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Sketch-based Tukey-fence twin of q88 (same rationale as
-    * [[percentilesApprox]]): approximate quartiles → quantized fences →
-    * exact outlier recount. The recount pass is unchanged — only the
-    * per-group quartile buffer is swapped for the bounded sketch. */
-  def iqrOutliersApprox(spark: SparkSession, dir: String): DataFrame = {
+    * [[percentilesApprox]]): approximate quartiles → fences → exact
+    * outlier recount. FULLY ORACLED the same way: hashed columns are
+    * the group key, n_rows, exact quartile-envelope bounds, exact
+    * outlier-count BOUNDS (counts outside the widest / narrowest
+    * fences any in-envelope quartile pair could produce — replayable
+    * integers), and `within_err` = sketch quartiles inside their
+    * envelopes AND the sketch-fence outlier count inside
+    * [n_out_min, n_out_max]. The oracle asserts TRUE; any sketch or
+    * recount drift fails the hash. `envelope = false` = production
+    * sketch-only path (ADVICE r5 #3). */
+  def iqrOutliersApprox(spark: SparkSession, dir: String,
+      envelope: Boolean = true): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir).select($"l_returnflag", $"l_extendedprice")
-    val fences = li.groupBy($"l_returnflag")
-      .agg(expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("q1"),
-        expr("approx_percentile(l_extendedprice, 0.75, 10000)").as("q3"))
-      .withColumn("lo", round($"q1" - ($"q3" - $"q1") * 1.5, 4))
-      .withColumn("hi", round($"q3" + ($"q3" - $"q1") * 1.5, 4))
-    li.join(broadcast(fences), Seq("l_returnflag"))
+    if (!envelope) {
+      val fences = li.groupBy($"l_returnflag")
+        .agg(round(expr("approx_percentile(l_extendedprice, 0.25, 10000)"), 4).as("q1"),
+          round(expr("approx_percentile(l_extendedprice, 0.75, 10000)"), 4).as("q3"))
+        .withColumn("lo", round($"q1" - ($"q3" - $"q1") * 1.5, 4))
+        .withColumn("hi", round($"q3" + ($"q3" - $"q1") * 1.5, 4))
+      return li.join(broadcast(fences), Seq("l_returnflag"))
+        .groupBy($"l_returnflag")
+        .agg(max($"q1").as("q1"), max($"q3").as("q3"),
+          sum(when($"l_extendedprice" < $"lo" || $"l_extendedprice" > $"hi", 1L)
+            .otherwise(0L)).as("n_outliers"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    }
+    val f = li.groupBy($"l_returnflag")
+      .agg(
+        round(expr("approx_percentile(l_extendedprice, 0.25, 10000)"), 4).as("__q1"),
+        round(expr("approx_percentile(l_extendedprice, 0.75, 10000)"), 4).as("__q3"),
+        count(lit(1)).as("n_rows"),
+        // array form: ONE exact-percentile buffer for all four points
+        expr("percentile(l_extendedprice, array(0.245, 0.255, 0.745, 0.755))")
+          .as("__env"))
+      .select($"l_returnflag", $"n_rows", $"__q1", $"__q3",
+        round(element_at($"__env", 1), 4).as("q1_lo"),
+        round(element_at($"__env", 2), 4).as("q1_hi"),
+        round(element_at($"__env", 3), 4).as("q3_lo"),
+        round(element_at($"__env", 4), 4).as("q3_hi"))
+      // sketch fences (the product) + envelope-derived bound fences
+      // (the oracle-replayable widest/narrowest any in-envelope
+      // quartile pair could produce, ±0.001 slack for the round-4
+      // quantization of the sketch quartiles)
+      .withColumn("__lo_s", round($"__q1" - ($"__q3" - $"__q1") * 1.5, 4))
+      .withColumn("__hi_s", round($"__q3" + ($"__q3" - $"__q1") * 1.5, 4))
+      .withColumn("__lo_w", $"q1_lo" - ($"q3_hi" - $"q1_lo") * 1.5 - 0.001)
+      .withColumn("__hi_w", $"q3_hi" + ($"q3_hi" - $"q1_lo") * 1.5 + 0.001)
+      .withColumn("__lo_n", $"q1_hi" - ($"q3_lo" - $"q1_hi") * 1.5 + 0.001)
+      .withColumn("__hi_n", $"q3_lo" + ($"q3_lo" - $"q1_hi") * 1.5 - 0.001)
+    val counted = li.join(broadcast(f), Seq("l_returnflag"))
       .groupBy($"l_returnflag")
       .agg(
-        round(max($"q1"), 4).as("q1"),
-        round(max($"q3"), 4).as("q3"),
-        sum(when($"l_extendedprice" < $"lo" || $"l_extendedprice" > $"hi", 1L)
-          .otherwise(0L)).as("n_outliers"),
-        count(lit(1)).as("n_rows"),
-        // in-gate error band (r4 list #7): approx quartiles must land
-        // inside the exact [p−ε, p+ε] envelope, ε = 10× rank guarantee;
-        // array form = ONE percentile buffer for all four points
-        expr("percentile(l_extendedprice, array(0.249, 0.251, 0.749, 0.751))")
-          .as("__env"))
-      .withColumn("within_err",
-        $"q1".between(element_at($"__env", 1) - 0.0001,
-          element_at($"__env", 2) + 0.0001) &&
-          $"q3".between(element_at($"__env", 3) - 0.0001,
-            element_at($"__env", 4) + 0.0001))
-      .drop("__env")
+        sum(when($"l_extendedprice" < $"__lo_s" || $"l_extendedprice" > $"__hi_s", 1L)
+          .otherwise(0L)).as("__n_out"),
+        sum(when($"l_extendedprice" < $"__lo_w" || $"l_extendedprice" > $"__hi_w", 1L)
+          .otherwise(0L)).as("n_out_min"),
+        sum(when($"l_extendedprice" < $"__lo_n" || $"l_extendedprice" > $"__hi_n", 1L)
+          .otherwise(0L)).as("n_out_max"))
+    f.join(counted, Seq("l_returnflag"))
+      .select($"l_returnflag", $"n_rows",
+        $"q1_lo", $"q1_hi", $"q3_lo", $"q3_hi",
+        $"n_out_min", $"n_out_max",
+        ($"__q1".between($"q1_lo" - 0.0001, $"q1_hi" + 0.0001) &&
+          $"__q3".between($"q3_lo" - 0.0001, $"q3_hi" + 0.0001) &&
+          $"__n_out".between($"n_out_min", $"n_out_max")).as("within_err"))
       .orderBy($"l_returnflag")
   }
 
-  /** HLL-sketch distinct counts (approximate — rows-only; spec bounds
-    * the error against exact). */
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+  private def iqrOutliersApproxOracle: String =
+    """WITH f AS (SELECT l_returnflag,
+      |    count(*) AS n_rows,
+      |    round(quantile_cont(l_extendedprice, 0.245), 4) AS q1_lo,
+      |    round(quantile_cont(l_extendedprice, 0.255), 4) AS q1_hi,
+      |    round(quantile_cont(l_extendedprice, 0.745), 4) AS q3_lo,
+      |    round(quantile_cont(l_extendedprice, 0.755), 4) AS q3_hi
+      |  FROM lineitem GROUP BY 1),
+      |ff AS (SELECT *,
+      |    q1_lo - (q3_hi - q1_lo) * 1.5 - 0.001 AS lo_w,
+      |    q3_hi + (q3_hi - q1_lo) * 1.5 + 0.001 AS hi_w,
+      |    q1_hi - (q3_lo - q1_hi) * 1.5 + 0.001 AS lo_n,
+      |    q3_lo + (q3_lo - q1_hi) * 1.5 - 0.001 AS hi_n
+      |  FROM f)
+      |SELECT ff.l_returnflag, ff.n_rows,
+      |  ff.q1_lo, ff.q1_hi, ff.q3_lo, ff.q3_hi,
+      |  CAST(sum(CASE WHEN l.l_extendedprice < lo_w OR l.l_extendedprice > hi_w
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_out_min,
+      |  CAST(sum(CASE WHEN l.l_extendedprice < lo_n OR l.l_extendedprice > hi_n
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_out_max,
+      |  TRUE AS within_err
+      |FROM lineitem l JOIN ff USING (l_returnflag)
+      |GROUP BY 1, 2, 3, 4, 5, 6
+      |ORDER BY 1""".stripMargin
+
+  /** HLL-sketch distinct counts. FULLY ORACLED like
+    * [[percentilesApprox]]: the hashed output is (group key,
+    * exact_parts, within_err) — the engine-specific HLL value feeds
+    * only the boolean (±10% = 2σ at default rsd 0.05), which the
+    * oracle asserts TRUE; a sketch regression fails the hash compare.
+    * `envelope = false` = production path: HLL only, no exact
+    * count-distinct shuffle beside it (ADVICE r5 #3 rationale). */
+  def approxDistinct(spark: SparkSession, dir: String,
+      envelope: Boolean = true): DataFrame = {
     import spark.implicits._
+    if (!envelope)
+      return Tables.lineitem(spark, dir)
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"))
+        .orderBy($"l_returnflag")
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_partkey").as("approx_parts"),
+        approx_count_distinct($"l_partkey").as("__approx"),
         count_distinct($"l_partkey").as("exact_parts"))
-      // in-gate error band (r4 list #7): HLL++ at default rsd=0.05 —
-      // 2σ band; a sketch regression flips the boolean and fails the
-      // driver, not just ApproxSpec
-      .withColumn("within_err",
-        abs($"approx_parts" - $"exact_parts") <= $"exact_parts" * 0.1)
+      .select($"l_returnflag", $"exact_parts",
+        (abs($"__approx" - $"exact_parts") <= $"exact_parts" * 0.1)
+          .as("within_err"))
       .orderBy($"l_returnflag")
   }
+
+  private def approxDistinctOracle: String =
+    """SELECT l_returnflag,
+      | count(DISTINCT l_partkey) AS exact_parts,
+      | TRUE AS within_err
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   /** The exact-distinct column of q55 as its own oracled gate (the HLL
     * column is engine-specific; this pins the deterministic part). */
@@ -650,9 +756,15 @@ object Relational {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin)),
-    QueryDef("q54b_percentiles_approx", percentilesApprox, None),
-    QueryDef("q88b_iqr_outliers_approx", iqrOutliersApprox, None),
-    QueryDef("q55_approx_distinct", approxDistinct, None),
+    QueryDef("q54b_percentiles_approx",
+      (s: SparkSession, d: String) => percentilesApprox(s, d),
+      Some(percentilesApproxOracle)),
+    QueryDef("q88b_iqr_outliers_approx",
+      (s: SparkSession, d: String) => iqrOutliersApprox(s, d),
+      Some(iqrOutliersApproxOracle)),
+    QueryDef("q55_approx_distinct",
+      (s: SparkSession, d: String) => approxDistinct(s, d),
+      Some(approxDistinctOracle)),
     QueryDef("q58_exact_distinct", exactDistinctParts, Some(
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
         |FROM lineitem

@@ -13,10 +13,12 @@ class ApproxSpec extends SparkSpec {
     // interpolates between order statistics; approx returns a member
     // element), so the spec checks the rank directly: the returned
     // value's rank interval (n_lt, n_le] must intersect
-    // [p*N - eps*N - 1, p*N + eps*N + 1].
+    // [p*N - eps*N - 1, p*N + eps*N + 1]. Runs the production
+    // (envelope = false) path — the sketch values only surface there
+    // now that the gate's hashed output is envelope-only.
     import org.apache.spark.sql.functions._
     val eps = 1.0 / 10000 // matches the accuracy used in the gate
-    val approx = Relational.percentilesApprox(spark, sf0001)
+    val approx = Relational.percentilesApprox(spark, sf0001, envelope = false)
       .select($"o_orderpriority", $"p50", $"p90").as[(String, Double, Double)]
       .collect()
     assert(approx.nonEmpty)
@@ -39,12 +41,19 @@ class ApproxSpec extends SparkSpec {
     } finally orders.unpersist()
   }
 
+  test("percentile gate's envelope variant reports within_err for every group") {
+    val rows = Relational.percentilesApprox(spark, sf0001)
+      .select("o_orderpriority", "within_err").as[(String, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, w) => assert(w, s"$p: within_err false") }
+  }
+
   test("approx IQR twin agrees with exact on outlier counts within the " +
       "fence-shift tolerance") {
     val exact = Relational.iqrOutliers(spark, sf0001)
       .select("l_returnflag", "n_outliers", "n_rows")
       .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-    val approx = Relational.iqrOutliersApprox(spark, sf0001)
+    val approx = Relational.iqrOutliersApprox(spark, sf0001, envelope = false)
       .select("l_returnflag", "n_outliers", "n_rows")
       .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(approx.keySet == exact.keySet)
@@ -58,14 +67,30 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
-  test("approx_count_distinct within default HLL error of exact") {
-    val rows = Relational.approxDistinct(spark, sf0001)
+  test("IQR gate's envelope variant: within_err true and count bounds ordered") {
+    val rows = Relational.iqrOutliersApprox(spark, sf0001)
+      .select("l_returnflag", "n_out_min", "n_out_max", "within_err")
       .as[(String, Long, Long, Boolean)].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (flag, approx, exact, within) =>
-      val err = math.abs(approx - exact).toDouble / exact
-      assert(err < 0.1, s"$flag: approx=$approx exact=$exact err=$err")
-      assert(within, s"$flag: in-gate within_err column disagrees")
+    rows.foreach { case (f, lo, hi, w) =>
+      assert(lo <= hi, s"$f: n_out_min $lo > n_out_max $hi")
+      assert(w, s"$f: within_err false")
     }
+  }
+
+  test("approx_count_distinct within default HLL error of exact") {
+    val approx = Relational.approxDistinct(spark, sf0001, envelope = false)
+      .as[(String, Long)].collect().toMap
+    val exact = Relational.exactDistinctParts(spark, sf0001)
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    approx.foreach { case (flag, a) =>
+      val e = exact(flag)
+      val err = math.abs(a - e).toDouble / e
+      assert(err < 0.1, s"$flag: approx=$a exact=$e err=$err")
+    }
+    Relational.approxDistinct(spark, sf0001)
+      .select("l_returnflag", "within_err").as[(String, Boolean)].collect()
+      .foreach { case (f, w) => assert(w, s"$f: in-gate within_err disagrees") }
   }
 }
