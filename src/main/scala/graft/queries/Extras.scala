@@ -45,6 +45,85 @@ object Extras {
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** q103 (VERDICT r5 "Next round" #4): the custom
+    * flatMapGroupsWithState sessionizer ([[EventStreams.sessionizeCustom]])
+    * driven through a REAL two-wave streaming run and hash-compared by
+    * the driver against DuckDB gaps-and-islands SQL — the one component
+    * whose correctness previously rested solely on internal specs.
+    *
+    * The fixture (literal rows, embedded as a VALUES relation in the
+    * oracle, the q42b pattern) stages two file-source micro-batches:
+    * wave 1 establishes watermark 55min; wave 2 delivers three
+    * watermark-LEGAL late events (58/56/57min, lateness < 10min
+    * horizon) that must widen buffered sessions (u1: 58 merges into
+    * [60]; u2: 56 merges into [40]) or open a new one (u3: 57), plus a
+    * flush event (200min → final watermark 190min) that closes every
+    * session except its own. Sessionization over the full row set is
+    * arrival-order-independent when late handling is correct, so the
+    * oracle is plain batch gaps-and-islands (inclusive gap comparator,
+    * matching the probed Spark 4.1 session_window boundary) filtered to
+    * sessions closed by the final watermark. */
+  def sessionizeLateStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val waves: Seq[Seq[(Long, Long, Double)]] = Seq(
+      Seq((1L, 0L, 1.0), (1L, 5L, 2.0), (1L, 60L, 3.0),
+        (2L, 0L, 4.0), (2L, 40L, 5.0), (9L, 65L, 6.0)),
+      Seq((1L, 58L, 7.0), (2L, 56L, 8.0), (3L, 57L, 9.0),
+        (9L, 200L, 10.0)))
+    val root = java.nio.file.Files.createTempDirectory("q103-sess").toString
+    val stage = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+    def toDf(rows: Seq[(Long, Long, Double)]) =
+      rows.toDF("user_id", "m", "value")
+        .withColumn("ts", timestamp_seconds(lit(q103BaseSec) + $"m" * 60))
+        .select($"user_id", $"ts", $"value")
+    val stream = spark.readStream.schema(toDf(waves.head).schema)
+      .option("recursiveFileLookup", "true").parquet(stage)
+    val name = "q103_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.sessionizeCustom(stream, gapMinutes = 30).toDF()
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName(name).start()
+    // write waves sequentially, draining between: wave 1 is fully
+    // processed (watermark advanced) before wave 2 exists
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      toDf(rows).coalesce(1).write.parquet(s"$stage/wave$i")
+      q.processAllAvailable()
+    }
+    q.stop()
+    spark.table(name)
+      .select($"userId".as("user_id"), $"startUs".as("start_us"),
+        $"endUs".as("end_us"), $"nEvents".as("n_events"),
+        $"sessionValue".as("session_value"))
+      .orderBy($"user_id", $"start_us")
+  }
+
+  private val q103BaseSec = 1704067200L // 2024-01-01T00:00:00Z
+  private def sessionizeLateOracle: String = {
+    val baseUs = q103BaseSec * 1000000L
+    s"""WITH raw AS (
+       |  SELECT CAST(user_id AS BIGINT) AS user_id,
+       |         $baseUs + CAST(m AS BIGINT) * 60000000 AS ts_us,
+       |         CAST(value AS DOUBLE) AS value
+       |  FROM (VALUES (1, 0, 1.0), (1, 5, 2.0), (1, 60, 3.0),
+       |               (2, 0, 4.0), (2, 40, 5.0), (9, 65, 6.0),
+       |               (1, 58, 7.0), (2, 56, 8.0), (3, 57, 9.0),
+       |               (9, 200, 10.0)) AS t(user_id, m, value)),
+       |flags AS (SELECT user_id, ts_us, value,
+       |    CASE WHEN lag(ts_us) OVER w IS NULL
+       |          OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+       |  FROM raw WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+       |grp AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+       |          ROWS UNBOUNDED PRECEDING) AS g FROM flags),
+       |sess AS (SELECT user_id, min(ts_us) AS start_us,
+       |           max(ts_us) + 1800000000 AS end_us,
+       |           count(*) AS n_events, round(sum(value), 2) AS session_value
+       |         FROM grp GROUP BY user_id, g)
+       |SELECT user_id, start_us, end_us, n_events, session_value
+       |FROM sess
+       |WHERE end_us <= $baseUs + ${190 * 60000000L}
+       |ORDER BY user_id, start_us""".stripMargin
+  }
+
   /** SCD-1 snapshot upsert merge: a synthetic v2 update stream (every
     * 5th doc re-delivered with new text and a higher version) merged
     * into the base snapshot; latest version wins. */
@@ -281,6 +360,8 @@ object Extras {
         |       event_type, value
         |FROM d GROUP BY user_id, ts, event_type, value
         |ORDER BY user_id, ts""".stripMargin)),
+    QueryDef("q103_sessionizer_late_oracle", sessionizeLateStream,
+      Some(sessionizeLateOracle)),
     QueryDef("q69_stream_interval_join", streamIntervalJoin, Some(
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
         |FROM events c JOIN events p
