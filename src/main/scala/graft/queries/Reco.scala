@@ -160,6 +160,45 @@ object Reco {
       .orderBy(col("user_id"), col("rn"))
   }
 
+  /** q104: PageRank over the user→item interaction digraph (the graph
+    * operator the reference left as a README TODO — see
+    * [[graft.ops.PageRank]]). Users < 100 keep the fixture-scale
+    * oracle bounded; item nodes live at id+100000. Integer-quantized
+    * iteration → the DuckDB oracle unrolls the identical 10 rounds as
+    * chained CTEs and the ranks compare hash-exact. */
+  def pagerankItems(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Interactions.fromEvents(spark, dir)
+      .filter(col("user_id") < 100)
+      .select(col("user_id").cast("long").as("src"),
+        (col("item_id").cast("long") + 100000L).as("dst"))
+      .distinct()
+    graft.ops.PageRank.run(edges, iters = 10)
+      .orderBy(col("node"))
+  }
+
+  private def pagerankOracle: String = {
+    val scale = 1000000000000L
+    val iters = (1 to 10).map { i =>
+      s"""pr$i AS (SELECT nd.node,
+         |  CAST((15 * $scale) // (100 * c.n)
+         |       + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes nd CROSS JOIN cnt c
+         |  LEFT JOIN (SELECT e.dst AS node, sum(p.r // o.outdeg) AS s
+         |             FROM e JOIN pr${i - 1} p ON p.node = e.src
+         |             JOIN outd o ON o.src = e.src GROUP BY 1) s
+         |    ON s.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS src,
+       |        100000 + CAST(props->>'k' AS BIGINT) AS dst
+       |      FROM events WHERE user_id < 100),
+       |outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |cnt AS (SELECT count(*) AS n FROM nodes),
+       |pr0 AS (SELECT node, $scale // n AS r FROM nodes, cnt),
+       |$iters
+       |SELECT node, r AS rank_q FROM pr10 ORDER BY node""".stripMargin
+  }
+
   /** Analytic windows: trailing 1-hour event count (RANGE frame) and
     * µs since the user's previous event (lag) — completes the window
     * family beyond the reference's rank-only usage (SURVEY §2.5). */
@@ -201,6 +240,7 @@ object Reco {
        |ORDER BY user_id, rn""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q104_pagerank", pagerankItems, Some(pagerankOracle)),
     QueryDef("q95_topk_aggregator", topkAggregator, Some(topkOracle)),
     QueryDef("q51_itemcf_recommend", itemCfRecommend, Some(
       s"""WITH ui AS (SELECT DISTINCT user_id, item_id FROM ($uiSql)),

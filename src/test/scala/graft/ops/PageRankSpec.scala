@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val scale = 1000000000000L
+
+  test("two-node cycle: symmetric ranks, mass conserved (no dangling)") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = PageRank.run(edges).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet == Set(1L, 2L))
+    assert(r(1L) == r(2L), "symmetric cycle must rank equally")
+    // no dangling nodes → total mass stays ~scale (integer-division
+    // truncation loses < iters * n units)
+    val total = r.values.sum
+    assert(math.abs(total - scale) < 1000, s"mass drifted: $total")
+  }
+
+  test("star graph: hub outranks leaves; leaves equal") {
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val r = PageRank.run(edges).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(2L), "hub must outrank a leaf")
+    assert(r(2L) == r(3L) && r(3L) == r(4L), "leaves must rank equally")
+    // node 1 is dangling (no out-edges): its inflow is not re-emitted,
+    // so total mass is strictly below scale
+    assert(r.values.sum < scale)
+  }
+
+  test("deterministic across runs (integer-quantized iteration)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    val a = PageRank.run(edges).collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val b = PageRank.run(edges).collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(a == b)
+    assert(a.map(_._2).forall(_ > 0))
+  }
+}
