@@ -1,0 +1,66 @@
+package graft.fixtures
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N× corpus amplification for empirical scale probes (VERDICT r5
+  * "Next round" #5): /root/testdata tops out at sf0.1, so scaling
+  * exponents are measured on amplified copies of it.
+  *
+  * The amplification must preserve the per-shard duplicate / near-dup
+  * structure while keeping copies mutually disjoint — otherwise every
+  * doc near-dups its own N−1 copies and the probe measures an
+  * artificial densification (quadratic by construction), not the
+  * engine. Guarantees:
+  *  - documents: copy k > 0 suffixes EVERY token with the copy id — a
+  *    bijection of the token (hence shingle / window-hash) space, so
+  *    within-copy overlap ratios are preserved exactly: near-dups stay
+  *    near-dups, exact dups stay exact; across copies no token (hence
+  *    no shingle) collides, so overlap is zero. (A first attempt
+  *    interleaved a salt token between tokens instead — that degrades
+  *    2-shingle overlap to UNIGRAM overlap, making every in-copy pair
+  *    a near-dup: the probe measured exponent ~2.0 on the amplifier's
+  *    own artifact, a useful negative control for what a quadratic
+  *    gate looks like.)
+  *  - embeddings: copy k > 0 applies a deterministic per-copy ±1 sign
+  *    pattern per dimension — an orthogonal transform, so within-copy
+  *    cosines are bit-preserved; across copies the balanced sign flips
+  *    drive expected cosine to ~0 (below any near-dup threshold).
+  */
+object ScaleCorpus {
+
+  /** documents ×factor with structure-preserving disjoint copies. */
+  def amplifyDocs(docs: DataFrame, factor: Int,
+      idShift: Long = 10000000L): DataFrame =
+    (0 until factor).map { k =>
+      val text =
+        if (k == 0) col("text")
+        else array_join(
+          transform(
+            filter(split(col("text"), "\\s+"), t => length(t) > 0),
+            t => concat(t, lit(s"cp$k"))),
+          " ")
+      docs.select((col("doc_id") + lit(k * idShift)).as("doc_id"),
+        text.as("text"))
+    }.reduce(_ unionByName _)
+
+  /** embeddings ×factor with per-copy orthogonal sign flips. */
+  def amplifyEmbeddings(emb: DataFrame, factor: Int, dim: Int = 64,
+      idShift: Long = 10000000L): DataFrame =
+    (0 until factor).map { k =>
+      val v =
+        if (k == 0) col("embedding")
+        else {
+          // seeded per-copy pattern: any two copies differ in ~dim/2
+          // positions, so the product pattern is itself ~balanced and
+          // cross-copy cosine of the same doc concentrates near 0
+          // (|cos| ≲ 3/√dim ≈ 0.37 at 3σ, under the 0.4 threshold)
+          val rnd = new scala.util.Random(k * 7919L)
+          val signs = Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+          zip_with(col("embedding"),
+            array(signs.toIndexedSeq.map(lit): _*), (x, s) => x * s)
+        }
+      emb.select((col("vec_id") + lit(k * idShift)).as("vec_id"),
+        v.as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+}

@@ -208,7 +208,16 @@ object Similarity {
     * replays the whole product hash-exactly; recall vs the all-pairs
     * truth is 1-(1-p^nPlanes)^nTables for bit-agreement prob
     * p = 1-θ/π — tunable per corpus, measured by the companion recall
-    * gate (q97c). */
+    * gate (q97c).
+    *
+    * Parameterization discipline at scale (measured, tools/ScaleProbe
+    * r6): bucket count is 2^nPlanes per table, so at FIXED nPlanes the
+    * candidate volume grows ~ n²/2^nPlanes — the 10× probe measures
+    * exponent 1.41 at nPlanes=4. Hold per-bucket occupancy constant
+    * by raising nPlanes with ⌈log2(corpus growth)⌉ (recall is then
+    * recovered with more tables if needed): the occupancy-preserving
+    * probe leg measures ~linear. nPlanes=4 is the 2.5k-vector
+    * fixture-gate setting, not a constant. */
   def lshNearDupPairsPortable(vectors: DataFrame, threshold: Double,
       nPlanes: Int, dim: Int, nTables: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

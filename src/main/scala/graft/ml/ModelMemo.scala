@@ -20,6 +20,12 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * hash, which the previous `System.identityHashCode` key allowed),
   * and automatic eviction of a dead session's entries at the next GC,
   * so drivers cycling many sessions don't accumulate model references.
+  * Eviction caveat: a memoized value that itself references its
+  * session (a Dataset, or a model holding one) pins that session's
+  * entry — the classic WeakHashMap value→key cycle. Such entries are
+  * only reclaimed via [[clear]]; the map still guarantees what the
+  * ADVICE item needed, that a DEAD session's hash can never alias a
+  * live one's models.
   *
   * Scale notes: entries are driver-held model references (factor
   * matrices etc. live in executor blocks managed by Spark ML itself);

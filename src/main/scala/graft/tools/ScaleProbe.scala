@@ -1,0 +1,113 @@
+package graft.tools
+
+import graft.fixtures.ScaleCorpus
+import graft.llmops.{Dedup, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling-exponent probe for the dedup/ANN family (VERDICT
+  * r5 "Next round" #5): times the 7 bucketed-path gates at 1× and N×
+  * (default 10×) of the sf0.1 corpus and reports the per-gate exponent
+  * log_N(t_N / t_1). A bucketed/linear plan lands ≲ 1.2 (shuffle and
+  * sort terms add an n·log n flavor); a quadratic term shows up as ≳ 2.
+  *
+  * Both corpora are MATERIALIZED to parquet first, so each timed gate
+  * reads a real table (scan included, amplification lineage excluded),
+  * and each gate is timed best-of-2 through the noop sink (the Bench
+  * methodology).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
+  *        SPARK_GRAFT_SCALE_FACTOR=10 runMain graft.tools.ScaleProbe
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]").appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = java.nio.file.Files.createTempDirectory("scale-probe").toString
+    val docsBase = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val embBase = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    // materialize both scales; 1× goes through amplify(1) so both sides
+    // pay identical write/read plumbing
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val p = s"$root/$name"
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    val docs1 = stage("docs1", ScaleCorpus.amplifyDocs(docsBase, 1))
+    val docsN = stage(s"docs$factor", ScaleCorpus.amplifyDocs(docsBase, factor))
+    val emb1 = stage("emb1", ScaleCorpus.amplifyEmbeddings(embBase, 1))
+    val embN = stage(s"emb$factor", ScaleCorpus.amplifyEmbeddings(embBase, factor))
+    // the q99 eval side is a benchmark — constant size at every scale
+    val evalDocs = docsBase.filter(col("doc_id") < 50).cache()
+    evalDocs.count()
+
+    def gates(docs: DataFrame, emb: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+      "q33_exact_dedup" -> (() => Dedup.exact(docs, "doc_id", "text")),
+      "q35_minhash" -> (() => Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleK = 2, numHashes = 64, bands = 16, threshold = 0.3)),
+      "q64_minhash_portable" -> (() => Dedup.minhashCandidatesPortable(
+        docs, "doc_id", "text", shingleK = 2, numHashes = 32, bands = 8,
+        threshold = 0.3)),
+      "q79_dup_clusters" -> (() => graft.ops.ConnectedComponents.hashMin(
+        Dedup.minhashCandidatesPortable(docs, "doc_id", "text",
+          shingleK = 2, numHashes = 32, bands = 8, threshold = 0.3),
+        "id_a", "id_b")),
+      "q97b_lsh_near_dup_pairs" -> (() => Similarity.lshNearDupPairsPortable(
+        emb, threshold = 0.4, nPlanes = 4, dim = 64, nTables = 8)),
+      "q98_substring_dup_scan" -> (() => Dedup.substringDupScan(
+        docs, "doc_id", "text")),
+      "q99_decontaminate" -> (() => Dedup.decontaminate(
+        docs, evalDocs, "doc_id", "text")))
+
+    def time(mk: () => DataFrame): Double = {
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        mk().write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.min
+    }
+
+    val g1 = gates(docs1, emb1)
+    val gN = gates(docsN, embN)
+    var t1Lsh = 0.0
+    val rows = g1.zip(gN).map { case ((name, mk1), (_, mkN)) =>
+      val t1 = time(mk1)
+      val tN = time(mkN)
+      if (name.startsWith("q97b")) t1Lsh = t1
+      val exp = math.log(tN / t1) / math.log(factor.toDouble)
+      System.err.println(f"[scale] $name t1=$t1%.2f t$factor=$tN%.2f exp=$exp%.2f")
+      f""""$name":{"t1":$t1%.3f,"tN":$tN%.3f,"exponent":$exp%.3f}"""
+    }
+    // q97b with OCCUPANCY-PRESERVING parameterization: sign-LSH bucket
+    // count is 2^nPlanes per table, so candidate volume at fixed planes
+    // grows ~ n²/2^nPlanes — super-linear BY CONSTRUCTION. The
+    // operating discipline at scale is nPlanes += ⌈log2(growth)⌉ to
+    // hold per-bucket occupancy constant; this measures that path.
+    val scaledPlanes = 4 + math.ceil(math.log(factor.toDouble) / math.log(2)).toInt
+    val tScaled = time(() => Similarity.lshNearDupPairsPortable(
+      embN, threshold = 0.4, nPlanes = scaledPlanes, dim = 64, nTables = 8))
+    val expScaled = math.log(tScaled / t1Lsh) / math.log(factor.toDouble)
+    System.err.println(
+      f"[scale] q97b_occupancy_scaled(planes=$scaledPlanes) t$factor=$tScaled%.2f exp=$expScaled%.2f")
+    val scaledRow =
+      f""""q97b_occupancy_scaled":{"t1":$t1Lsh%.3f,"tN":$tScaled%.3f,"exponent":$expScaled%.3f,"nPlanes":$scaledPlanes}"""
+    spark.stop()
+    println((rows :+ scaledRow)
+      .mkString(s"""{"factor":$factor,"sf":"$sfDir","gates":{""", ",", "}}"))
+  }
+}
