@@ -17,15 +17,18 @@ object Ml {
     * The frame is .cache()d: Verify reuses the materialized weights
     * across the three gates; Bench's per-gate clearCache() evicts the
     * blocks so each measurement stays self-contained (the plan then
-    * lazily recomputes — correctness never depends on cache state). */
-  private val tfidfMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * lazily recomputes — correctness never depends on cache state).
+    * r6: moved onto [[graft.ml.ModelMemo]] — the private
+    * identityHashCode-keyed map here had the exact session-aliasing
+    * and never-unpersisted flaws ADVICE r5 #1/#2 called out on
+    * ModelMemo, which now fixes both (WeakHashMap session keying;
+    * clear() unpersists Dataset entries). */
   def docTfidfWeights(spark: SparkSession, dir: String): DataFrame =
-    tfidfMemo.computeIfAbsent(s"${System.identityHashCode(spark)}:$dir", _ => {
+    graft.ml.ModelMemo.cached(spark, s"tfidf-docs:$dir") {
       val docs = Tables.documents(spark, dir)
       ContentRecommender.tfidfWeights(docs, "doc_id", "text",
         minDf = 1, maxDfFrac = 0.8, nDocs = Some(docs.count())).cache()
-    })
+    }
 
   /** TF-IDF similar-docs via prefix-filtered inverted-index join (the
     * ES More-Like-This replacement, SURVEY.md §7.3; exact variant in
