@@ -35,9 +35,16 @@ object PageRank {
 
   /** @param edges (src, dst) long columns; parallel edges are counted
     *              as extra weight (dedup upstream if unwanted)
+    * @param redistributeDangling true = textbook formulation: each
+    *        iteration's dangling (sink) mass is shared equally across
+    *        all nodes — computed IN-PLAN as a 1-row aggregate
+    *        broadcast-crossed back in (no driver collect per
+    *        iteration); mass is then conserved up to integer
+    *        truncation. false (default, q104's oracled form) drops it.
     * @return (node, rank_q) — fixed-point rank in 1/scale units */
   def run(edges: DataFrame, iters: Int = 10,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      redistributeDangling: Boolean = false): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -51,9 +58,21 @@ object PageRank {
         .join(out, Seq("src"))
         .select(col("dst").as("node"), expr("r DIV outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr("(85 * coalesce(s, 0L)) DIV 100")).as("r"))
+      val joined = nodes.join(contribs, Seq("node"), "left")
+      ranks =
+        if (!redistributeDangling)
+          joined.select(col("node"),
+            (lit(base) + expr("(85 * coalesce(s, 0L)) DIV 100")).as("r"))
+        else {
+          // per-node dangling share, integer-exact: (Σ sink ranks) DIV n
+          val dangling = ranks
+            .join(out.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+            .agg(coalesce(sum(col("r")), lit(0L)).as("dsum"))
+          joined.crossJoin(broadcast(dangling))
+            .select(col("node"),
+              (lit(base) +
+                expr(s"(85 * (coalesce(s, 0L) + dsum DIV $n)) DIV 100")).as("r"))
+        }
       if (i % 4 == 0) ranks = ranks.localCheckpoint(true)
     }
     nodes.unpersist()

@@ -1,0 +1,91 @@
+package graft.fixtures
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The amplifier is measurement infrastructure (SCALE.md exponents are
+  * only meaningful if amplification preserves per-copy structure), so
+  * its invariants are pinned here — including the one the first
+  * implementation broke (salt interleave degraded 2-shingle overlap to
+  * unigram overlap; see ScaleCorpus scaladoc). */
+class ScaleCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def shingles2(text: String): Set[String] = {
+    val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (t.length < 2) t.toSet else t.sliding(2).map(_.mkString(" ")).toSet
+  }
+
+  test("amplifyDocs: within-copy 2-shingle Jaccard preserved exactly; " +
+      "cross-copy overlap zero") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over a sleepy cat"),
+      (3L, "completely different text with no overlap at all"))
+      .toDF("doc_id", "text")
+    val amp = ScaleCorpus.amplifyDocs(docs, 3, idShift = 100L)
+      .as[(Long, String)].collect().toMap
+    assert(amp.size == 9)
+    def jac(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty && b.isEmpty) 0.0
+      else (a & b).size.toDouble / (a | b).size
+
+    val baseJac = jac(shingles2(amp(1L)), shingles2(amp(2L)))
+    assert(baseJac > 0.3, s"fixture degenerate: base jaccard $baseJac")
+    for (k <- 1 to 2) {
+      val copyJac = jac(shingles2(amp(1L + 100 * k)), shingles2(amp(2L + 100 * k)))
+      assert(math.abs(copyJac - baseJac) < 1e-12,
+        s"copy $k jaccard $copyJac != base $baseJac — amplifier distorts structure")
+      // the invariant the salt-interleave version broke: cross-copy
+      // shingle overlap must be zero for EVERY pair, including a doc
+      // against its own other-copy self
+      assert((shingles2(amp(1L)) & shingles2(amp(1L + 100 * k))).isEmpty)
+      assert((shingles2(amp(2L)) & shingles2(amp(1L + 100 * k))).isEmpty)
+    }
+    // exact dups stay exact within a copy
+    val dupDocs = Seq((1L, "same text here"), (2L, "same text here"))
+      .toDF("doc_id", "text")
+    val dupAmp = ScaleCorpus.amplifyDocs(dupDocs, 2, idShift = 100L)
+      .as[(Long, String)].collect().toMap
+    assert(dupAmp(101L) == dupAmp(102L), "exact dup broken by amplification")
+    assert(dupAmp(1L) != dupAmp(101L), "copies must differ from base")
+  }
+
+  test("amplifyEmbeddings: within-copy cosine bit-preserved; cross-copy " +
+      "same-vector cosine below the near-dup threshold") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val amp = ScaleCorpus.amplifyEmbeddings(vecs, 3, idShift = 1000L)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val m = amp.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val basePair = cos(m(0L), m(1L))
+    for (k <- 1 to 2) {
+      val copyPair = cos(m(0L + 1000 * k), m(1L + 1000 * k))
+      // sign flips are an orthogonal transform applied to both sides:
+      // the pairwise cosine must be IDENTICAL (same products, same order)
+      assert(copyPair == basePair,
+        s"copy $k pairwise cosine drifted: $copyPair vs $basePair")
+      // cross-copy self-cosine is Σ s_d·x_d²/|x|² — a ±1-weighted sum
+      // concentrating near 0 with σ ≈ √(E[x⁴]/dim)/E[x²] (≈ √(3/64)
+      // ≈ 0.22 for gaussian dims — the x² weights triple the naive
+      // 1/√dim variance); the guarantee is distributional, and stray
+      // above-threshold pairs must additionally collide in an LSH
+      // bucket to cost anything (measured exponent 0.21 confirms)
+      val cs = (0 until 20).map { i =>
+        math.abs(cos(m(i.toLong), m(i.toLong + 1000 * k)))
+      }
+      assert(cs.sum / cs.size < 0.35,
+        s"copy $k: mean self-|cos| ${cs.sum / cs.size} not near 0")
+      assert(cs.count(_ < 0.6) >= 18,
+        s"copy $k: self-cosines not concentrated: $cs")
+    }
+  }
+}

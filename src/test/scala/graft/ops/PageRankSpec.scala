@@ -28,6 +28,21 @@ class PageRankSpec extends SparkSpec {
     assert(r.values.sum < scale)
   }
 
+  test("dangling redistribution conserves mass on a sink-heavy graph") {
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val r = PageRank.run(edges, redistributeDangling = true)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // node 1 is a sink; with redistribution its mass is shared back,
+    // so the total stays ~scale (truncation loses < iters*(n+1) units)
+    val total = r.values.sum
+    assert(math.abs(total - scale) < 1000, s"mass not conserved: $total")
+    assert(r(1L) > r(2L) && r(2L) == r(3L) && r(3L) == r(4L))
+    // and the simplified form on the same graph loses mass — the two
+    // formulations must actually differ
+    val simple = PageRank.run(edges).collect().map(_.getLong(1)).sum
+    assert(simple < total)
+  }
+
   test("deterministic across runs (integer-quantized iteration)") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
       .toDF("src", "dst")
