@@ -164,6 +164,40 @@ object Extras {
     Multimodal.extractFeatures(Multimodal.synthCorpus(spark, 900))
       .toDF().orderBy(col("media_id"))
 
+  /** q45b (r6): golden-vector oracle for the multimodal decode path —
+    * the q42b pattern applied to PNG/WAV/GVID. The synthetic corpus is
+    * seed-fixed per row (`seed ^ i`), so `synthCorpus(12)` is exactly
+    * the first 12 rows of q45's 900; the JDK decodes are deterministic
+    * (lossless PNG, PCM WAV), so the extracted features are frozen
+    * bytes a VALUES relation replays hash-exactly. Turns the decode
+    * correctness signal from spec-only into driver-checked: drift in
+    * the generator, the decoders, or the aHash/RMS math fails the hash
+    * compare. q45/q46/q70 stay as the corpus-scale rows-only vehicles. */
+  def multimodalGolden(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.synthCorpus(spark, 12))
+      .toDF().orderBy(col("media_id"))
+
+  private def multimodalGoldenOracle: String =
+    """SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+      |       n_bytes, width, height,
+      |       CAST(mean_intensity AS DOUBLE) AS mean_intensity,
+      |       CAST(phash AS BIGINT) AS phash
+      |FROM (VALUES
+      |  (0, 'image', 769, 16, 16, 123.8, -72905347823517696),
+      |  (1, 'audio', 300, 128, 1, 75.7, 1072380188433086222),
+      |  (2, 'video', 16412, 24, 24, 126.49, -284838458261504),
+      |  (3, 'image', 11724, 64, 64, 129.75, -284803832168448),
+      |  (4, 'audio', 1644, 800, 1, 78.32, -2964816218979209811),
+      |  (5, 'video', 6616, 48, 8, 123.96, -217024968303525696),
+      |  (6, 'image', 10223, 112, 32, 129.38, -217024968303525696),
+      |  (7, 'audio', 1580, 768, 1, 77.52, 6190949570678797653),
+      |  (8, 'video', 10212, 8, 32, 123.19, -3329123942400),
+      |  (9, 'image', 7598, 32, 80, 129.01, -284804100620288),
+      |  (10, 'audio', 236, 96, 1, 77.5, 2085302700341705742),
+      |  (11, 'video', 11619, 32, 16, 125.95, -72909780227669888)
+      |) AS t(media_id, kind, n_bytes, width, height, mean_intensity, phash)
+      |ORDER BY media_id""".stripMargin
+
   /** Video frame sampling (every 4th frame) over the synthetic corpus. */
   def frameSamples(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.synthCorpus(spark, 300))
@@ -330,6 +364,8 @@ object Extras {
         |       n_events, session_value
         |FROM sess ORDER BY user_id, session_start""".stripMargin)),
     QueryDef("q45_multimodal_features", multimodalFeatures, None),
+    QueryDef("q45b_multimodal_golden", multimodalGolden,
+      Some(multimodalGoldenOracle)),
     QueryDef("q46_frame_samples", frameSamples, None),
     QueryDef("q70_audio_features", audioFeatures, None),
     QueryDef("q77_snapshot_merge", snapshotMerge, Some(

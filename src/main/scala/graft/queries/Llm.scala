@@ -966,12 +966,18 @@ object Llm {
     * collapse (broken banding/routing) lands at ~0.0-0.1. */
   private val ivfRecallBand = 0.18
   private val lshRecallBand = 0.15
-  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+
+  /** One (variant, n_truth, n_hits, recall, band, within_band) summary
+    * row per approximate variant, vs brute-force truth on the query
+    * subset — shared by the oracled portable gate (q89) and the
+    * rows-only production-variant gate (q89b). */
+  private def annRecallRows(spark: SparkSession, dir: String,
+      variants: Seq[(String, DataFrame, Double)]): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 20)
     val truth = Similarity.bruteForceTopK(queries, emb, 5)
       .select(col("query_id"), col("neighbor_id"))
-    def recallRow(name: String, approx: DataFrame, bandLo: Double): DataFrame =
+    variants.map { case (name, approx, bandLo) =>
       truth.join(
           approx.filter(col("query_id") < 20)
             .select(col("query_id"), col("neighbor_id"))
@@ -986,11 +992,31 @@ object Llm {
           col("n_hits"), col("recall_at_5"),
           lit(bandLo).as("band_lo"),
           (col("recall_at_5") >= bandLo).as("within_band"))
-    recallRow("ivf", Similarity.ivfTopKPortable(emb, k = 5, nProbe = 2),
-        ivfRecallBand)
-      .union(recallRow("lsh", Similarity.lshTopKPortable(emb, k = 5,
-        nPlanes = 6, dim = 64, nTables = 8), lshRecallBand))
-      .orderBy(col("variant"))
+    }.reduce(_ union _).orderBy(col("variant"))
+  }
+
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    annRecallRows(spark, dir, Seq(
+      ("ivf", Similarity.ivfTopKPortable(emb, k = 5, nProbe = 2),
+        ivfRecallBand),
+      ("lsh", Similarity.lshTopKPortable(emb, k = 5, nPlanes = 6,
+        dim = 64, nTables = 8), lshRecallBand)))
+  }
+
+  /** Recall of the PRODUCTION (non-portable) ANN variants — gaussian-
+    * plane multi-table LSH and KMeans-cell IVF — restored as its own
+    * rows-only gate after q89 moved to the portable twins (r6): the
+    * portable gate proves the replayable math hash-exactly, this one
+    * keeps the quality of the variants a cluster actually runs
+    * driver-visible via within_band. */
+  def annRecallNonPortable(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    annRecallRows(spark, dir, Seq(
+      ("ivf_kmeans", Similarity.ivfTopK(emb, k = 5, nCells = 8,
+        nProbe = 2, memoKey = Some(dir)), ivfRecallBand),
+      ("lsh_gaussian", Similarity.lshTopK(emb, k = 5, nPlanes = 6,
+        dim = 64, nTables = 8), lshRecallBand)))
   }
 
   private def annRecallOracle: String =
@@ -1232,6 +1258,7 @@ object Llm {
     QueryDef("q39_ann_ivf", annIvf, None),
     QueryDef("q39b_ann_ivf_portable", annIvfPortable, Some(annIvfPortableOracle)),
     QueryDef("q89_ann_recall", annRecall, Some(annRecallOracle)),
+    QueryDef("q89b_ann_recall_production", annRecallNonPortable, None),
     QueryDef("q40_label_centroids", labelCentroids, Some(
       """SELECT label, ord AS pos, round(avg(val), 6) AS m
         |FROM (SELECT label, unnest(embedding) AS val,

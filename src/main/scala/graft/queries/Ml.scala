@@ -450,7 +450,12 @@ object Ml {
          |ORDER BY user_id, rn""".stripMargin)),
     QueryDef("q47_cv_grid_search", (s: SparkSession, d: String) =>
       RankerPipeline.crossValidate(s, Interactions.fromEvents(s, d),
-        memoKey = Some(d)), None),
+          memoKey = Some(d))
+        // driver-visible collapse detector (the q90 band pattern, r6):
+        // a working fold-averaged AUC is strictly above chance and
+        // strictly below perfect (a leak saturates toward 1)
+        .withColumn("within_band",
+          col("avg_auc") > 0.5 && col("avg_auc") < 1.0), None),
     QueryDef("q43_word2vec_synonyms", word2vecSynonyms, None),
     QueryDef("q63_w2v_corpus_synonyms", word2vecCorpusSynonyms, None),
     QueryDef("q44_lr_ranker_metrics", lrRankerMetrics, None)

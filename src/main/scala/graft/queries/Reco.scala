@@ -110,6 +110,12 @@ object Reco {
     AlsRecommender.crossValidate(ratings, actual,
       ranks = Seq(8, 16), regParams = Seq(0.1), alphas = Seq(10.0),
       maxIter = 3, k = 10, memoKey = Some(dir))
+      // driver-visible collapse detector (the q90 band pattern, r6):
+      // fold-averaged ranking NDCG of a working fit sits ~0.2 on the
+      // fixture; a broken CG/evaluator path collapses toward 0, a
+      // leak saturates upward
+      .withColumn("within_band",
+        col("avg_ndcg") > 0.05 && col("avg_ndcg") < 0.8)
   }
 
   /** Time-split popularity recommendation evaluated with NDCG/P@k/MAP —
