@@ -253,9 +253,14 @@ object Similarity {
     * produce the same 64 bits. The within-cell re-rank is the same
     * double-cosine path the q37/q66 oracles already match.
     *
-    * Scale: same as [[ivfTopK]] — corpus shuffled once by cell, probes
-    * routed by a broadcast centroid table (one row per label); the
-    * label seeding replaces the KMeans fit with one keyed agg. */
+    * Scale: same join/shuffle shape as [[ivfTopK]] — corpus shuffled
+    * once by cell, probes routed by a broadcast centroid table (one
+    * row per label); the label seeding replaces the KMeans fit with
+    * one keyed agg. Caveat: cell count = label cardinality, which
+    * bounds both within-cell candidate pruning and join parallelism —
+    * fine for the oracle gate's 10-label fixture, but a large corpus
+    * wants [[ivfTopK]]'s KMeans cells (nCells sized ~√n), which this
+    * variant exists to oracle, not replace. */
   def ivfTopKPortable(vectors: DataFrame, k: Int, nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       labelCol: String = "label"): DataFrame = {
