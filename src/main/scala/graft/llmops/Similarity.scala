@@ -173,6 +173,20 @@ object Similarity {
       }.toDF("id", "tbl", "bucket")
   }
 
+  /** The occupancy-preserving nPlanes for a corpus: smallest plane
+    * count keeping expected per-bucket occupancy ≤ `targetOccupancy`
+    * (bucket count is 2^nPlanes per table). This is the discipline the
+    * r6 scale probe measured: fixed planes ⇒ candidate volume
+    * ~ n²/2^nPlanes (exponent 1.67 at 10×); holding n/2^nPlanes
+    * constant ⇒ ~linear (0.21). Recall lost to extra planes is
+    * recovered with more tables: per-table recall p^nPlanes, overall
+    * 1-(1-p^nPlanes)^nTables. */
+  def lshPlanesFor(corpusSize: Long, targetOccupancy: Long = 160): Int = {
+    require(corpusSize > 0 && targetOccupancy > 0)
+    math.max(1, math.ceil(
+      math.log(corpusSize.toDouble / targetOccupancy) / math.log(2)).toInt)
+  }
+
   def lshTopKPortable(vectors: DataFrame, k: Int, nPlanes: Int, dim: Int,
       nTables: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

@@ -92,4 +92,22 @@ class SimilaritySpec extends SparkSpec {
     assert(c(0) == Seq(2.0, 4.0))
     assert(c(1) == Seq(2.0, 2.0))
   }
+
+  test("lshPlanesFor: occupancy-preserving plane count (probe discipline)") {
+    // the r6 probe's example: 25k vectors at 16 buckets (4 planes) →
+    // 250k wants 8 (grow by ceil(log2 10) ≈ 4, not stay at 4)
+    val p1 = Similarity.lshPlanesFor(25000, targetOccupancy = 1563)
+    assert(p1 == 4, s"got $p1")
+    assert(Similarity.lshPlanesFor(250000, targetOccupancy = 1563) == 8)
+    // monotone in corpus size; 10× corpus adds ⌈log2 10⌉ = 4 planes
+    val sizes = Seq(1000L, 10000L, 100000L, 1000000L)
+    val planes = sizes.map(Similarity.lshPlanesFor(_))
+    assert(planes == planes.sorted)
+    assert(planes.zip(planes.tail).forall { case (a, b) => b - a == 4 || b - a == 3 })
+    // occupancy bound actually holds: n / 2^planes <= target
+    sizes.foreach { n =>
+      val p = Similarity.lshPlanesFor(n)
+      assert(n.toDouble / (1L << p) <= 160.0, s"occupancy broken at $n")
+    }
+  }
 }
