@@ -324,6 +324,37 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rn"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication" — the embedding-space analogue of MinHash doc
+    * dedup): near-duplicate pairs from the bucketed portable LSH path
+    * ([[lshNearDupPairsPortable]]) → connected components over the
+    * pair graph → min-id canonical representative per cluster. Returns
+    * one row per vector with its cluster id, cluster size, and `keep`
+    * admission flag — the operator a training pipeline filters on,
+    * where q97b only lists pairs.
+    *
+    * Scale: every stage is already the audited 100 TB shape — bucketed
+    * candidate equi-join, keyed CC rounds, one window on cluster_id;
+    * composition adds no new shuffle class. Deterministic end to end
+    * (portable buckets, round-6 cosine, min-id labels) so the whole
+    * product is DuckDB-replayable. */
+  def semanticDedup(vectors: DataFrame, threshold: Double, nPlanes: Int,
+      dim: Int, nTables: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val pairs = lshNearDupPairsPortable(vectors, threshold, nPlanes, dim,
+        nTables, idCol, vecCol)
+      .select(col("id_a"), col("id_b"))
+    val labels = graft.ops.ConnectedComponents.hashMin(pairs, "id_a", "id_b")
+    vectors.select(col(idCol).cast("long").as("vec_id"))
+      .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("keep", col("vec_id") === col("cluster_id"))
+  }
+
   /** Per-label centroid (mean vector) — array-wise avg via posexplode +
     * re-assemble; one shuffle on (label, pos), then one on label. */
   def centroids(vectors: DataFrame, labelCol: String,

@@ -355,8 +355,12 @@ object Llm {
         threshold = 0.4, nPlanes = 4, dim = 64, nTables = 8)
       .orderBy(col("id_a"), col("id_b"))
 
-  private def embeddingNearDupsLshOracle: String =
-    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+  /** Shared CTE chain recomputing the portable sign-LSH near-dup
+    * PAIR pipeline (quantize → buckets → candidate pairs → round-6
+    * cosine) — q97b selects from `cs` directly; the q105 semantic-dedup
+    * oracle builds the cluster graph on top of it. */
+  private def lshPairCtes: String =
+    """e AS (SELECT vec_id, embedding FROM embeddings),
       |q AS (SELECT vec_id, unnest(embedding) AS x,
       |        unnest(range(len(embedding))) AS d FROM e),
       |qd AS (SELECT vec_id, d, floor(x::DOUBLE * 1000)::BIGINT AS xq FROM q),
@@ -379,9 +383,41 @@ object Llm {
       |                                      eb.embedding::DOUBLE[]), 6) AS cos
       |       FROM pairs p
       |       JOIN e ea ON ea.vec_id = p.id_a
-      |       JOIN e eb ON eb.vec_id = p.id_b)
-      |SELECT id_a, id_b, cos FROM cs WHERE cos >= 0.4
-      |ORDER BY id_a, id_b""".stripMargin
+      |       JOIN e eb ON eb.vec_id = p.id_b)""".stripMargin
+
+  private def embeddingNearDupsLshOracle: String =
+    s"""WITH $lshPairCtes
+       |SELECT id_a, id_b, cos FROM cs WHERE cos >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q105 (r6): SemDeDup-style semantic dedup as an ADMISSION product —
+    * [[graft.llmops.Similarity.semanticDedup]]: near-dup pairs (q97b's
+    * bucketed path) → connected components (q79's algorithm) → min-id
+    * canonical per cluster, one row per vector with its keep flag.
+    * Fully oracled: the DuckDB replay composes the shared LSH-pair
+    * CTEs with the recursive min-label reachability the q79 oracle
+    * uses. */
+  def semanticDedupGate(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(spark, dir),
+        threshold = 0.4, nPlanes = 4, dim = 64, nTables = 8)
+      .orderBy(col("vec_id"))
+
+  private def semanticDedupOracle: String =
+    s"""WITH RECURSIVE $lshPairCtes,
+       |sem AS (SELECT id_a, id_b FROM cs WHERE cos >= 0.4),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM sem
+       |          UNION SELECT id_b, id_a FROM sem),
+       |reach(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT g.dst, r.comp FROM reach r JOIN edges g ON g.src = r.id),
+       |lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY 1),
+       |o AS (SELECT v.vec_id, coalesce(l.comp, v.vec_id) AS cluster_id
+       |      FROM e v LEFT JOIN lab l ON l.id = v.vec_id)
+       |SELECT vec_id, cluster_id,
+       |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |       vec_id = cluster_id AS keep
+       |FROM o ORDER BY vec_id""".stripMargin
 
   /** Recall of the bucketed near-dup pairs (q97b) against the
     * all-pairs truth (q97), as ONE oracled summary row: every input is
@@ -1221,6 +1257,7 @@ object Llm {
     QueryDef("q96_llm_pipeline_e2e", llmPipelineE2e, Some(llmPipelineOracle)),
     QueryDef("q97_embedding_near_dups", embeddingNearDups, Some(embeddingNearDupsOracle)),
     QueryDef("q97b_near_dup_pairs_lsh", embeddingNearDupsLsh, Some(embeddingNearDupsLshOracle)),
+    QueryDef("q105_semantic_dedup", semanticDedupGate, Some(semanticDedupOracle)),
     QueryDef("q97c_near_dup_recall", embeddingNearDupRecall, Some(embeddingNearDupRecallOracle)),
     QueryDef("q98_substring_dup_scan", substringDupScan, Some(substringDupScanOracle)),
     QueryDef("q99_decontaminate", decontaminate, Some(decontaminateOracle)),

@@ -93,6 +93,23 @@ class SimilaritySpec extends SparkSpec {
     assert(c(1) == Seq(2.0, 2.0))
   }
 
+  test("semanticDedup: planted near-dup cluster collapses to its min-id " +
+      "keeper; singletons keep themselves") {
+    val base = Array(0.9f, 0.1f, 0.3f, 0.7f, 0.2f, 0.8f, 0.4f, 0.6f)
+    val nearDup = base.map(x => x * 0.97f + 0.01f)
+    val far = Array(-0.8f, 0.6f, -0.2f, 0.1f, -0.9f, 0.3f, -0.5f, 0.2f)
+    val vecs = Seq((1L, base.toSeq, 0), (2L, nearDup.toSeq, 0),
+      (5L, far.toSeq, 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDedup(vecs, threshold = 0.9,
+        nPlanes = 4, dim = 8, nTables = 8)
+      .select("vec_id", "cluster_id", "cluster_size", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((1L, 2L, true)), s"got ${out(1L)}")
+    assert(out(2L) == ((1L, 2L, false)), s"dup must defer to min id: ${out(2L)}")
+    assert(out(5L) == ((5L, 1L, true)), s"singleton must keep itself: ${out(5L)}")
+  }
+
   test("lshPlanesFor: occupancy-preserving plane count (probe discipline)") {
     // the r6 probe's example: 25k vectors at 16 buckets (4 planes) →
     // 250k wants 8 (grow by ceil(log2 10) ≈ 4, not stay at 4)
