@@ -124,6 +124,43 @@ object Extras {
        |ORDER BY user_id, start_us""".stripMargin
   }
 
+  /** q106/q107 (r6): JSONL / CSV source-format round-trips — the
+    * text-source surface beyond parquet (SURVEY §2.1 family). Each
+    * gate writes the documents table through the format and reads it
+    * back with an explicit schema; the oracle is simply the documents
+    * table, so ANY loss in the round-trip (encoding, quoting,
+    * embedded newlines/quotes in text, null handling) fails the hash
+    * compare. CSV is the adversarial one: multiLine + quote-escape
+    * must survive free-text columns. */
+  private def formatRoundtrip(spark: SparkSession, dir: String,
+      format: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory(s"rt-$format").toString
+    val path = s"$tmp/docs"
+    val w = docs.coalesce(1).write.mode("overwrite")
+    format match {
+      case "json" => w.json(path)
+      case "csv" => w.option("header", "true")
+        .option("quote", "\"").option("escape", "\"").csv(path)
+    }
+    val r = spark.read.schema(docs.schema)
+    (format match {
+      case "json" => r.json(path)
+      case "csv" => r.option("header", "true").option("multiLine", "true")
+        .option("quote", "\"").option("escape", "\"").csv(path)
+    }).orderBy(col("doc_id"))
+  }
+
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    formatRoundtrip(spark, dir, "json")
+
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    formatRoundtrip(spark, dir, "csv")
+
+  private def roundtripOracle: String =
+    """SELECT doc_id, lang, text FROM documents ORDER BY doc_id""".stripMargin
+
   /** SCD-1 snapshot upsert merge: a synthetic v2 update stream (every
     * 5th doc re-delivered with new text and a higher version) merged
     * into the base snapshot; latest version wins. */
@@ -398,6 +435,8 @@ object Extras {
         |ORDER BY user_id, ts""".stripMargin)),
     QueryDef("q103_sessionizer_late_oracle", sessionizeLateStream,
       Some(sessionizeLateOracle)),
+    QueryDef("q106_jsonl_roundtrip", jsonlRoundtrip, Some(roundtripOracle)),
+    QueryDef("q107_csv_roundtrip", csvRoundtrip, Some(roundtripOracle)),
     QueryDef("q69_stream_interval_join", streamIntervalJoin, Some(
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
         |FROM events c JOIN events p
