@@ -141,12 +141,14 @@ object Extras {
     val w = docs.coalesce(1).write.mode("overwrite")
     format match {
       case "json" => w.json(path)
+      case "orc" => w.orc(path)
       case "csv" => w.option("header", "true")
         .option("quote", "\"").option("escape", "\"").csv(path)
     }
     val r = spark.read.schema(docs.schema)
     (format match {
       case "json" => r.json(path)
+      case "orc" => r.orc(path)
       case "csv" => r.option("header", "true").option("multiLine", "true")
         .option("quote", "\"").option("escape", "\"").csv(path)
     }).orderBy(col("doc_id"))
@@ -157,6 +159,9 @@ object Extras {
 
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame =
     formatRoundtrip(spark, dir, "csv")
+
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    formatRoundtrip(spark, dir, "orc")
 
   private def roundtripOracle: String =
     """SELECT doc_id, lang, text FROM documents ORDER BY doc_id""".stripMargin
@@ -437,6 +442,7 @@ object Extras {
       Some(sessionizeLateOracle)),
     QueryDef("q106_jsonl_roundtrip", jsonlRoundtrip, Some(roundtripOracle)),
     QueryDef("q107_csv_roundtrip", csvRoundtrip, Some(roundtripOracle)),
+    QueryDef("q108_orc_roundtrip", orcRoundtrip, Some(roundtripOracle)),
     QueryDef("q69_stream_interval_join", streamIntervalJoin, Some(
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
         |FROM events c JOIN events p
