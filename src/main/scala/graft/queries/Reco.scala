@@ -95,6 +95,89 @@ object Reco {
       .orderBy(col("user_id"), col("score").desc, col("item_id"))
   }
 
+  /** On-disk home of the q25b factor dump, next to the albedo fixture
+    * parquet (same convention: the oracle SQL references these exact
+    * files via read_parquet, so both engines replay from one copy). */
+  private val factorDir =
+    graft.fixtures.AlbedoFixtures.persistDir + "/als_factors"
+
+  /** Factor-replay oracle for the ALS recommend path (VERDICT r6 #1) —
+    * the flagship reference operator's last missing external check
+    * (recommenders/ALSRecommender.scala:21-61).
+    *
+    * The trick (the proven q39b/q66 pattern): the trained factor
+    * matrices are *data*. Train once (seeded, memoized), materialize
+    * user/item factors to parquet, then BOTH engines recompute per-user
+    * top-k dot-product recommendations from the same files with exact
+    * integer math — Spark via quantized Long dots, DuckDB via
+    * read_parquet on the identical bytes. Training floats never need to
+    * be run-deterministic: the compare is dump-derived on both sides.
+    *
+    * Quantization floor(f·10⁶) is exact (float→double exact, one IEEE
+    * mul, floor); |factor| < 10 ⇒ products < 2^47, rank-8 sums < 2^50
+    * < 2^53 — order-independent, so Spark's partial aggregation and
+    * DuckDB's single-threaded sum agree bit-for-bit. Ties (impossible
+    * off the diagonal in practice, exact ints regardless) break by
+    * item_id on both sides.
+    *
+    * Scale shape: recommend-from-factors is a blocked GEMM + top-k; at
+    * fixture scale the item side (500×8) broadcasts. The production
+    * path stays q25's `recommendForUserSubset` (MLlib's own blocked
+    * float GEMM); `AlsFactorReplaySpec` pins the two paths' top-k
+    * agreement on the same model, closing the loop. */
+  def alsFactorReplay(spark: SparkSession, dir: String): DataFrame = {
+    import graft.fixtures.AlbedoFixtures
+    val model = graft.ml.ModelMemo.cached(spark, "als-q25b:albedo") {
+      AlsRecommender.train(
+        AlbedoFixtures.starringsP(spark)
+          .select(col("user_id"), col("repo_id").as("item_id"),
+            col("starring").as("rating")),
+        rank = 8, regParam = 0.1, alpha = 10, maxIter = 5, seed = 42)
+    }.modelRef
+    // dump, then read BACK from parquet: round-trip on both sides keeps
+    // the float bytes identical for the oracle
+    model.userFactors.coalesce(1).write.mode("overwrite")
+      .parquet(s"$factorDir/user.parquet")
+    model.itemFactors.coalesce(1).write.mode("overwrite")
+      .parquet(s"$factorDir/item.parquet")
+    def quantized(path: String, idName: String) =
+      spark.read.parquet(path).select(col("id").as(idName),
+        transform(col("features"),
+          x => floor(x.cast("double") * 1e6).cast("long")).as(s"${idName}_fq"))
+    val u = quantized(s"$factorDir/user.parquet", "user_id")
+    val it = quantized(s"$factorDir/item.parquet", "item_id")
+    val dot = aggregate(
+      zip_with(col("user_id_fq"), col("item_id_fq"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("score_q").desc, col("item_id"))
+    u.crossJoin(broadcast(it))
+      .withColumn("score_q", dot)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("user_id"), col("item_id"), col("score_q"), col("rn"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  private def alsFactorReplayOracle: String =
+    s"""WITH uf AS (SELECT id AS user_id, unnest(features) AS x,
+       |        unnest(range(len(features))) AS d
+       |      FROM read_parquet('$factorDir/user.parquet/*.parquet')),
+       |itf AS (SELECT id AS item_id, unnest(features) AS x,
+       |        unnest(range(len(features))) AS d
+       |      FROM read_parquet('$factorDir/item.parquet/*.parquet')),
+       |uq AS (SELECT user_id, d, floor(x::DOUBLE * 1e6)::BIGINT AS xq FROM uf),
+       |iq AS (SELECT item_id, d, floor(x::DOUBLE * 1e6)::BIGINT AS xq FROM itf),
+       |dots AS (SELECT u.user_id, i.item_id,
+       |           sum(u.xq * i.xq)::BIGINT AS score_q
+       |         FROM uq u JOIN iq i USING (d) GROUP BY 1, 2),
+       |r AS (SELECT user_id, item_id, score_q,
+       |        row_number() OVER (PARTITION BY user_id
+       |                           ORDER BY score_q DESC, item_id) AS rn
+       |      FROM dots)
+       |SELECT user_id, item_id, score_q, rn FROM r WHERE rn <= 5
+       |ORDER BY user_id, rn""".stripMargin
+
   /** ALS hyperparameter grid via CrossValidator + ranking-NDCG
     * evaluator (reference ALSRecommenderCV.scala:67-90; rows-only —
     * factor math not SQL-expressible). One row per grid point. */
@@ -332,6 +415,8 @@ object Reco {
          |  JOIN npos n USING (user_id) WHERE s.rn <= n.n_pos)
          |ORDER BY user_id, item_id, label""".stripMargin)),
     QueryDef("q25_als_recommend", alsRecommendations, None),
+    QueryDef("q25b_als_factor_replay", alsFactorReplay,
+      Some(alsFactorReplayOracle)),
     QueryDef("q62_als_cv_grid", alsCvGrid, None),
     QueryDef("q26_popularity_ndcg", popularityEval, Some(
       s"""WITH raw AS (SELECT user_id, CAST(props->>'k' AS INT) AS item_id,
