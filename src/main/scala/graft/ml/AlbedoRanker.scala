@@ -229,4 +229,122 @@ object AlbedoRanker {
     data.unpersist()
     out
   }
+
+  /** On-disk home of the q44b margin dump (frame + coefficients),
+    * beside the albedo fixture parquet the oracles already read. */
+  val marginDir: String = AlbedoFixtures.persistDir + "/lr_margin"
+
+  /** The q44b feature list: every numeric/boolean column of the
+    * q59-oracled deterministic frame. Each is an integer count, a 0/1
+    * boolean, or a value the frame already rounds to 3 decimals — so
+    * ×1000-and-floor is a LOSSLESS quantization and the margin replay
+    * needs no libm function (exp/log never enter; the VERDICT r6 #4
+    * caveat about non-correctly-rounded libm is sidestepped entirely). */
+  private[graft] val marginFeatureCols = Seq(
+    "lang_index_in_recent", "lang_count_in_recent",
+    "follower_following_ratio", "days_since_updated", "days_since_created",
+    "n_recent", "repo_stargazers_count", "repo_forks_count",
+    "repo_days_since_updated", "log_stars") ++ booleanCols
+
+  /** LR margin replay (VERDICT r6 #4, gate q44b) — the q25b trick
+    * applied to logistic regression: a trained model's decision
+    * function is data. Fit a weighted LR on the deterministic
+    * (q59-oracled) feature frame, materialize BOTH the frame and the
+    * coefficient vector to parquet, then recompute the top-200 quantized
+    * logits from those files in each engine: margin_q =
+    * floor(intercept·10⁶)·10³ + Σ_j floor(c_j·10⁶)·(f_j·10³).
+    * Feature quantization is lossless (see [[marginFeatureCols]]); coef
+    * truncation at 10⁻⁶ shifts a logit by < Σ|f_j|·10⁻⁶ ≈ 10⁻², far
+    * below the gate's ranking granularity, and identically on both
+    * sides. Products ≤ 3·10⁸·|c|·10⁶ ≈ 10¹⁶, sums < 2⁶³: exact Longs,
+    * order-independent. Probabilities are never compared — only
+    * margins, which are pure mul/add (IEEE-exact replay).
+    *
+    * The un-truncated AUC/NDCG quality of the production rankers stays
+    * banded in q44/q60; this gate pins the LR APPLY path hash-exactly. */
+  def marginReplay(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // dump the deterministic frame (identical to q59's output, which
+    // the driver hash-checks against DuckDB-from-fixtures)
+    val frame = deterministicFeatureFrame(spark)
+    frame.coalesce(1).write.mode("overwrite")
+      .parquet(s"$marginDir/frame.parquet")
+    // read BACK for both fit and margin math: the replay must see the
+    // same bytes DuckDB reads
+    val f = spark.read.parquet(s"$marginDir/frame.parquet")
+    val lrm = ModelMemo.cached(spark, "lr-q44b-margin") {
+      val assembled = new VectorAssembler()
+        .setInputCols(marginFeatureCols.toArray).setOutputCol("features")
+        .transform(marginFeatureCols.foldLeft(f) {
+          (df, c) => df.withColumn(c, col(c).cast("double"))
+        })
+        // pin row order so the weighted LBFGS fit is bit-stable (see
+        // trainAndEvaluate's repartition note)
+        .repartition(4, col("user_id"))
+        .sortWithinPartitions("user_id", "repo_id")
+      new LogisticRegression()
+        .setMaxIter(20).setRegParam(0.1).setElasticNetParam(0.0)
+        .setStandardization(true)
+        .setFeaturesCol("features").setLabelCol("label")
+        .setWeightCol("instance_weight")
+        .fit(assembled)
+    }
+    Seq((lrm.coefficients.toArray, lrm.intercept))
+      .toDF("coef", "intercept")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$marginDir/coef.parquet")
+    val co = spark.read.parquet(s"$marginDir/coef.parquet")
+    val fv = array(marginFeatureCols.map(c => col(c).cast("double")): _*)
+    val dot = aggregate(
+      zip_with(col("fv"), col("coef"), (x, c) =>
+        floor(x * 1000).cast("long") * floor(c * 1e6).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    // top-200 via orderBy+limit FIRST (TakeOrderedAndProject — per-
+    // partition heaps, no global shuffle), then rank only the 200
+    // survivors; a row_number window over the raw frame would drag the
+    // whole table through one partition
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("s").desc, col("user_id"), col("repo_id"))
+    f.withColumn("fv", fv)
+      .crossJoin(broadcast(co))
+      .withColumn("s", dot)
+      .withColumn("margin_q",
+        col("s") + floor(col("intercept") * 1e6).cast("long") * 1000L)
+      .orderBy(col("s").desc, col("user_id"), col("repo_id"))
+      .limit(200)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("repo_id"), col("label"),
+        col("margin_q"), col("rn"))
+      .orderBy(col("rn"))
+  }
+
+  /** DuckDB replay of [[marginReplay]] from the same two parquet dumps. */
+  def marginReplayOracle: String = {
+    val boolList = booleanCols
+      .map(c => s"CASE WHEN $c THEN 1.0 ELSE 0.0 END").mkString(",\n|   ")
+    s"""WITH fr AS (SELECT * FROM read_parquet('$marginDir/frame.parquet/*.parquet')),
+       |co AS (SELECT coef, intercept
+       |       FROM read_parquet('$marginDir/coef.parquet/*.parquet')),
+       |fv AS (SELECT user_id, repo_id, label,
+       |  [lang_index_in_recent::DOUBLE, lang_count_in_recent::DOUBLE,
+       |   follower_following_ratio, days_since_updated::DOUBLE,
+       |   days_since_created::DOUBLE, n_recent::DOUBLE,
+       |   repo_stargazers_count::DOUBLE, repo_forks_count::DOUBLE,
+       |   repo_days_since_updated::DOUBLE, log_stars,
+       |   $boolList] AS fvec
+       |  FROM fr),
+       |un AS (SELECT user_id, repo_id, label, unnest(fvec) AS x,
+       |         unnest(range(len(fvec))) AS d FROM fv),
+       |cf AS (SELECT unnest(coef) AS c, unnest(range(len(coef))) AS d FROM co),
+       |m AS (SELECT user_id, repo_id, label,
+       |        sum(floor(x * 1000)::BIGINT * floor(c * 1e6)::BIGINT)::BIGINT AS s
+       |      FROM un JOIN cf USING (d) GROUP BY 1, 2, 3),
+       |r AS (SELECT user_id, repo_id, label,
+       |        s + (SELECT floor(intercept * 1e6)::BIGINT * 1000 FROM co)
+       |          AS margin_q,
+       |        row_number() OVER (ORDER BY s DESC, user_id, repo_id) AS rn
+       |      FROM m)
+       |SELECT user_id, repo_id, label, margin_q, rn FROM r WHERE rn <= 200
+       |ORDER BY rn""".stripMargin
+  }
 }

@@ -70,15 +70,18 @@ object RankerPipeline {
       .join(broadcast(itemFeatures(interactions)), Seq("item_id"))
   }
 
-  /** Instance-weight stage: positives interacted with in the last 365
-    * days (vs the frozen cut) weigh 0.9, everything else 0.1 — the
-    * reference's positive_starred_weight
-    * (LogisticRegressionRanker.scala:316-327). Fit-time only: serving
-    * inputs carry no label. Negatives have pair_last_ns NULL; the AND
-    * short-circuits them to 0.1. */
+  /** Instance-weight stage emitting the two weight SCHEMES the CV grid
+    * searches over (the reference's weightSQL emits four and grids
+    * lr.weightCol across them, LogisticRegressionRankerCV.scala:296-331):
+    * `instance_weight` = recent positives weigh 0.9 (the reference's
+    * recent_starred_weight, recency vs the frozen cut), and
+    * `positive_weight` = all positives weigh 0.9. Fit-time only:
+    * serving inputs carry no label. Negatives have pair_last_ns NULL;
+    * the AND short-circuits them to 0.1. */
   private[graft] def weigher = new SQLTransformer().setStatement(
     s"SELECT *, IF(label > 0.5 AND pair_last_ns >= ${weightNowNs - yearNs}, " +
-      "0.9D, 0.1D) AS instance_weight FROM __THIS__")
+      "0.9D, 0.1D) AS instance_weight, " +
+      "IF(label > 0.5, 0.9D, 0.1D) AS positive_weight FROM __THIS__")
 
   private def featurePipeline(): Pipeline = {
     val indexer = new StringIndexer()
@@ -145,8 +148,12 @@ object RankerPipeline {
       .setFeaturesCol("features").setLabelCol("label")
       .setWeightCol("instance_weight")
     val pipeline = new Pipeline().setStages(featurePipeline().getStages :+ lr)
+    // the reference grid's SHAPE: search weight SCHEMES (its dominant
+    // dimension, 4 weightCol values at :331) × regularization — here
+    // 2 schemes × 2 regParams = 4 points, maxIter pinned small
     val grid = new ParamGridBuilder()
       .addGrid(lr.regParam, Array(0.01, 0.5))
+      .addGrid(lr.weightCol, Array("instance_weight", "positive_weight"))
       .addGrid(lr.maxIter, Array(8))
       .build()
     val cv = new CrossValidator()
@@ -175,10 +182,10 @@ object RankerPipeline {
           pm.toSeq.find(_.param.name == n).get.value.asInstanceOf[T]
         // 1e3: CV AUC drifts ~1e-5 between JVM runs (float-sum order in
         // the distributed fit); report only run-stable digits
-        (byName[Double]("regParam"), byName[Int]("maxIter"),
-          math.rint(m * 1e3) / 1e3)
-      }.toDF("reg_param", "max_iter", "avg_auc")
-      .orderBy(col("avg_auc").desc, col("reg_param"))
+        (byName[Double]("regParam"), byName[String]("weightCol"),
+          byName[Int]("maxIter"), math.rint(m * 1e3) / 1e3)
+      }.toDF("reg_param", "weight_col", "max_iter", "avg_auc")
+      .orderBy(col("avg_auc").desc, col("reg_param"), col("weight_col"))
   }
 
   /** Full two-stage flow: CG union (popularity + curation) → distinct →

@@ -399,6 +399,9 @@ object Ml {
          |ORDER BY l.user_id, l.repo_id""".stripMargin
     }),
     QueryDef("q60_albedo_ranker_metrics", albedoRankerMetrics, None),
+    QueryDef("q44b_lr_margin_replay",
+      (s: SparkSession, _: String) => graft.ml.AlbedoRanker.marginReplay(s),
+      Some(graft.ml.AlbedoRanker.marginReplayOracle)),
     QueryDef("q61_content_recommend", contentRecommend, Some(
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_filter(

@@ -190,8 +190,11 @@ object Reco {
       .withColumn("rn", row_number().over(recentW))
       .filter(col("rn") <= 10)
       .select(col("user_id"), col("item_id"))
+    // the reference's full 2×2×2 grid SHAPE (rank × regParam × alpha,
+    // ALSRecommenderCV.scala:67-72) with its reg/alpha values verbatim;
+    // ranks scaled to the fixture as everywhere else
     AlsRecommender.crossValidate(ratings, actual,
-      ranks = Seq(8, 16), regParams = Seq(0.1), alphas = Seq(10.0),
+      ranks = Seq(8, 16), regParams = Seq(0.1, 0.5), alphas = Seq(0.1, 40.0),
       maxIter = 3, k = 10, memoKey = Some(dir))
       // driver-visible collapse detector (the q90 band pattern, r6):
       // fold-averaged ranking NDCG of a working fit sits ~0.2 on the
