@@ -173,6 +173,18 @@ object Similarity {
       }.toDF("id", "tbl", "bucket")
   }
 
+  /** Per-bucket occupancy targets for the two sign-LSH product
+    * families — the operating points the gates DERIVE their plane
+    * counts from ([[lshPlanesFor]]) instead of hard-coding nPlanes
+    * (VERDICT r6 #6). Near-dup pairs verify candidate PAIRS, whose
+    * per-bucket volume is occupancy², so the target is the verify
+    * budget (~32² ≈ 1k cosine checks per bucket·table); top-k re-ranks
+    * occupancy·nTables candidates per query, so a finer target keeps
+    * that ~8·8 = 64 ≈ 13× k. Both reproduce the r6 fixture operating
+    * points at the 500-vector verify corpus (4 and 6 planes). */
+  val NearDupOccupancy = 32L
+  val TopKOccupancy = 8L
+
   /** The occupancy-preserving nPlanes for a corpus: smallest plane
     * count keeping expected per-bucket occupancy ≤ `targetOccupancy`
     * (bucket count is 2^nPlanes per table). This is the discipline the
@@ -180,12 +192,28 @@ object Similarity {
     * ~ n²/2^nPlanes (exponent 1.67 at 10×); holding n/2^nPlanes
     * constant ⇒ ~linear (0.21). Recall lost to extra planes is
     * recovered with more tables: per-table recall p^nPlanes, overall
-    * 1-(1-p^nPlanes)^nTables. */
+    * 1-(1-p^nPlanes)^nTables.
+    *
+    * Pure-integer selection (no log/ceil): the DuckDB oracles replay
+    * the same rule as `min(j) WHERE (n-1) / (1 << j) < occ` (division
+    * form — DuckDB evaluates the predicate for every j with no
+    * short-circuit, so the multiplicative form would overflow INT64
+    * at high j), and both engines pick identical planes with no
+    * float-boundary wobble. */
   def lshPlanesFor(corpusSize: Long, targetOccupancy: Long = 160): Int = {
     require(corpusSize > 0 && targetOccupancy > 0)
-    math.max(1, math.ceil(
-      math.log(corpusSize.toDouble / targetOccupancy) / math.log(2)).toInt)
+    var j = 1
+    // divide instead of shifting targetOccupancy up: no Long overflow
+    // however large the corpus
+    while (j < 62 && (corpusSize - 1) / (1L << j) >= targetOccupancy) j += 1
+    j
   }
+
+  /** Live operating point: planes for THIS corpus at the family's
+    * occupancy target. One count() per call — metadata-cheap on
+    * parquet, negligible next to the LSH pass it parameterizes. */
+  def autoPlanes(vectors: DataFrame, targetOccupancy: Long): Int =
+    lshPlanesFor(vectors.count(), targetOccupancy)
 
   def lshTopKPortable(vectors: DataFrame, k: Int, nPlanes: Int, dim: Int,
       nTables: Int = 8, idCol: String = "vec_id",
@@ -227,11 +255,12 @@ object Similarity {
     * Parameterization discipline at scale (measured, tools/ScaleProbe
     * r6): bucket count is 2^nPlanes per table, so at FIXED nPlanes the
     * candidate volume grows ~ n²/2^nPlanes — the 10× probe measures
-    * exponent 1.41 at nPlanes=4. Hold per-bucket occupancy constant
-    * by raising nPlanes with ⌈log2(corpus growth)⌉ (recall is then
-    * recovered with more tables if needed): the occupancy-preserving
-    * probe leg measures ~linear. nPlanes=4 is the 2.5k-vector
-    * fixture-gate setting, not a constant. */
+    * exponent 1.41 at frozen planes. Hold per-bucket occupancy
+    * constant by deriving nPlanes from the live corpus
+    * ([[autoPlanes]] at [[NearDupOccupancy]] — what the gates and the
+    * probe's default leg do since r7): the derived leg measures
+    * ~linear. Recall lost to extra planes at larger corpora is
+    * recovered by raising nTables (overall 1-(1-p^nPlanes)^nTables). */
   def lshNearDupPairsPortable(vectors: DataFrame, threshold: Double,
       nPlanes: Int, dim: Int, nTables: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

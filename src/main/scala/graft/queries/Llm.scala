@@ -350,17 +350,23 @@ object Llm {
     * which is STRICTLY stronger than a recall band: every emitted pair
     * and its cosine must match bit-for-bit. Recall vs the all-pairs
     * truth is measured by the companion gate q97c. */
-  def embeddingNearDupsLsh(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshNearDupPairsPortable(Tables.embeddings(spark, dir),
-        threshold = 0.4, nPlanes = 4, dim = 64, nTables = 8)
+  def embeddingNearDupsLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshNearDupPairsPortable(emb, threshold = 0.4,
+        nPlanes = Similarity.autoPlanes(emb, Similarity.NearDupOccupancy),
+        dim = 64, nTables = 8)
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** Shared CTE chain recomputing the portable sign-LSH near-dup
     * PAIR pipeline (quantize → buckets → candidate pairs → round-6
     * cosine) — q97b selects from `cs` directly; the q105 semantic-dedup
     * oracle builds the cluster graph on top of it. */
   private def lshPairCtes: String =
-    """e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+      |np AS (SELECT min(j) AS np FROM (SELECT unnest(range(1, 62)) AS j)
+      |       WHERE ((SELECT count(*) FROM e) - 1) / (1::BIGINT << j)
+      |               < ${Similarity.NearDupOccupancy}),
       |q AS (SELECT vec_id, unnest(embedding) AS x,
       |        unnest(range(len(embedding))) AS d FROM e),
       |qd AS (SELECT vec_id, d, floor(x::DOUBLE * 1000)::BIGINT AS xq FROM q),
@@ -368,7 +374,7 @@ object Llm {
       |    CASE WHEN substr(md5(t || '_' || j || '_' || d), 1, 1)
       |           IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS s
       |  FROM (SELECT unnest(range(8)) AS t),
-      |       (SELECT unnest(range(4)) AS j),
+      |       (SELECT unnest(range((SELECT np FROM np))) AS j),
       |       (SELECT unnest(range(64)) AS d)),
       |dots AS (SELECT vec_id, t, j, sum(xq * s) AS dot
       |         FROM qd JOIN grid USING (d) GROUP BY 1, 2, 3),
@@ -397,10 +403,13 @@ object Llm {
     * Fully oracled: the DuckDB replay composes the shared LSH-pair
     * CTEs with the recursive min-label reachability the q79 oracle
     * uses. */
-  def semanticDedupGate(spark: SparkSession, dir: String): DataFrame =
-    Similarity.semanticDedup(Tables.embeddings(spark, dir),
-        threshold = 0.4, nPlanes = 4, dim = 64, nTables = 8)
+  def semanticDedupGate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.semanticDedup(emb, threshold = 0.4,
+        nPlanes = Similarity.autoPlanes(emb, Similarity.NearDupOccupancy),
+        dim = 64, nTables = 8)
       .orderBy(col("vec_id"))
+  }
 
   private def semanticDedupOracle: String =
     s"""WITH RECURSIVE $lshPairCtes,
@@ -428,8 +437,10 @@ object Llm {
     * ≈ 1-(1-p⁴)⁸ = 0.75 at cos 0.4); floor pinned at 0.5. */
   def embeddingNearDupRecall(spark: SparkSession, dir: String): DataFrame = {
     val truth = embeddingNearDups(spark, dir).select(col("id_a"), col("id_b"))
-    val lsh = Similarity.lshNearDupPairsPortable(Tables.embeddings(spark, dir),
-        threshold = 0.4, nPlanes = 4, dim = 64, nTables = 8)
+    val emb = Tables.embeddings(spark, dir)
+    val lsh = Similarity.lshNearDupPairsPortable(emb, threshold = 0.4,
+        nPlanes = Similarity.autoPlanes(emb, Similarity.NearDupOccupancy),
+        dim = 64, nTables = 8)
       .select(col("id_a"), col("id_b")).withColumn("hit", lit(1L))
     truth.join(lsh, Seq("id_a", "id_b"), "left")
       .agg(
@@ -444,7 +455,10 @@ object Llm {
   }
 
   private def embeddingNearDupRecallOracle: String =
-    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |np AS (SELECT min(j) AS np FROM (SELECT unnest(range(1, 62)) AS j)
+      |       WHERE ((SELECT count(*) FROM e) - 1) / (1::BIGINT << j)
+      |               < ${Similarity.NearDupOccupancy}),
       |q AS (SELECT vec_id, unnest(embedding) AS x,
       |        unnest(range(len(embedding))) AS d FROM e),
       |qd AS (SELECT vec_id, d, floor(x::DOUBLE * 1000)::BIGINT AS xq FROM q),
@@ -452,7 +466,7 @@ object Llm {
       |    CASE WHEN substr(md5(t || '_' || j || '_' || d), 1, 1)
       |           IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS s
       |  FROM (SELECT unnest(range(8)) AS t),
-      |       (SELECT unnest(range(4)) AS j),
+      |       (SELECT unnest(range((SELECT np FROM np))) AS j),
       |       (SELECT unnest(range(64)) AS d)),
       |dots AS (SELECT vec_id, t, j, sum(xq * s) AS dot
       |         FROM qd JOIN grid USING (d) GROUP BY 1, 2, 3),
@@ -880,23 +894,35 @@ object Llm {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  /** LSH-bucketed approximate ANN (scale path; rows-only). */
-  def annLsh(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshTopK(Tables.embeddings(spark, dir), k = 5,
-        nPlanes = 6, dim = 64, nTables = 8)
+  /** LSH-bucketed approximate ANN (scale path; rows-only). Planes are
+    * DERIVED from the live corpus at the top-k occupancy target —
+    * the occupancy discipline is the default, not a knob. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(emb, k = 5,
+        nPlanes = Similarity.autoPlanes(emb, Similarity.TopKOccupancy),
+        dim = 64, nTables = 8)
       .orderBy(col("query_id"), col("rn"))
+  }
 
   /** Portable quantized sign-LSH ANN — the oracled twin of q38: DuckDB
-    * recomputes the integer bucket math and the cosine re-rank. */
-  def annLshPortable(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshTopKPortable(Tables.embeddings(spark, dir), k = 5,
-        nPlanes = 6, dim = 64, nTables = 8)
+    * recomputes the integer bucket math, the cosine re-rank, AND the
+    * occupancy-derived plane count (same integer rule both sides). */
+  def annLshPortable(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshTopKPortable(emb, k = 5,
+        nPlanes = Similarity.autoPlanes(emb, Similarity.TopKOccupancy),
+        dim = 64, nTables = 8)
       .select(col("query_id"), col("neighbor_id"), col("cos"),
         col("rn").cast("long").as("rn"))
       .orderBy(col("query_id"), col("rn"))
+  }
 
   private def annLshPortableOracle: String =
-    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |np AS (SELECT min(j) AS np FROM (SELECT unnest(range(1, 62)) AS j)
+      |       WHERE ((SELECT count(*) FROM e) - 1) / (1::BIGINT << j)
+      |               < ${Similarity.TopKOccupancy}),
       |q AS (SELECT vec_id, unnest(embedding) AS x,
       |        unnest(range(len(embedding))) AS d FROM e),
       |qd AS (SELECT vec_id, d, floor(x::DOUBLE * 1000)::BIGINT AS xq FROM q),
@@ -904,7 +930,7 @@ object Llm {
       |    CASE WHEN substr(md5(t || '_' || j || '_' || d), 1, 1)
       |           IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS s
       |  FROM (SELECT unnest(range(8)) AS t),
-      |       (SELECT unnest(range(6)) AS j),
+      |       (SELECT unnest(range((SELECT np FROM np))) AS j),
       |       (SELECT unnest(range(64)) AS d)),
       |dots AS (SELECT vec_id, t, j, sum(xq * s) AS dot
       |         FROM qd JOIN grid USING (d) GROUP BY 1, 2, 3),
@@ -1036,7 +1062,8 @@ object Llm {
     annRecallRows(spark, dir, Seq(
       ("ivf", Similarity.ivfTopKPortable(emb, k = 5, nProbe = 2),
         ivfRecallBand),
-      ("lsh", Similarity.lshTopKPortable(emb, k = 5, nPlanes = 6,
+      ("lsh", Similarity.lshTopKPortable(emb, k = 5,
+        nPlanes = Similarity.autoPlanes(emb, Similarity.TopKOccupancy),
         dim = 64, nTables = 8), lshRecallBand)))
   }
 
@@ -1051,17 +1078,21 @@ object Llm {
     annRecallRows(spark, dir, Seq(
       ("ivf_kmeans", Similarity.ivfTopK(emb, k = 5, nCells = 8,
         nProbe = 2, memoKey = Some(dir)), ivfRecallBand),
-      ("lsh_gaussian", Similarity.lshTopK(emb, k = 5, nPlanes = 6,
+      ("lsh_gaussian", Similarity.lshTopK(emb, k = 5,
+        nPlanes = Similarity.autoPlanes(emb, Similarity.TopKOccupancy),
         dim = 64, nTables = 8), lshRecallBand)))
   }
 
   private def annRecallOracle: String =
     s"""WITH $ivfPortableCtes,
+       |lnp AS (SELECT min(j) AS np FROM (SELECT unnest(range(1, 62)) AS j)
+       |        WHERE ((SELECT count(*) FROM e) - 1) / (1::BIGINT << j)
+       |                < ${Similarity.TopKOccupancy}),
        |lgrid AS (SELECT t, j, d,
        |    CASE WHEN substr(md5(t || '_' || j || '_' || d), 1, 1)
        |           IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS s
        |  FROM (SELECT unnest(range(8)) AS t),
-       |       (SELECT unnest(range(6)) AS j),
+       |       (SELECT unnest(range((SELECT np FROM lnp))) AS j),
        |       (SELECT unnest(range(64)) AS d)),
        |ldots AS (SELECT vec_id, t, j, sum(xq * s) AS dot
        |         FROM qd JOIN lgrid USING (d) GROUP BY 1, 2, 3),

@@ -65,8 +65,12 @@ object ScaleProbe {
         Dedup.minhashCandidatesPortable(docs, "doc_id", "text",
           shingleK = 2, numHashes = 32, bands = 8, threshold = 0.3),
         "id_a", "id_b")),
+      // the GATE's own derivation (autoPlanes at the near-dup occupancy
+      // target) — no manual nPlanes; this leg IS the default path now
       "q97b_lsh_near_dup_pairs" -> (() => Similarity.lshNearDupPairsPortable(
-        emb, threshold = 0.4, nPlanes = 4, dim = 64, nTables = 8)),
+        emb, threshold = 0.4,
+        nPlanes = Similarity.autoPlanes(emb, Similarity.NearDupOccupancy),
+        dim = 64, nTables = 8)),
       "q98_substring_dup_scan" -> (() => Dedup.substringDupScan(
         docs, "doc_id", "text")),
       "q99_decontaminate" -> (() => Dedup.decontaminate(
@@ -93,19 +97,20 @@ object ScaleProbe {
       System.err.println(f"[scale] $name t1=$t1%.2f t$factor=$tN%.2f exp=$exp%.2f")
       f""""$name":{"t1":$t1%.3f,"tN":$tN%.3f,"exponent":$exp%.3f}"""
     }
-    // q97b with OCCUPANCY-PRESERVING parameterization: sign-LSH bucket
-    // count is 2^nPlanes per table, so candidate volume at fixed planes
-    // grows ~ n²/2^nPlanes — super-linear BY CONSTRUCTION. The
-    // operating discipline at scale is nPlanes += ⌈log2(growth)⌉ to
-    // hold per-bucket occupancy constant; this measures that path.
-    val scaledPlanes = 4 + math.ceil(math.log(factor.toDouble) / math.log(2)).toInt
-    val tScaled = time(() => Similarity.lshNearDupPairsPortable(
-      embN, threshold = 0.4, nPlanes = scaledPlanes, dim = 64, nTables = 8))
-    val expScaled = math.log(tScaled / t1Lsh) / math.log(factor.toDouble)
+    // CONTRAST leg: q97b with the planes FROZEN at the 1×-corpus
+    // operating point — sign-LSH bucket count is 2^nPlanes per table,
+    // so candidate volume at fixed planes grows ~ n²/2^nPlanes,
+    // super-linear BY CONSTRUCTION. The default leg above derives
+    // planes via autoPlanes, so this measures what NOT scaling the
+    // planes would cost (r6: exponent 1.41 fixed vs 0.21 derived).
+    val frozenPlanes = Similarity.autoPlanes(emb1, Similarity.NearDupOccupancy)
+    val tFixed = time(() => Similarity.lshNearDupPairsPortable(
+      embN, threshold = 0.4, nPlanes = frozenPlanes, dim = 64, nTables = 8))
+    val expFixed = math.log(tFixed / t1Lsh) / math.log(factor.toDouble)
     System.err.println(
-      f"[scale] q97b_occupancy_scaled(planes=$scaledPlanes) t$factor=$tScaled%.2f exp=$expScaled%.2f")
+      f"[scale] q97b_fixed_planes(planes=$frozenPlanes) t$factor=$tFixed%.2f exp=$expFixed%.2f")
     val scaledRow =
-      f""""q97b_occupancy_scaled":{"t1":$t1Lsh%.3f,"tN":$tScaled%.3f,"exponent":$expScaled%.3f,"nPlanes":$scaledPlanes}"""
+      f""""q97b_fixed_planes":{"t1":$t1Lsh%.3f,"tN":$tFixed%.3f,"exponent":$expFixed%.3f,"nPlanes":$frozenPlanes}"""
     spark.stop()
     println((rows :+ scaledRow)
       .mkString(s"""{"factor":$factor,"sf":"$sfDir","gates":{""", ",", "}}"))

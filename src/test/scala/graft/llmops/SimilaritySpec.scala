@@ -127,4 +127,19 @@ class SimilaritySpec extends SparkSpec {
       assert(n.toDouble / (1L << p) <= 160.0, s"occupancy broken at $n")
     }
   }
+
+  test("lshPlanesFor: gate operating points derive the r6 fixture planes") {
+    // the wired-in defaults (VERDICT r6 #6): at the 500-vector verify
+    // corpus the derivation reproduces the planes the r6 gates
+    // hard-coded (4 near-dup, 6 top-k), and a 4× corpus adds 2 planes
+    assert(Similarity.lshPlanesFor(500, Similarity.NearDupOccupancy) == 4)
+    assert(Similarity.lshPlanesFor(2000, Similarity.NearDupOccupancy) == 6)
+    assert(Similarity.lshPlanesFor(500, Similarity.TopKOccupancy) == 6)
+    assert(Similarity.lshPlanesFor(2000, Similarity.TopKOccupancy) == 8)
+    // inclusive boundary matches the oracle SQL rule n <= occ*(1<<j)
+    assert(Similarity.lshPlanesFor(512, 32) == 4)
+    assert(Similarity.lshPlanesFor(513, 32) == 5)
+    // huge corpora don't overflow the shift math
+    assert(Similarity.lshPlanesFor(Long.MaxValue, 8) == 60)
+  }
 }
