@@ -3,10 +3,10 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** PageRank over a directed edge list — the graph operator the
-  * reference planned but never built (`/root/reference/README.md:158`
-  * TODO "personalized pagerank"); completes the graph family beside
-  * [[ConnectedComponents]].
+/** PageRank over a directed edge list — classic AND personalized (the
+  * `teleport` param), closing the reference's README TODO
+  * (`/root/reference/README.md:158` "personalized pagerank") in full;
+  * completes the graph family beside [[ConnectedComponents]].
   *
   * Integer-quantized power iteration: ranks live in fixed-point units
   * of `1/scale` (longs), every per-edge contribution is an integer
@@ -41,41 +41,77 @@ object PageRank {
     *        broadcast-crossed back in (no driver collect per
     *        iteration); mass is then conserved up to integer
     *        truncation. false (default, q104's oracled form) drops it.
+    * @param teleport PERSONALIZED PageRank (the reference README's
+    *        actual TODO wording): a 1-column (`node`) preference set.
+    *        The (1-d) teleport term lands only on these nodes —
+    *        base = (15·scale) DIV (100·|S|) for v ∈ S, 0 elsewhere —
+    *        and the walk starts there (r₀ = scale DIV |S| on S). With
+    *        `redistributeDangling`, sink mass also returns to S, per
+    *        the personalized teleport vector. Same all-integer
+    *        arithmetic, so the q104b oracle replays it exactly.
     * @return (node, rank_q) — fixed-point rank in 1/scale units */
   def run(edges: DataFrame, iters: Int = 10,
       scale: Long = 1000000000000L,
-      redistributeDangling: Boolean = false): DataFrame = {
+      redistributeDangling: Boolean = false,
+      teleport: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
-    val n = nodes.count() // bounded driver scalar: one long
-    val base = (15L * scale) / (100L * n)
-    var ranks = nodes.select(col("node"), lit(scale / n).as("r"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // (node, base, r0): uniform for classic PR, teleport-set-only for
+    // personalized. Cached — it anchors every iteration's left join.
+    val nodeBase = (teleport match {
+      case None =>
+        val n = nodes.count() // bounded driver scalar: one long
+        nodes.select(col("node"),
+          lit((15L * scale) / (100L * n)).as("base"),
+          lit(scale / n).as("r0"))
+      case Some(t) =>
+        val tele = t.select(col("node").cast("long").as("node")).distinct()
+        val m = tele.count() // bounded driver scalar: one long
+        nodes.join(broadcast(tele.withColumn("__t", lit(1))), Seq("node"), "left")
+          .select(col("node"),
+            when(col("__t").isNotNull, lit((15L * scale) / (100L * m)))
+              .otherwise(lit(0L)).as("base"),
+            when(col("__t").isNotNull, lit(scale / m))
+              .otherwise(lit(0L)).as("r0"))
+    }).cache()
+    // dangling-share denominator: all nodes for classic PR, the
+    // teleport set for personalized (sink mass returns to S)
+    val share: Long =
+      if (!redistributeDangling) 0L
+      else if (teleport.isEmpty) nodeBase.count()
+      else nodeBase.filter(col("base") > 0).count()
+    var ranks = nodeBase.select(col("node"), col("r0").as("r"))
     for (i <- 1 to iters) {
       val contribs = e.join(ranks, e("src") === ranks("node"))
         .join(out, Seq("src"))
         .select(col("dst").as("node"), expr("r DIV outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      val joined = nodes.join(contribs, Seq("node"), "left")
+      val joined = nodeBase.join(contribs, Seq("node"), "left")
       ranks =
         if (!redistributeDangling)
           joined.select(col("node"),
-            (lit(base) + expr("(85 * coalesce(s, 0L)) DIV 100")).as("r"))
+            (col("base") + expr("(85 * coalesce(s, 0L)) DIV 100")).as("r"))
         else {
-          // per-node dangling share, integer-exact: (Σ sink ranks) DIV n
+          // per-node dangling share, integer-exact: (Σ sink ranks)
+          // DIV |share set| — landing uniformly for classic PR, on
+          // the teleport set only (base > 0) for personalized
           val dangling = ranks
             .join(out.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
             .agg(coalesce(sum(col("r")), lit(0L)).as("dsum"))
+          val dexp =
+            if (teleport.isEmpty)
+              s"(85 * (coalesce(s, 0L) + dsum DIV $share)) DIV 100"
+            else
+              s"(85 * (coalesce(s, 0L) + IF(base > 0, dsum DIV $share, 0L))) DIV 100"
           joined.crossJoin(broadcast(dangling))
-            .select(col("node"),
-              (lit(base) +
-                expr(s"(85 * (coalesce(s, 0L) + dsum DIV $n)) DIV 100")).as("r"))
+            .select(col("node"), (col("base") + expr(dexp)).as("r"))
         }
       if (i % 4 == 0) ranks = ranks.localCheckpoint(true)
     }
-    nodes.unpersist()
+    nodeBase.unpersist()
     ranks.select(col("node"), col("r").as("rank_q"))
   }
 }

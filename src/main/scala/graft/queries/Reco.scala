@@ -291,6 +291,55 @@ object Reco {
        |SELECT node, r AS rank_q FROM pr10 ORDER BY node""".stripMargin
   }
 
+  /** q104b: PERSONALIZED PageRank — the reference README TODO's exact
+    * wording (`/root/reference/README.md:158`) — over the same
+    * interaction digraph: teleport restricted to seed users < 10, so
+    * ranks measure proximity to that user group (the
+    * items-for-these-users use case). Same all-integer fixed-point
+    * iteration as q104; the oracle unrolls the identical 10 rounds
+    * with the per-node teleport base (15%·scale DIV 100·|S| on S,
+    * zero elsewhere) and teleport-seeded r₀. */
+  def pagerankPersonalized(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Interactions.fromEvents(spark, dir)
+      .filter(col("user_id") < 100)
+      .select(col("user_id").cast("long").as("src"),
+        (col("item_id").cast("long") + 100000L).as("dst"))
+      .distinct()
+    val seeds = edges.select(col("src").as("node"))
+      .filter(col("node") < 10).distinct()
+    graft.ops.PageRank.run(edges, iters = 10, teleport = Some(seeds))
+      .orderBy(col("node"))
+  }
+
+  private def pagerankPersonalizedOracle: String = {
+    val scale = 1000000000000L
+    val iters = (1 to 10).map { i =>
+      s"""pp$i AS (SELECT nb.node,
+         |  CAST(nb.b + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM nb
+         |  LEFT JOIN (SELECT e.dst AS node, sum(p.r // o.outdeg) AS s
+         |             FROM e JOIN pp${i - 1} p ON p.node = e.src
+         |             JOIN outd o ON o.src = e.src GROUP BY 1) s
+         |    ON s.node = nb.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS src,
+       |        100000 + CAST(props->>'k' AS BIGINT) AS dst
+       |      FROM events WHERE user_id < 100),
+       |outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |tele AS (SELECT DISTINCT src AS node FROM e WHERE src < 10),
+       |st AS (SELECT count(*) AS m FROM tele),
+       |nb AS (SELECT nd.node,
+       |    CASE WHEN t.node IS NOT NULL
+       |         THEN (15 * $scale) // (100 * st.m) ELSE 0 END AS b,
+       |    CASE WHEN t.node IS NOT NULL THEN $scale // st.m ELSE 0 END AS r0
+       |  FROM nodes nd CROSS JOIN st
+       |  LEFT JOIN tele t ON t.node = nd.node),
+       |pp0 AS (SELECT node, r0 AS r FROM nb),
+       |$iters
+       |SELECT node, r AS rank_q FROM pp10 ORDER BY node""".stripMargin
+  }
+
   /** Analytic windows: trailing 1-hour event count (RANGE frame) and
     * µs since the user's previous event (lag) — completes the window
     * family beyond the reference's rank-only usage (SURVEY §2.5). */
@@ -333,6 +382,8 @@ object Reco {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q104_pagerank", pagerankItems, Some(pagerankOracle)),
+    QueryDef("q104b_pagerank_personalized", pagerankPersonalized,
+      Some(pagerankPersonalizedOracle)),
     QueryDef("q95_topk_aggregator", topkAggregator, Some(topkOracle)),
     QueryDef("q51_itemcf_recommend", itemCfRecommend, Some(
       s"""WITH ui AS (SELECT DISTINCT user_id, item_id FROM ($uiSql)),

@@ -51,4 +51,39 @@ class PageRankSpec extends SparkSpec {
     assert(a == b)
     assert(a.map(_._2).forall(_ > 0))
   }
+
+  test("personalized: teleport set concentrates rank near the seeds") {
+    // two disjoint cycles; seeds live in the first one
+    val edges = Seq((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = PageRank.run(edges, teleport = Some(seeds))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // the seed component holds ALL the mass; the unreachable cycle
+    // gets exactly zero (no teleport base, no inflow from seeds)
+    assert(r(1L) > 0 && r(2L) > 0)
+    assert(r(10L) == 0 && r(11L) == 0,
+      s"unreachable component must have zero personalized rank: $r")
+    // seed keeps the teleport bonus over its non-seed neighbor
+    assert(r(1L) > r(2L))
+    // total mass ~scale (closed seed component, no dangling)
+    assert(math.abs(r.values.sum - scale) < 1000)
+  }
+
+  test("personalized + dangling redistribution returns sink mass to seeds") {
+    // seed 1 feeds sink 2; without redistribution the sink's mass
+    // evaporates, with it the mass returns to the seed
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val lossy = PageRank.run(edges, teleport = Some(seeds))
+      .collect().map(_.getLong(1)).sum
+    val conserved = PageRank.run(edges, teleport = Some(seeds),
+        redistributeDangling = true)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(math.abs(conserved.values.sum - scale) < 1000,
+      s"mass not conserved: ${conserved.values.sum}")
+    assert(lossy < conserved.values.sum)
+    // sink mass teleports back to node 1 only, so the seed dominates
+    assert(conserved(1L) > conserved(2L))
+  }
 }
