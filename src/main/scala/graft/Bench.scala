@@ -118,10 +118,19 @@ object Bench {
     // truncated q01-q18 — VERDICT r4 "Next round" #6). Artifact path is
     // explicit (ADVICE r5: user.dir after spark.stop() silently lands
     // wherever the JVM was launched): SPARK_GRAFT_BENCH_OUT wins, else
-    // the repo root if it exists, else cwd — and the absolute path is
-    // logged either way.
+    // the repo root DERIVED from this class's load location (walk up
+    // from target/.../classes to the dir holding build.sbt — no
+    // machine-specific literal, ADVICE r6), else cwd; the absolute
+    // path is logged either way.
+    val repoRoot = scala.util.Try {
+      val cs = getClass.getProtectionDomain.getCodeSource
+      val p = java.nio.file.Paths.get(cs.getLocation.toURI)
+      Iterator.iterate(p)(_.getParent).takeWhile(_ != null).take(8)
+        .find(d => java.nio.file.Files.exists(d.resolve("build.sbt")))
+        .map(_.toString)
+    }.toOption.flatten
     val outDir = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-      .orElse(Option("/root/repo").filter(d => new java.io.File(d).isDirectory))
+      .orElse(repoRoot)
       .getOrElse(sys.props.getOrElse("user.dir", "."))
     try {
       val p = java.nio.file.Paths.get(outDir).resolve("BENCH_full.json").toAbsolutePath

@@ -20,12 +20,16 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * hash, which the previous `System.identityHashCode` key allowed),
   * and automatic eviction of a dead session's entries at the next GC,
   * so drivers cycling many sessions don't accumulate model references.
-  * Eviction caveat: a memoized value that itself references its
-  * session (a Dataset, or a model holding one) pins that session's
-  * entry — the classic WeakHashMap value→key cycle. Such entries are
-  * only reclaimed via [[clear]]; the map still guarantees what the
-  * ADVICE item needed, that a DEAD session's hash can never alias a
-  * live one's models.
+  * Values are held through [[java.lang.ref.SoftReference]]s (ADVICE
+  * r6): a memoized value that references its session (a Dataset, or a
+  * model holding one) would otherwise pin that session's entry — the
+  * classic WeakHashMap value→key cycle. The soft indirection breaks
+  * it: under memory pressure the JVM clears soft values FIRST, which
+  * un-pins the weak session key, and the whole entry then evicts like
+  * any other. Cost of a cleared value is one deterministic refit;
+  * executor blocks of a GC'd cached Dataset are reclaimed by Spark's
+  * own ContextCleaner (it weakly tracks persistent RDDs). [[clear]]
+  * remains the eager path for tests and long drivers.
   *
   * Scale notes: entries are driver-held model references (factor
   * matrices etc. live in executor blocks managed by Spark ML itself);
@@ -36,12 +40,15 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 object ModelMemo {
   private val memo =
     new java.util.WeakHashMap[
-      SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+      SparkSession,
+      java.util.concurrent.ConcurrentHashMap[
+        String, java.lang.ref.SoftReference[AnyRef]]]()
 
   private def forSession(spark: SparkSession) = memo.synchronized {
     var m = memo.get(spark)
     if (m == null) {
-      m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+      m = new java.util.concurrent.ConcurrentHashMap[
+        String, java.lang.ref.SoftReference[AnyRef]]()
       memo.put(spark, m)
     }
     m
@@ -60,12 +67,15 @@ object ModelMemo {
     * happens once. */
   def cached[T <: AnyRef](spark: SparkSession, key: String)(fit: => T): T = {
     val m = forSession(spark)
-    val hit = m.get(key)
+    val ref = m.get(key)
+    val hit = if (ref == null) null else ref.get()
     if (hit != null) hit.asInstanceOf[T]
     else {
       val fitted = fit
-      val prev = m.putIfAbsent(key, fitted)
-      (if (prev != null) prev else fitted).asInstanceOf[T]
+      // plain put, not putIfAbsent: a racing publish (or a concurrently
+      // cleared soft ref) just means the last deterministic fit wins
+      m.put(key, new java.lang.ref.SoftReference[AnyRef](fitted))
+      fitted
     }
   }
 
@@ -77,9 +87,12 @@ object ModelMemo {
     * long-lived drivers cycling many datasets and for tests. */
   def clear(): Unit = memo.synchronized {
     memo.values.forEach { m =>
-      m.values.forEach {
-        case ds: Dataset[_] => try ds.unpersist(false) catch { case _: Throwable => () }
-        case _ => ()
+      m.values.forEach { ref =>
+        ref.get() match {
+          case ds: Dataset[_] =>
+            try ds.unpersist(false) catch { case _: Throwable => () }
+          case _ => ()
+        }
       }
       m.clear()
     }

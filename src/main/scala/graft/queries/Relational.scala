@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.ops.Materialize
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -410,7 +411,14 @@ object Relational {
       .withColumn("__hi_w", $"q3_hi" + ($"q3_hi" - $"q1_lo") * 1.5 + 0.001)
       .withColumn("__lo_n", $"q1_hi" - ($"q3_lo" - $"q1_hi") * 1.5 + 0.001)
       .withColumn("__hi_n", $"q3_lo" + ($"q3_lo" - $"q1_hi") * 1.5 - 0.001)
-    val counted = li.join(broadcast(f), Seq("l_returnflag"))
+    // f's subtree (one sketch + one exact-percentile multiset per
+    // group) is the expensive part and is referenced TWICE below
+    // (broadcast into the recount and in the final join) — collect its
+    // per-group rows into a local relation once so the aggregation
+    // runs once, not twice (ADVICE r6; deterministic, so correctness
+    // is unaffected)
+    val fL = Materialize.localThenUnpersist(f)
+    val counted = li.join(broadcast(fL), Seq("l_returnflag"))
       .groupBy($"l_returnflag")
       .agg(
         sum(when($"l_extendedprice" < $"__lo_s" || $"l_extendedprice" > $"__hi_s", 1L)
@@ -419,7 +427,7 @@ object Relational {
           .otherwise(0L)).as("n_out_min"),
         sum(when($"l_extendedprice" < $"__lo_n" || $"l_extendedprice" > $"__hi_n", 1L)
           .otherwise(0L)).as("n_out_max"))
-    f.join(counted, Seq("l_returnflag"))
+    fL.join(counted, Seq("l_returnflag"))
       .select($"l_returnflag", $"n_rows",
         $"q1_lo", $"q1_hi", $"q3_lo", $"q3_hi",
         $"n_out_min", $"n_out_max",
