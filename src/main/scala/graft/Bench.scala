@@ -51,28 +51,43 @@ object Bench {
     graft.sources.Tables.lineitem(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
 
-    def onePass(): Seq[(String, Double)] = SparkEntry.registry.map { q =>
+    // Each pass yields (name, seconds, error). A failed gate's elapsed
+    // time is a fail-fast artifact, NOT a measurement — r7's driver run
+    // recorded 0.06 s "wins" for gates that threw (VERDICT r7 "What's
+    // wrong" #2, third recurrence of the r5 q62 lesson). Errors are
+    // carried into the JSON so a failure can never read as a speedup.
+    def onePass(): Seq[(String, Double, Option[String])] = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-      }
+      val err: Option[String] =
+        try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries cache intermediates; dropping them between queries keeps
       // each measurement self-contained (no cross-query GC pressure from
       // dozens of leaked cache entries in one JVM)
       spark.catalog.clearCache()
-      q.name -> dt
+      (q.name, dt, err)
     }
 
     val allPasses = (1 to passes).map { i =>
       val r = onePass()
-      System.err.println(f"[bench] pass $i/$passes total ${r.map(_._2).sum}%.1f s")
+      System.err.println(f"[bench] pass $i/$passes total ${r.map(_._2).sum}%.1f s, errors ${r.count(_._3.isDefined)}")
       r
     }
-    // per-query minimum across passes (keyed merge — registry order kept)
-    val results: Seq[(String, Double)] = allPasses.head.map { case (name, _) =>
-      name -> allPasses.map(_.toMap.getOrElse(name, Double.MaxValue)).min
+    // per-query minimum across SUCCESSFUL passes (keyed merge — registry
+    // order kept). A gate that failed every pass reports -1.0 s and an
+    // entry in `errors`, so its fail-fast time can never enter a total.
+    val errors: Seq[(String, String)] = allPasses.head.flatMap { case (name, _, _) =>
+      val perPass = allPasses.map(_.find(_._1 == name).get)
+      if (perPass.forall(_._3.isDefined)) Some(name -> perPass.head._3.get) else None
+    }
+    val errored = errors.map(_._1).toSet
+    val results: Seq[(String, Double)] = allPasses.head.map { case (name, _, _) =>
+      val ok = allPasses.flatMap(_.collect { case (`name`, t, None) => t })
+      name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
@@ -82,12 +97,21 @@ object Bench {
     // systematic cost (every pass slow) — r5's q44 doubling was
     // undiagnosable from the min. Ordered per pass like `queries`.
     val passesJson = allPasses.map { pass =>
-      pass.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+      pass.map { case (k, v, err) =>
+        "\"" + k + f"""":${if (err.isDefined) -1.0 else v}%.3f"""
+      }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val errsJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (k, v) if !errored(k) => v }.sum
     // the round-1 gate set (BENCH_r01) — its subtotal is the
     // apples-to-apples number against the 86.9 s baseline; `total`
-    // additionally includes every gate added since
+    // additionally includes every gate added since. q42_porter_stems
+    // was retired from the registry in r8 (subsumed by q42b golden);
+    // it stays in this literal for the record but contributes 0 —
+    // its quiet-r7 cost was ~0.5 s, so the subtotal comparison drifts
+    // by under 1.2% (noted in NOTES_r8.md).
     val r1Set = Set(
       "q01_agg_pricing_summary", "q02_filter_project", "q03_join_top_revenue",
       "q04_semi_join_priority", "q05_anti_join_customers", "q06_cross_join_regions",
@@ -107,11 +131,11 @@ object Bench {
       "q48_asof_join", "q49_user_profiles", "q50_repo_profiles",
       "q51_itemcf_recommend", "q52_rolling_windows", "q53_ngram_jaccard",
       "q54_percentiles", "q55_approx_distinct", "q56_pii_redaction")
-    val r1Total = results.collect { case (k, v) if r1Set(k) => v }.sum
+    val r1Total = results.collect { case (k, v) if r1Set(k) && !errored(k) => v }.sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"queries":$qs,"pass_times":$passesJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"errors":$errsJson,"queries":$qs,"pass_times":$passesJson,"sf":"$sfDir"}"""
     val shortLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"n_errors":${errors.size},"sf":"$sfDir"}"""
     spark.stop()
     // the complete per-query record must survive ANY stdout window:
     // persist it as a repo artifact too (BENCH_r04's captured window

@@ -234,6 +234,116 @@ object AlbedoRanker {
     * beside the albedo fixture parquet the oracles already read. */
   val marginDir: String = AlbedoFixtures.persistDir + "/lr_margin"
 
+  /** On-disk home of the q60b ranker-metric dump (scored test frame +
+    * integer discount table). */
+  val metricsDir: String = AlbedoFixtures.persistDir + "/ranker_metrics"
+
+  /** Ranker metric replay (gate q60b; VERDICT r7 "Next round" #5) —
+    * the q44b trick applied to the RANKING METRICS of the full 26-stage
+    * pipeline: a fitted model's scores are data, and every ranking
+    * metric is integer arithmetic over the ranked order. Score the
+    * seeded test split with the memoized pipeline model, dump
+    * (user_id, repo_id, label, margin) AND an integer-quantized DCG
+    * discount table (rank → floor(1e9/log2(rank+1)), with prefix sums
+    * for IDCG) to parquet, then recompute per-user NDCG@30 numerator/
+    * denominator and the Mann-Whitney U statistic from those files in
+    * each engine. Both engines read the same double margins (IEEE sort
+    * order is engine-independent; repo_id breaks ties) and the same
+    * discount integers, so no transcendental function is evaluated in
+    * the replay — log2 appears only Spark-side when MATERIALIZING the
+    * table. All outputs are exact Longs → hash-exact oracle.
+    *
+    * Reference for the metric semantics:
+    * evaluators/RankingEvaluator.scala:14-108 (NDCG@k) and the
+    * BinaryClassificationEvaluator AUC of LogisticRegressionRanker
+    * .scala:330-337 (U/(n_pos·n_neg) is exactly areaUnderROC). */
+  def metricReplay(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.functions.vector_to_array
+    val base = booleanCols.foldLeft(labeledFeatureFrame(spark)) {
+      (df, c) => df.withColumn(c, col(c).cast("double"))
+    }
+    // same deterministic layout + seeded split as trainAndEvaluate, so
+    // the memoized "albedo-ranker-lr" fit is shared between q60/q60b
+    val data = weigher.transform(base)
+      .repartition(4, col("user_id"))
+      .sortWithinPartitions("user_id", "repo_id")
+      .cache()
+    val lr = new LogisticRegression()
+      .setMaxIter(15).setRegParam(0.1).setElasticNetParam(0.0)
+      .setStandardization(true)
+      .setFeaturesCol("features").setLabelCol("label")
+      .setWeightCol("instance_weight")
+    val pipeline = new Pipeline().setStages(featureStages() :+ lr)
+    val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
+    val model = ModelMemo.cached(spark, "albedo-ranker-lr")(pipeline.fit(train))
+    model.transform(test)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("repo_id").cast("long").as("repo_id"), col("label"),
+        vector_to_array(col("rawPrediction")).getItem(1).as("margin"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$metricsDir/scored.parquet")
+    data.unpersist()
+    // rank → (floor(1e9/log2(rank+1)), prefix sum) — IDCG@k of a user
+    // with p positives is cum_q at rank min(k, p)
+    val discRows = (1 to 30).scanLeft((0L, 0L, 0L)) { case ((_, _, cum), r) =>
+      val d = math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0))).toLong
+      (r.toLong, d, cum + d)
+    }.tail
+    discRows.toDF("rn", "disc_q", "cum_q")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$metricsDir/disc.parquet")
+
+    // replay strictly from the dumped bytes (what DuckDB reads)
+    val sc = spark.read.parquet(s"$metricsDir/scored.parquet")
+    val dc = spark.read.parquet(s"$metricsDir/disc.parquet")
+    import org.apache.spark.sql.expressions.Window
+    val wDesc = Window.partitionBy("user_id")
+      .orderBy(col("margin").desc, col("repo_id"))
+    val wAsc = Window.partitionBy("user_id")
+      .orderBy(col("margin").asc, col("repo_id"))
+    val ranked = sc
+      .withColumn("rn", row_number().over(wDesc).cast("long"))
+      .withColumn("rn_asc", row_number().over(wAsc).cast("long"))
+      .join(broadcast(dc.select("rn", "disc_q")), Seq("rn"), "left")
+    val perUser = ranked.groupBy("user_id").agg(
+      sum(when(col("label") > 0.5, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("label") <= 0.5, 1L).otherwise(0L)).as("n_neg"),
+      sum(when(col("label") > 0.5 && col("rn") <= 30, col("disc_q"))
+        .otherwise(0L)).as("dcg_q"),
+      sum(when(col("label") > 0.5, col("rn_asc")).otherwise(0L))
+        .as("pos_rank_sum"))
+    perUser
+      .join(broadcast(dc.select(col("rn").as("idcg_rn"), col("cum_q"))),
+        col("idcg_rn") === least(lit(30L), col("n_pos")), "left")
+      .select(col("user_id"), col("n_pos"), col("n_neg"), col("dcg_q"),
+        coalesce(col("cum_q"), lit(0L)).as("idcg_q"),
+        expr("pos_rank_sum - n_pos * (n_pos + 1) DIV 2").as("u_stat"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB replay of [[metricReplay]] from the same two parquet dumps. */
+  def metricReplayOracle: String =
+    s"""WITH sc AS (SELECT * FROM read_parquet('$metricsDir/scored.parquet/*.parquet')),
+       |dc AS (SELECT * FROM read_parquet('$metricsDir/disc.parquet/*.parquet')),
+       |ranked AS (
+       |  SELECT user_id, repo_id, label,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY margin DESC, repo_id) AS rn,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY margin ASC, repo_id) AS rn_asc
+       |  FROM sc),
+       |pu AS (
+       |  SELECT user_id,
+       |    sum(CASE WHEN label > 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       |    sum(CASE WHEN label <= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+       |    sum(CASE WHEN label > 0.5 AND rn <= 30 THEN dc.disc_q ELSE 0 END)::BIGINT AS dcg_q,
+       |    sum(CASE WHEN label > 0.5 THEN rn_asc ELSE 0 END)::BIGINT AS pos_rank_sum
+       |  FROM ranked LEFT JOIN dc USING (rn) GROUP BY 1)
+       |SELECT pu.user_id, pu.n_pos, pu.n_neg, pu.dcg_q,
+       |  coalesce(d2.cum_q, 0)::BIGINT AS idcg_q,
+       |  (pu.pos_rank_sum - pu.n_pos * (pu.n_pos + 1) // 2)::BIGINT AS u_stat
+       |FROM pu LEFT JOIN dc d2 ON d2.rn = least(30, pu.n_pos)
+       |ORDER BY user_id""".stripMargin
+
   /** The q44b feature list: every numeric/boolean column of the
     * q59-oracled deterministic frame. Each is an integer count, a 0/1
     * boolean, or a value the frame already rounds to 3 decimals — so

@@ -44,8 +44,11 @@ object Ml {
   /** Tokenize + stem the corpus with Porter2 (the algorithm behind the
     * reference's Snowball EnglishStemmer — SnowballStemmer.scala:7,18;
     * r1/r2's classic-Porter delta is closed); emits sorted distinct
-    * stems per doc (rows-only: not expressible in DuckDB — its stem()
-    * needs the undownloadable fts extension). */
+    * stems per doc. Its former rows-only gate (q42) was retired in r8
+    * (VERDICT r7 list #6, the q57 precedent): the q42b golden-vector
+    * oracle pins the stemmer hash-exactly, so the unverifiable
+    * corpus-scale twin added no driver-visible signal. Library API +
+    * spec coverage remain. */
   def stemmedTokens(spark: SparkSession, dir: String): DataFrame = {
     val stemUdf = udf((ts: Seq[String]) => ts.map(Porter2Stemmer.stem))
     Tables.documents(spark, dir)
@@ -279,7 +282,6 @@ object Ml {
          |      FROM sims)
          |SELECT id_a, id_b, score, rn FROM r WHERE rn <= 5
          |ORDER BY id_a, rn""".stripMargin)),
-    QueryDef("q42_porter_stems", stemmedTokens, None),
     QueryDef("q42b_porter_golden", porterGoldenStems,
       Some(graft.text.PorterGolden.oracleValuesSql)),
     QueryDef("q59_albedo_ranker_features", albedoRankerFeatures, Some {
@@ -399,6 +401,9 @@ object Ml {
          |ORDER BY l.user_id, l.repo_id""".stripMargin
     }),
     QueryDef("q60_albedo_ranker_metrics", albedoRankerMetrics, None),
+    QueryDef("q60b_ranker_metric_replay",
+      (s: SparkSession, _: String) => graft.ml.AlbedoRanker.metricReplay(s),
+      Some(graft.ml.AlbedoRanker.metricReplayOracle)),
     QueryDef("q44b_lr_margin_replay",
       (s: SparkSession, _: String) => graft.ml.AlbedoRanker.marginReplay(s),
       Some(graft.ml.AlbedoRanker.marginReplayOracle)),

@@ -24,19 +24,35 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table: $name")
     if (name == "events") {
-      // events.parquet carries TIMESTAMP(NANOS) which the vectorized
-      // reader rejects; read as long nanos and surface a proper
-      // timestamp column alongside (micros precision). The conf set is
-      // a fallback for ad-hoc sessions — Bench/Verify set it at build
-      // time; the write is idempotent (always "true") so a concurrent
-      // double-set is benign.
+      // The events fixture has shipped in two layouts over time:
+      //   (a) ts as INT64 TIMESTAMP(NANOS) — readable only with the
+      //       nanosAsLong conf, surfacing as LongType nanoseconds;
+      //   (b) ts as timestamp[us] — surfacing as TIMESTAMP_NTZ.
+      // Branch on the loaded dtype so either layout yields the same
+      // contract: `ts` TIMESTAMP (µs precision, session tz = UTC in
+      // all entry points) + `ts_ns` long nanos-since-epoch. The conf
+      // set is idempotent ("true" always) and required *before* schema
+      // inference for layout (a); harmless for (b).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       import org.apache.spark.sql.functions._
-      // integer division — double `/ 1000` loses ns precision near 1.7e18
-      // (ulp 256 ns) and can diverge from DuckDB's exact ns→µs truncation
-      raw.withColumn("ts_ns", col("ts").cast("long"))
-        .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      raw.schema("ts").dataType match {
+        case LongType =>
+          // integer division — double `/ 1000` loses ns precision near
+          // 1.7e18 (ulp 256 ns) and can diverge from DuckDB's exact
+          // ns→µs truncation
+          raw.withColumn("ts_ns", col("ts").cast("long"))
+            .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+        case TimestampNTZType | TimestampType =>
+          // NTZ wall time → instant via session tz (UTC everywhere),
+          // matching DuckDB's epoch_us/epoch_ns on the same file.
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+            .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts has unsupported dtype $other — expected long nanos or timestamp")
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -20,7 +20,9 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Schema of the events fixture as read with nanosAsLong. */
+  /** Schema of the events fixture as read with nanosAsLong (legacy
+    * int64-nanos layout; `ts` is overridden per-file in readEvents when
+    * the fixture carries a real timestamp type). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // TIMESTAMP(NANOS) surfaces as long ns
@@ -30,13 +32,24 @@ object EventStreams {
     StructField("props", StringType)))
 
   /** Streaming source over the fixture directory (file-source
-    * micro-batches; glob keeps it to the events table). */
+    * micro-batches; glob keeps it to the events table).
+    *
+    * A streaming read needs a user-supplied schema, so peek at the
+    * file's footer with a batch read first and branch on the `ts`
+    * layout (int64-nanos vs timestamp[us]/NTZ), same contract as
+    * [[graft.sources.Tables]]: downstream always sees `ts` TIMESTAMP. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema)
+    val fileTs = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val schema = StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = fileTs) else f))
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    fileTs match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Event-time hourly counts per event_type with a 10-minute watermark

@@ -29,6 +29,40 @@ class FormatsSpec extends SparkSpec {
       base.orderBy("c_custkey").collect().toSeq)
   }
 
+  test("Tables.events reads both fixture layouts: int64-nanos and timestamp[us]") {
+    // The driver owns /root/testdata and has shipped events.ts in two
+    // layouts (TIMESTAMP(NANOS)→long with nanosAsLong, and
+    // timestamp[us]→TIMESTAMP_NTZ). Round-trip both through the loader
+    // and require the identical (ts_ns, ts) contract.
+    import spark.implicits._
+    val micros = Seq(1700000000000000L, 1700000123456789L, 1700009876543210L)
+    val rows = micros.zipWithIndex.map { case (us, i) =>
+      (i.toLong, us, 100L + i, "click", 1.5 + i, "{}")
+    }
+
+    // layout A: ts as int64 nanos (what nanosAsLong surfaces for NANOS files)
+    val dirA = Files.createTempDirectory("evA").toString
+    rows.map { case (id, us, u, t, v, p) => (id, us * 1000L, u, t, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dirA/events.parquet")
+
+    // layout B: ts as timestamp_ntz micros (the current driver layout)
+    val dirB = Files.createTempDirectory("evB").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$dirB/events.parquet")
+
+    for (dir <- Seq(dirA, dirB)) {
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType.typeName == "timestamp", dir)
+      assert(ev.schema("ts_ns").dataType.typeName == "long", dir)
+      val got = ev.orderBy("event_id")
+        .select(col("ts_ns"), unix_micros(col("ts")))
+        .as[(Long, Long)].collect().toSeq
+      assert(got == micros.map(us => (us * 1000L, us)), s"layout at $dir")
+    }
+  }
+
   test("orc round-trip with predicate pushdown in the plan") {
     val dir = Files.createTempDirectory("orc").toString + "/c"
     base.write.mode("overwrite").orc(dir)
