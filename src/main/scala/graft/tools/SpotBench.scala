@@ -15,10 +15,16 @@ object SpotBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // best-of-2 per gate (the Bench methodology): the first run pays
+    // codegen + file-index warmup, the min is the comparable statistic
     for (q <- graft.SparkEntry.registry if names.contains(q.name)) {
-      val t0 = System.nanoTime()
-      val n = q.run(spark, dir).count()
-      println(f"[spot] ${q.name}: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        q.run(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.catalog.clearCache()
+      println(f"[spot] ${q.name}: ${times.min}%.2f s (runs: ${times.map(t => f"$t%.2f").mkString(", ")})")
     }
     spark.stop()
   }
