@@ -61,7 +61,8 @@ object QualityParity {
     "als" -> (0.04, 0.12), // observed 0.078
     "content" -> (0.08, 0.18), // observed 0.130
     "curation" -> (0.01, 0.07), // observed 0.033
-    "popularity" -> (0.005, 0.06)) // observed 0.022
+    "popularity" -> (0.005, 0.06), // observed 0.022
+    "usercf" -> (0.07, 0.18)) // observed 0.121 (r8)
 
   /** One row per CG recommender: (recommender, k, n_users, ndcg,
     * band_lo, band_hi, within_band). Rows-only gate: the ALS factor
@@ -90,6 +91,11 @@ object QualityParity {
         }.recommendForUsers(users, k),
       "curation" -> new CurationRecommender(train, Seq(1, 2, 3, 5, 8))
         .recommendForUsers(users, k),
+      // the r8 user-CF family (reference legacy path train_user_cf.py)
+      // joins the parity sweep: same lifecycle, item-bucketed dice
+      "usercf" -> UserCF.recommend(train, users, k, topNeighbors = 10)
+        .withColumnRenamed("candidate", "item_id")
+        .select(col("user_id"), col("item_id"), col("score")),
       "content" -> {
         // TF-IDF weights over the fixed fixture corpus — memoized per
         // session so repeat invocations skip the index rebuild
