@@ -30,6 +30,13 @@ import org.apache.spark.sql.functions._
   * collection except the single node count. Lineage is truncated with
   * localCheckpoint every 4 iterations (the ALS/CC checkpoint policy —
   * iterative plans otherwise double in depth per round).
+  *
+  * Measured non-optimization (r8): caching edges/out-degrees plus a
+  * final eager checkpoint (so the caches could be released) was tried
+  * and was consistently ~30% SLOWER at sf0.1 (4.6 → 6.1 s) — the
+  * extra materialization outweighs re-scanning a vectorized parquet
+  * source that the OS page cache already holds. On a real cluster
+  * where the source is remote, revisit; at fixture scale, don't.
   */
 object PageRank {
 
