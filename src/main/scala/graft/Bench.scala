@@ -78,13 +78,19 @@ object Bench {
       r
     }
     // per-query minimum across SUCCESSFUL passes (keyed merge — registry
-    // order kept). A gate that failed every pass reports -1.0 s and an
-    // entry in `errors`, so its fail-fast time can never enter a total.
+    // order kept). ANY failed pass puts the gate in `errors` (a flaky
+    // gate is a failure signal, not a pass); a gate that failed EVERY
+    // pass additionally reports -1.0 s and is excluded from totals, so
+    // its fail-fast time can never enter a total.
     val errors: Seq[(String, String)] = allPasses.head.flatMap { case (name, _, _) =>
       val perPass = allPasses.map(_.find(_._1 == name).get)
-      if (perPass.forall(_._3.isDefined)) Some(name -> perPass.head._3.get) else None
+      val nFail = perPass.count(_._3.isDefined)
+      if (nFail == 0) None
+      else Some(name ->
+        s"${perPass.flatMap(_._3).head} ($nFail/${perPass.size} passes failed)")
     }
-    val errored = errors.map(_._1).toSet
+    val errored = allPasses.head.collect { case (name, _, _)
+      if allPasses.forall(_.find(_._1 == name).get._3.isDefined) => name }.toSet
     val results: Seq[(String, Double)] = allPasses.head.map { case (name, _, _) =>
       val ok = allPasses.flatMap(_.collect { case (`name`, t, None) => t })
       name -> (if (ok.nonEmpty) ok.min else -1.0)
@@ -102,7 +108,7 @@ object Bench {
       }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")
     val errsJson = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+      "\"" + k + "\":\"" + v.replaceAll("[\\x00-\\x1f\"\\\\]", " ") + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !errored(k) => v }.sum
     // the round-1 gate set (BENCH_r01) — its subtotal is the

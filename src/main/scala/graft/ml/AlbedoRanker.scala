@@ -179,35 +179,7 @@ object AlbedoRanker {
     * (n_features, train_rows, test_rows, auc). Seeded; rows-only gate
     * (LR internals are not SQL-expressible). */
   def trainAndEvaluate(spark: SparkSession): DataFrame = {
-    // booleans → doubles for the assembler (in-place cast)
-    val base = booleanCols.foldLeft(labeledFeatureFrame(spark)) {
-      (df, c) => df.withColumn(c, col(c).cast("double"))
-    }
-    // fixture-scale frame: collapse to a few partitions so the iterative
-    // fit doesn't schedule 32-way shuffles over 10k rows, and cache so
-    // each pipeline stage fit reuses the join lineage once.
-    // HASH-partition on the key and sort within partitions (unique
-    // (user_id, repo_id)) — round-robin repartition leaves intra-
-    // partition order at shuffle-fetch order, which randomSplit then
-    // samples, flipping split membership (and the fitted vocab sizes)
-    // between runs; with a total deterministic order the seeded split
-    // is bit-stable (r5 doublecheck caught 881 vs 878 n_features)
-    val data = weigher.transform(base)
-      .repartition(4, col("user_id"))
-      .sortWithinPartitions("user_id", "repo_id")
-      .cache()
-
-    val lr = new LogisticRegression()
-      .setMaxIter(15).setRegParam(0.1).setElasticNetParam(0.0)
-      .setStandardization(true)
-      .setFeaturesCol("features").setLabelCol("label")
-      .setWeightCol("instance_weight")
-    val pipeline = new Pipeline().setStages(featureStages() :+ lr)
-
-    val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
-    // the 26-stage fit is the gate's dominant cost and fully seeded on
-    // a fixed fixture — fit once per session, re-evaluate per call
-    val model = ModelMemo.cached(spark, "albedo-ranker-lr")(pipeline.fit(train))
+    val (model, train, test, data) = fittedRanker(spark)
     val scored = dropSuffixed(model.transform(test), "__idx")
     val auc = new BinaryClassificationEvaluator()
       .setLabelCol("label").setRawPredictionCol("rawPrediction")
@@ -257,14 +229,27 @@ object AlbedoRanker {
     * evaluators/RankingEvaluator.scala:14-108 (NDCG@k) and the
     * BinaryClassificationEvaluator AUC of LogisticRegressionRanker
     * .scala:330-337 (U/(n_pos·n_neg) is exactly areaUnderROC). */
-  def metricReplay(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.ml.functions.vector_to_array
+  /** Shared deterministic layout + seeded split + memoized 26-stage fit
+    * behind BOTH q60 (trainAndEvaluate) and q60b (metricReplay). One
+    * definition, because both feed the ModelMemo key "albedo-ranker-lr":
+    * with two copies, tuning one (a repartition count, a hyperparam)
+    * would leave whichever gate runs second silently evaluating a model
+    * fitted on the other's split. Returns (model, train, test, data);
+    * the caller unpersists `data` once its consumers have run.
+    *
+    * Layout notes: HASH-partition on the key and sort within partitions
+    * (unique (user_id, repo_id)) — round-robin repartition leaves
+    * intra-partition order at shuffle-fetch order, which randomSplit
+    * then samples, flipping split membership (and fitted vocab sizes)
+    * between runs (r5 doublecheck caught 881 vs 878 n_features). */
+  private def fittedRanker(spark: SparkSession)
+      : (org.apache.spark.ml.PipelineModel, DataFrame, DataFrame, DataFrame) = {
     val base = booleanCols.foldLeft(labeledFeatureFrame(spark)) {
       (df, c) => df.withColumn(c, col(c).cast("double"))
     }
-    // same deterministic layout + seeded split as trainAndEvaluate, so
-    // the memoized "albedo-ranker-lr" fit is shared between q60/q60b
+    // fixture-scale frame: collapse to a few partitions so the iterative
+    // fit doesn't schedule 32-way shuffles over 10k rows, and cache so
+    // each pipeline stage fit reuses the join lineage once
     val data = weigher.transform(base)
       .repartition(4, col("user_id"))
       .sortWithinPartitions("user_id", "repo_id")
@@ -276,7 +261,16 @@ object AlbedoRanker {
       .setWeightCol("instance_weight")
     val pipeline = new Pipeline().setStages(featureStages() :+ lr)
     val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
+    // the 26-stage fit is the gates' dominant cost and fully seeded on
+    // a fixed fixture — fit once per session, re-evaluate per call
     val model = ModelMemo.cached(spark, "albedo-ranker-lr")(pipeline.fit(train))
+    (model, train, test, data)
+  }
+
+  def metricReplay(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.functions.vector_to_array
+    val (model, _, test, data) = fittedRanker(spark)
     model.transform(test)
       .select(col("user_id").cast("long").as("user_id"),
         col("repo_id").cast("long").as("repo_id"), col("label"),

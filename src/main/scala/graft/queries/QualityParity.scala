@@ -127,7 +127,7 @@ object QualityParity {
         .withColumn("within_band",
           col("ndcg") >= col("band_lo") && col("ndcg") <= col("band_hi"))
     }.reduce(_.unionByName(_)).orderBy(col("recommender"))
-    // the result is 4 rows — materialize it into a local relation so the
+    // the result is 5 rows (one per CG) — materialize it into a local relation so the
     // fixture caches can be released NOW instead of pinning executor
     // memory for the life of the session (ADVICE r3 #5: cache leak)
     graft.ops.Materialize.localThenUnpersist(out, inter, test)

@@ -56,8 +56,20 @@ object UserCF {
     *        rows. */
   def userSimilarity(interactions: DataFrame,
       maxUsersPerItem: Int = 1000,
-      targets: Option[DataFrame] = None): DataFrame = {
-    val uiAll = interactions.select(col("user_id"), col("item_id")).distinct()
+      targets: Option[DataFrame] = None): DataFrame =
+    simsFromDistinct(
+      interactions.select(col("user_id"), col("item_id")).distinct(),
+      maxUsersPerItem, targets)
+
+  /** Core over an ALREADY-DEDUPED (user_id, item_id) frame, so callers
+    * that need the deduped pairs for other joins (recommend) pay the
+    * distinct shuffle once. The deg joins carry one row per user —
+    * deliberately NOT broadcast-hinted (O(U) rows would be collected
+    * to the driver at scale); they shuffle on the key like everything
+    * else, and AQE still picks broadcast when deg is actually small. */
+  private def simsFromDistinct(uiAll: DataFrame,
+      maxUsersPerItem: Int,
+      targets: Option[DataFrame]): DataFrame = {
     val ui = capPerItem(uiAll, maxUsersPerItem)
     val deg = uiAll.groupBy(col("user_id")).agg(count(lit(1)).as("deg"))
     val a0 = ui.select(col("item_id"), col("user_id").as("u"))
@@ -68,8 +80,8 @@ object UserCF {
       .filter(col("u") =!= col("v"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("shared"))
-      .join(broadcast(deg.select(col("user_id").as("u"), col("deg").as("deg_u"))), Seq("u"))
-      .join(broadcast(deg.select(col("user_id").as("v"), col("deg").as("deg_v"))), Seq("v"))
+      .join(deg.select(col("user_id").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("user_id").as("v"), col("deg").as("deg_v")), Seq("v"))
       .withColumn("sim", lit(2.0) * col("shared") / (col("deg_u") + col("deg_v")))
       .select(col("u"), col("v"), col("sim"))
   }
@@ -81,7 +93,9 @@ object UserCF {
       topNeighbors: Int = 10, maxUsersPerItem: Int = 1000): DataFrame = {
     val ui = interactions.select(col("user_id"), col("item_id")).distinct()
     val targets = users.select(col("user_id"))
-    val sims = userSimilarity(interactions, maxUsersPerItem, Some(targets))
+    // one distinct for the whole plan: similarity, transfer, and the
+    // seen-items anti-join all reuse `ui`'s exchange
+    val sims = simsFromDistinct(ui, maxUsersPerItem, Some(targets))
     val wN = Window.partitionBy(col("u"))
       .orderBy(col("sim").desc, col("v"))
     val nbrs = sims.withColumn("__rn", row_number().over(wN))

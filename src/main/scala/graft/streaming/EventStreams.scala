@@ -47,8 +47,15 @@ object EventStreams {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
     fileTs match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType | TimestampType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case other =>
+        // fail loudly like Tables.events — a silent cast would turn
+        // fixture drift into NULL event times and empty windows
+        throw new IllegalStateException(
+          s"events.ts has unsupported dtype $other — expected long nanos or timestamp")
     }
   }
 

@@ -21,9 +21,13 @@ object SpotBench {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         q.run(spark, dir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // clear per-run, not per-gate: otherwise run 2 reuses run 1's
+        // cached intermediates and the min is warm-cache, incomparable
+        // with Bench (which clears after every pass)
+        spark.catalog.clearCache()
+        dt
       }
-      spark.catalog.clearCache()
       println(f"[spot] ${q.name}: ${times.min}%.2f s (runs: ${times.map(t => f"$t%.2f").mkString(", ")})")
     }
     spark.stop()

@@ -12,7 +12,7 @@ class QualityParitySpec extends SparkSpec {
     QualityParity.cgQuality(spark, sf0001).collect()
 
   test("all CG recommenders score inside their pinned NDCG@30 bands") {
-    assert(rows.length == 4)
+    assert(rows.length == 5) // popularity/curation/als/content + usercf (r8)
     rows.foreach { r =>
       assert(r.getAs[Boolean]("within_band"),
         s"${r.getAs[String]("recommender")} NDCG@30=" +
