@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.llmops.{Dedup, Quality, Similarity, TextAnalysis => TA}
+import graft.llmops.{Dedup, Quality, Similarity, Sketches, TextAnalysis => TA}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -99,6 +99,97 @@ object Llm {
       |FROM (SELECT doc_id FROM documents WHERE doc_id % 31 <> 0) d
       |LEFT JOIN hits USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  /** Two-phase Bloom decontamination ([[Sketches.decontaminateBloom]]):
+    * same eval split as q99 (doc_id % 31 == 0), but the train windows
+    * are pre-filtered through a 65536-bit / 3-probe Bloom image of the
+    * eval window set before the exact confirm join — the constant-size
+    * state path for decontaminating 100 TB against a benchmark suite.
+    * `contaminated` is exact (phase 2 confirms); the visible
+    * candidate-vs-hit gap IS the sketch's false-positive overhead.
+    * Fully oracled: positions, bit-set, all-k-probes predicate and
+    * confirm join all replay in SQL. */
+  def decontaminateBloomGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Sketches.decontaminateBloom(
+        docs.filter(col("doc_id") % 31 =!= 0),
+        docs.filter(col("doc_id") % 31 === 0),
+        "doc_id", "text", w = 8, k = 3, mBits = 65536)
+      .orderBy(col("doc_id"))
+  }
+
+  private def decontaminateBloomOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> x <> '') AS toks
+      |  FROM documents),
+      |e AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+      |u AS (SELECT doc_id, toks, unnest(range(n - 7)) AS i FROM e),
+      |w AS (SELECT doc_id,
+      |             md5(array_to_string(toks[i+1:i+8], ' ')) AS h FROM u),
+      |ev AS (SELECT DISTINCT h FROM w WHERE doc_id % 31 = 0),
+      |ks AS (SELECT unnest([0, 1, 2]) AS k),
+      |bits AS (SELECT DISTINCT
+      |           ('0x' || substr(md5(h || '#' || k::VARCHAR), 1, 15))::BIGINT
+      |             % 65536 AS pos
+      |         FROM ev CROSS JOIN ks),
+      |tw AS (SELECT DISTINCT doc_id, h FROM w WHERE doc_id % 31 <> 0),
+      |probe AS (SELECT doc_id, h,
+      |            ('0x' || substr(md5(h || '#' || k::VARCHAR), 1, 15))::BIGINT
+      |              % 65536 AS pos
+      |          FROM tw CROSS JOIN ks),
+      |cand AS (SELECT doc_id, h FROM probe JOIN bits USING (pos)
+      |         GROUP BY doc_id, h HAVING count(*) = 3),
+      |cpd AS (SELECT doc_id, count(*) AS n_candidate_windows FROM cand
+      |        GROUP BY doc_id),
+      |hits AS (SELECT doc_id, count(*) AS n_hits FROM cand
+      |         WHERE h IN (SELECT h FROM ev) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CAST(coalesce(n_candidate_windows, 0) AS BIGINT)
+      |         AS n_candidate_windows,
+      |       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+      |       coalesce(n_hits, 0) > 0 AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 31 <> 0) d
+      |LEFT JOIN cpd USING (doc_id)
+      |LEFT JOIN hits USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Count-min-sketch heavy hitters ([[Sketches.cmsHeavyHitters]]):
+    * d=4 × w=2048 declarative CM sketch over whitespace tokens, read
+    * back at the exact top-30 tokens with the one-sided CM error bound
+    * asserted as a column — the mergeable-summary path for corpus
+    * heavy hitters (the q54b/q88b pattern applied to frequencies).
+    * Fully oracled: cells, estimates and the bound boolean replay. */
+  def cmsHeavyHittersGate(spark: SparkSession, dir: String): DataFrame =
+    Sketches.cmsHeavyHitters(Tables.documents(spark, dir), "doc_id", "text",
+      d = 4, wCells = 2048, topN = 30)
+
+  private def cmsHeavyHittersOracle: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                            x -> x <> '')) AS tok
+      |  FROM documents),
+      |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      |cells AS (SELECT r,
+      |            ('0x' || substr(md5(tok || '#' || r::VARCHAR), 1, 15))::BIGINT
+      |              % 2048 AS cell,
+      |            count(*) AS cnt
+      |          FROM toks CROSS JOIN rs GROUP BY 1, 2),
+      |exact AS (SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok
+      |          ORDER BY exact_cnt DESC, tok LIMIT 30),
+      |tot AS (SELECT count(*) AS total FROM toks),
+      |est AS (SELECT e.tok, e.exact_cnt, min(c.cnt) AS cms_est
+      |        FROM exact e CROSS JOIN rs
+      |        JOIN cells c ON c.r = rs.r AND c.cell =
+      |          ('0x' || substr(md5(e.tok || '#' || rs.r::VARCHAR), 1, 15))::BIGINT
+      |            % 2048
+      |        GROUP BY 1, 2)
+      |SELECT tok AS token, exact_cnt, cms_est,
+      |       (cms_est >= exact_cnt AND
+      |        cms_est <= exact_cnt + (3 * total) // 2048) AS within_bound
+      |FROM est CROSS JOIN tot
+      |ORDER BY exact_cnt DESC, token""".stripMargin
 
   /** Gopher-style per-doc repetition filters
     * ([[TA.repetitionSignals]]): top-{2,3}-gram char coverage and
@@ -1292,6 +1383,10 @@ object Llm {
     QueryDef("q97c_near_dup_recall", embeddingNearDupRecall, Some(embeddingNearDupRecallOracle)),
     QueryDef("q98_substring_dup_scan", substringDupScan, Some(substringDupScanOracle)),
     QueryDef("q99_decontaminate", decontaminate, Some(decontaminateOracle)),
+    QueryDef("q110_decontaminate_bloom", decontaminateBloomGate,
+      Some(decontaminateBloomOracle)),
+    QueryDef("q111_cms_heavy_hitters", cmsHeavyHittersGate,
+      Some(cmsHeavyHittersOracle)),
     QueryDef("q100_repetition_signals", repetitionSignals, Some(repetitionSignalsOracle)),
     QueryDef("q101_mixture_rebalance", mixtureRebalance, Some(mixtureRebalanceOracle)),
     QueryDef("q102_unigram_ppl", unigramPpl, Some(unigramPplOracle)),
