@@ -10,6 +10,37 @@ import org.apache.spark.sql.functions._
 /** Streaming-equivalent and multimodal queries. */
 object Extras {
 
+  /** Z-order (Morton) layout envelope ([[graft.ops.ZOrder.layoutStats]]):
+    * events sorted by the bit-interleave of (user bucket, hour bucket),
+    * cut into 512-row files, each reporting the min/max footer stats a
+    * reader would prune on — the write-side layout that makes parquet
+    * skip on two dimensions at once. Pure integer bit math; the oracle
+    * replays the interleave, the total order and every envelope. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ZOrder.layoutStats(Tables.events(spark, dir),
+      rowsPerFile = 512, bits = 8)
+
+  private def zorderOracle: String = {
+    val terms = (0 until 8).map(j =>
+      s"(((ub >> $j) & 1) << ${2 * j}) + (((hb >> $j) & 1) << ${2 * j + 1})")
+      .mkString(" + ")
+    s"""WITH raw AS (SELECT event_id, user_id AS u,
+       |              epoch_ns(ts) // 3600000000000 AS hr FROM events),
+       |s AS (SELECT min(u) AS minu, max(u) AS maxu,
+       |             min(hr) AS minh, max(hr) AS maxh FROM raw),
+       |e AS (SELECT event_id,
+       |        (u - minu) * 256 // (maxu - minu + 1) AS ub,
+       |        (hr - minh) * 256 // (maxh - minh + 1) AS hb
+       |      FROM raw CROSS JOIN s),
+       |z AS (SELECT event_id, ub, hb, $terms AS zv FROM e),
+       |r AS (SELECT ub, hb,
+       |        row_number() OVER (ORDER BY zv, event_id) - 1 AS rn FROM z)
+       |SELECT rn // 512 AS file_id, count(*) AS n_rows,
+       |       min(ub) AS min_ub, max(ub) AS max_ub,
+       |       min(hb) AS min_hb, max(hb) AS max_hb
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Event-time hourly windowed agg — the same transformation the
     * streaming path runs (EventStreams.hourlyTypeCounts), executed over
     * the bounded batch table for the oracle gate. */
@@ -508,6 +539,7 @@ object Extras {
         |        ORDER BY version DESC, side DESC) AS rn FROM u)
         |SELECT doc_id, version, text FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q112_zorder_layout", zorderLayout, Some(zorderOracle)),
     QueryDef("q78_retention_cohorts", retentionCohorts, Some(
       """WITH ev AS (SELECT user_id, ts::DATE AS d FROM events),
         |c AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY 1)

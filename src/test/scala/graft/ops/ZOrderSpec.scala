@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Z-order layout invariants: the interleave is a bijection on the
+  * bucket grid, z-ordered files have tight envelopes on BOTH dims
+  * (vs a time-ordered layout whose user envelope is the full domain),
+  * and the distributed range-partitioned writer reproduces the tight
+  * envelopes without any global window. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue interleaves bits exactly (hand-computed cases)") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (255L, 255L))
+      .toDF("a", "b")
+      .select(ZOrder.zValue(col("a"), col("b"), 8).as("z"))
+    // z(3,5) : a bits 11 -> pos 0,2 ; b bits 101 -> pos 1,5 => 100111b = 39
+    assert(df.collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 1L, 2L, 39L, 65535L))
+  }
+
+  test("z-order layout prunes on the user dim where a time layout cannot") {
+    val events = Tables.events(spark, sf0001)
+    val zStats = ZOrder.layoutStats(events, rowsPerFile = 64, bits = 8)
+      .collect()
+    // expected fraction of files a `user_id = X` point query scans is
+    // proportional to the mean per-file user-bucket span
+    val zUserSpan = zStats.map(r => r.getLong(3) - r.getLong(2) + 1).sum
+      .toDouble / zStats.length
+    // same cut, ordered by time instead
+    val tsOrdered = ZOrder.bucketedEvents(events, 8)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("hb"), col("event_id"))) - 1)
+      .withColumn("file_id", expr("rn DIV 64"))
+      .groupBy("file_id")
+      .agg(min("ub").as("min_ub"), max("ub").as("max_ub"))
+      .collect()
+    val tsUserSpan = tsOrdered.map(r => r.getLong(2) - r.getLong(1) + 1).sum
+      .toDouble / tsOrdered.length
+    // the time layout's per-file user envelope is ~the whole domain; the
+    // z layout must cut the expected user-predicate scan at least in half
+    assert(zUserSpan * 2 < tsUserSpan,
+      s"z user span $zUserSpan not < half ts user span $tsUserSpan")
+  }
+
+  test("repartitionByRange writer reproduces tight per-file envelopes " +
+      "with no global window") {
+    val events = Tables.events(spark, sf0001)
+    val withZ = ZOrder.bucketedEvents(events, 8)
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    // the cluster path: range bins ARE the file bins — no window
+    withZ.repartitionByRange(16, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length >= 8, s"expected several part files, got ${files.length}")
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("ub"), max("ub"), min("hb"), max("hb")).collect()(0)
+      (r.getLong(1) - r.getLong(0) + 1, r.getLong(3) - r.getLong(2) + 1)
+    }
+    // every range-partitioned file must be clustered on the user dim:
+    // average span well under the 256-bucket domain (a time-ordered
+    // layout sits near 256)
+    val avgUserSpan = spans.map(_._1).sum.toDouble / spans.length
+    assert(avgUserSpan < 154, s"avg user span $avgUserSpan not clustered")
+  }
+}
