@@ -928,6 +928,70 @@ object Llm {
       |SELECT doc_id, score_u, score, rank FROM ranked WHERE rank <= 20
       |ORDER BY rank""".stripMargin
 
+  /** Hybrid retrieval ([[graft.text.HybridSearch]]): the same query
+    * through two model-distinct rankers — BM25 (q84) and Dirichlet
+    * query likelihood — fused by integer reciprocal-rank fusion.
+    * Rank-based fusion needs no score calibration, which is what lets
+    * an embedding ANN ranking join the same fusion at scale. Fully
+    * oracled: both rankers' quantized scores, both rank lists and the
+    * fused order replay in SQL. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = Seq("spark", "window", "merge")
+    val bm = graft.text.Bm25.search(docs, "doc_id", "text", terms, topK = 20)
+    val ql = graft.text.HybridSearch.queryLikelihood(docs, "doc_id", "text",
+      terms, mu = 300.0, topK = 20)
+    graft.text.HybridSearch.rrfFuse(bm, ql, k = 60, topK = 10)
+      .orderBy(col("rank"))
+  }
+
+  private def hybridRrfOracle: String =
+    """WITH base AS (SELECT doc_id,
+      |    CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(lower(coalesce(text,''))), '\s+')
+      |    END AS toks FROM documents),
+      |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM base),
+      |stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+      |       FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+      |       WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+      |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      |contrib AS (SELECT t.doc_id,
+      |    round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+      |      * t.tf * 2.2
+      |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl * s.n_docs / s.sum_dl))
+      |      * 1000000)::BIGINT AS s_u
+      |  FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id)
+      |  CROSS JOIN stats s),
+      |bmsc AS (SELECT doc_id, sum(s_u)::BIGINT AS score_u FROM contrib GROUP BY 1),
+      |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score_u DESC, doc_id)
+      |          AS rank FROM bmsc),
+      |bmtop AS (SELECT doc_id, rank FROM bmr WHERE rank <= 20),
+      |tot AS (SELECT sum(dl)::BIGINT AS total FROM dl),
+      |cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1),
+      |qls AS (SELECT l.doc_id,
+      |    sum(round(ln((coalesce(t.tf, 0) + 300.0 * c.cf / s.total)
+      |          / (l.dl + 300.0)) * 1000000)::BIGINT) AS score_u
+      |  FROM dl l CROSS JOIN cf c
+      |  LEFT JOIN tf t ON t.doc_id = l.doc_id AND t.term = c.term
+      |  CROSS JOIN tot s GROUP BY 1),
+      |qlr AS (SELECT doc_id, row_number() OVER (ORDER BY score_u DESC, doc_id)
+      |          AS rank FROM qls),
+      |qltop AS (SELECT doc_id, rank FROM qlr WHERE rank <= 20),
+      |f AS (SELECT doc_id,
+      |        coalesce(a.rank, 0)::BIGINT AS rank_a,
+      |        coalesce(b.rank, 0)::BIGINT AS rank_b
+      |      FROM bmtop a FULL OUTER JOIN qltop b USING (doc_id)),
+      |g AS (SELECT doc_id, rank_a, rank_b,
+      |        ((CASE WHEN rank_a > 0 THEN 1000000 // (60 + rank_a) ELSE 0 END) +
+      |         (CASE WHEN rank_b > 0 THEN 1000000 // (60 + rank_b) ELSE 0 END)
+      |        )::BIGINT AS rrf_u FROM f),
+      |r AS (SELECT doc_id, rank_a, rank_b, rrf_u,
+      |        row_number() OVER (ORDER BY rrf_u DESC, doc_id)::BIGINT AS rank
+      |      FROM g)
+      |SELECT doc_id, rank_a, rank_b, rrf_u, rank FROM r WHERE rank <= 10
+      |ORDER BY rank""".stripMargin
+
   /** Hashing-trick featurization (portable md5 buckets — the whole
     * fixed-width featurizer is oracle-replayed). */
   def featureHash(spark: SparkSession, dir: String): DataFrame =
@@ -1392,6 +1456,7 @@ object Llm {
     QueryDef("q102_unigram_ppl", unigramPpl, Some(unigramPplOracle)),
     QueryDef("q83_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     QueryDef("q84_bm25_search", bm25Search, Some(bm25Oracle)),
+    QueryDef("q113_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
     QueryDef("q85_feature_hash", featureHash, Some(featureHashOracle)),
     QueryDef("q87_pmi_pairs", pmiAssociations, Some(pmiOracle)),
     QueryDef("q65_simhash_portable", simhashPortable, Some(simhashPortableOracle)),
