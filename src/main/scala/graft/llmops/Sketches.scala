@@ -121,16 +121,26 @@ object Sketches {
     * @return top-N rows (token, exact_cnt, cms_est, within_bound)
     *         ordered by exact_cnt desc, token.
     */
+  /** The d×wCells sketch itself: one (row, cell) count per token
+    * occurrence per hash row. Works unchanged on a STREAMING frame —
+    * the aggregation state is bounded by construction (≤ d·wCells
+    * rows, whatever the stream's cardinality), so a complete-mode
+    * streaming query maintains the sketch incrementally across
+    * micro-batches with no watermark and no state growth; see
+    * `SketchesSpec`'s streaming≡batch case. Input: a `tok` column. */
+  def cmsCells(toks: DataFrame, d: Int, wCells: Int): DataFrame =
+    toks
+      .select(posexplode(bloomPositions(col("tok"), d, wCells))
+        .as(Seq("r", "cell")))
+      .groupBy(col("r"), col("cell")).agg(count(lit(1)).as("cnt"))
+
   def cmsHeavyHitters(docs: DataFrame, idCol: String, textCol: String,
       d: Int = 4, wCells: Int = 2048, topN: Int = 30): DataFrame = {
     val toks = docs
       .select(explode(
         filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0))
         .as("tok"))
-    val cells = toks
-      .select(col("tok"),
-        posexplode(bloomPositions(col("tok"), d, wCells)).as(Seq("r", "cell")))
-      .groupBy(col("r"), col("cell")).agg(count(lit(1)).as("cnt"))
+    val cells = cmsCells(toks, d, wCells)
     val exactTop = toks.groupBy(col("tok"))
       .agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("tok")).limit(topN)

@@ -44,6 +44,30 @@ class SketchesSpec extends SparkSpec {
     assert(!byId(3L))
   }
 
+  test("cms cells maintained incrementally on a stream equal the " +
+      "batch sketch over the same tokens") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[String]
+    val q = Sketches.cmsCells(ms.toDF().toDF("tok"), d = 4, wCells = 64)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_stream").start()
+    // two waves: the second must MERGE into existing cell state, not
+    // restart it — bounded state (<= d*wCells rows) is what makes the
+    // watermark-free complete-mode sketch safe
+    ms.addData("a", "b", "a", "c")
+    q.processAllAvailable()
+    ms.addData("a", "d", "b")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cms_stream").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Sketches.cmsCells(
+        Seq("a", "b", "a", "c", "a", "d", "b").toDF("tok"), 4, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"stream cells $got != batch cells $want")
+  }
+
   test("cms heavy hitters: estimate is always >= exact, top order kept") {
     val docs = Seq(
       (0L, "a a a a a b b b c c d e"),
