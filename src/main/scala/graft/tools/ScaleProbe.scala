@@ -74,7 +74,21 @@ object ScaleProbe {
       "q98_substring_dup_scan" -> (() => Dedup.substringDupScan(
         docs, "doc_id", "text")),
       "q99_decontaminate" -> (() => Dedup.decontaminate(
-        docs, evalDocs, "doc_id", "text")))
+        docs, evalDocs, "doc_id", "text")),
+      // r8 sketch/retrieval additions: all should stay ~linear — the
+      // Bloom image and CM cells are constant-size state, the hybrid
+      // rankers keep only query-term postings in the shuffle
+      "q110_bloom_decontaminate" -> (() => graft.llmops.Sketches
+        .decontaminateBloom(docs, evalDocs, "doc_id", "text")),
+      "q111_cms_heavy_hitters" -> (() => graft.llmops.Sketches
+        .cmsHeavyHitters(docs, "doc_id", "text")),
+      "q113_hybrid_rrf" -> (() => {
+        val terms = Seq("spark", "window", "merge")
+        graft.text.HybridSearch.rrfFuse(
+          graft.text.Bm25.search(docs, "doc_id", "text", terms, topK = 20),
+          graft.text.HybridSearch.queryLikelihood(docs, "doc_id", "text",
+            terms))
+      }))
 
     def time(mk: () => DataFrame): Double = {
       val ts = (1 to 2).map { _ =>

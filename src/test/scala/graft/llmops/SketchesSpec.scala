@@ -44,6 +44,29 @@ class SketchesSpec extends SparkSpec {
     assert(!byId(3L))
   }
 
+  test("production bitmap bloom (stat.bloomFilter broadcast) admits " +
+      "every exact hit — no false negatives, map-side phase 1") {
+    val train = corpus.filter($"doc_id" =!= 0L)
+    val eval = corpus.filter($"doc_id" === 0L)
+    val evalW = Dedup.tokenWindows(eval, "doc_id", "text", 8)
+      .select($"h").distinct()
+    // the constant-size production image: m bits regardless of eval
+    // text volume, built by a distributed aggregate (no position table)
+    val bf = evalW.stat.bloomFilter("h", 1000L, 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => bfB.value.mightContainString(s))
+    val trainW = Dedup.tokenWindows(train, "doc_id", "text", 8).distinct()
+    val candidates = trainW.filter(mightContain($"h"))
+      .select($"id", $"h").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet
+    val exactHits = trainW.join(evalW, Seq("h"), "left_semi")
+      .select($"id", $"h").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet
+    assert(exactHits.subsetOf(candidates),
+      s"bitmap bloom dropped exact hits: ${exactHits -- candidates}")
+    assert(exactHits.nonEmpty, "fixture must produce at least one hit")
+  }
+
   test("cms cells maintained incrementally on a stream equal the " +
       "batch sketch over the same tokens") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
