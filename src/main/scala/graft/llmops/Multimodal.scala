@@ -341,6 +341,49 @@ object Multimodal {
     }
   }
 
+  /** Explicit image resize — the remaining stage of the prompt's
+    * decode / feature-extract / resize / frame-sample quartet (aHash
+    * resizes implicitly; this emits the thumbnail itself). Nearest-
+    * neighbor grayscale: out pixel (x,y) samples src pixel
+    * (x·srcW DIV outW, y·srcH DIV outH) — pure integer index math over
+    * a lossless PNG decode, so the resized grid is bit-deterministic
+    * and its FNV-1a fold freezes as a golden value. Partition-batched
+    * like [[extractFeatures]] (the Arrow/pandas batch shape); non-image
+    * rows are filtered BEFORE decode so the payload column is only
+    * materialized for rows that need it. */
+  def resizeImages(media: Dataset[MediaRow], outW: Int = 8, outH: Int = 8,
+      batchSize: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch "decoder init" would happen here
+        batch.iterator.map { r =>
+          val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+          val sw = img.getWidth
+          val sh = img.getHeight
+          var hash = 0xcbf29ce484222325L // FNV-1a 64-bit offset basis
+          var sum = 0L
+          var y = 0
+          while (y < outH) {
+            var x = 0
+            while (x < outW) {
+              val rgb = img.getRGB(x * sw / outW, y * sh / outH)
+              val gray = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+                (rgb & 0xFF)) / 3
+              sum += gray
+              hash = (hash ^ gray) * 0x100000001b3L
+              x += 1
+            }
+            y += 1
+          }
+          (r.media_id, sw, sh, outW, outH,
+            math.rint(sum.toDouble / (outW * outH) * 100) / 100, hash)
+        }
+      }
+    }.toDF("media_id", "src_w", "src_h", "out_w", "out_h",
+      "thumb_mean_gray", "thumb_fnv")
+  }
+
   /** Metadata-only projection — payload column pruned at the scan. */
   def metadataOnly(media: DataFrame): DataFrame =
     media.select(col("media_id"), col("kind"),

@@ -304,6 +304,29 @@ object Extras {
       |) AS t(media_id, kind, n_bytes, width, height, mean_intensity, phash)
       |ORDER BY media_id""".stripMargin
 
+  /** q114: golden-vector oracle for the explicit image-resize stage
+    * ([[Multimodal.resizeImages]]) — the q45b pattern: the 12-row
+    * corpus prefix is seed-fixed, the PNG decode lossless and the
+    * nearest-neighbor index math integer, so each 8×8 thumbnail's mean
+    * and FNV-1a fold are frozen bytes a VALUES relation replays
+    * hash-exactly. */
+  def imageResizeGolden(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeImages(Multimodal.synthCorpus(spark, 12), 8, 8)
+      .orderBy(col("media_id"))
+
+  private def imageResizeGoldenOracle: String =
+    """SELECT CAST(media_id AS BIGINT) AS media_id,
+      |       src_w, src_h, out_w, out_h,
+      |       CAST(thumb_mean_gray AS DOUBLE) AS thumb_mean_gray,
+      |       CAST(thumb_fnv AS BIGINT) AS thumb_fnv
+      |FROM (VALUES
+      |  (0, 16, 16, 8, 8, 116.28, -7427410683655784477),
+      |  (3, 64, 64, 8, 8, 115.97, 5544840520655451401),
+      |  (6, 112, 32, 8, 8, 116.23, 7724104673816129218),
+      |  (9, 32, 80, 8, 8, 115.69, -3546016714829901083)
+      |) AS t(media_id, src_w, src_h, out_w, out_h, thumb_mean_gray, thumb_fnv)
+      |ORDER BY media_id""".stripMargin
+
   /** Video frame sampling (every 4th frame) over the synthetic corpus. */
   def frameSamples(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.synthCorpus(spark, 300))
@@ -540,6 +563,8 @@ object Extras {
         |SELECT doc_id, version, text FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin)),
     QueryDef("q112_zorder_layout", zorderLayout, Some(zorderOracle)),
+    QueryDef("q114_image_resize_golden", imageResizeGolden,
+      Some(imageResizeGoldenOracle)),
     QueryDef("q78_retention_cohorts", retentionCohorts, Some(
       """WITH ev AS (SELECT user_id, ts::DATE AS d FROM events),
         |c AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY 1)

@@ -16,6 +16,32 @@ class MultimodalSpec extends SparkSpec {
     assert(f.n_bytes > 0 && f.mean_intensity >= 0 && f.mean_intensity <= 255)
   }
 
+  test("image resize: image rows only, identity-size resize preserves " +
+      "the mean, deterministic thumbnails") {
+    val corpus = Multimodal.synthCorpus(spark, 24)
+    val out = Multimodal.resizeImages(corpus, 8, 8).collect()
+    // images are media_id % 3 == 0
+    assert(out.map(_.getLong(0)).forall(_ % 3 == 0) && out.length == 8)
+    out.foreach { r =>
+      assert(r.getInt(3) == 8 && r.getInt(4) == 8)
+      val m = r.getDouble(5)
+      assert(m >= 0 && m <= 255, s"thumb mean $m out of range")
+    }
+    // identity resize (out dims == src dims) must reproduce the decode
+    // path's exact mean gray for a same-size image
+    val one = corpus.filter(_.media_id == 0).cache()
+    val feats = Multimodal.extractFeatures(one).collect().head
+    val ident = Multimodal.resizeImages(one, feats.width, feats.height)
+      .collect().head
+    assert(ident.getDouble(5) == feats.mean_intensity,
+      s"identity resize mean ${ident.getDouble(5)} != decode mean " +
+        s"${feats.mean_intensity}")
+    // determinism: same corpus, same fold
+    val again = Multimodal.resizeImages(Multimodal.synthCorpus(spark, 24), 8, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(6))).toSet
+    assert(again == out.map(r => (r.getLong(0), r.getLong(6))).toSet)
+  }
+
   test("frame sampling only emits video rows at the configured stride") {
     val corpus = Multimodal.synthCorpus(spark, 60).cache()
     val frames = Multimodal.sampleFrames(corpus, everyK = 4)
