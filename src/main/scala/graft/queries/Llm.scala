@@ -591,6 +591,123 @@ object Llm {
       |       (round(sum(hit) / count(*), 3) >= 0.5) AS within_band
       |FROM j""".stripMargin
 
+  // ---- q115: product-quantization ADC search ----------------------
+
+  /** Codebook dump location — same dump-then-replay seam as the q25b
+    * ALS factors: the gate writes the trained codebook here, then BOTH
+    * engines replay encode + ADC from the identical parquet bytes. */
+  private val pqDir =
+    graft.fixtures.AlbedoFixtures.persistDir + "/pq_centroids.parquet"
+
+  /** q115 (r8): product-quantization ADC top-k
+    * ([[graft.llmops.ProductQuantization]]) — the compression leg of
+    * the ANN stack (q37 brute / q66 LSH / q39 IVF are the routing
+    * legs). The integer-Lloyd codebook is trained once (memoized),
+    * dumped to parquet, and everything downstream — code assignment,
+    * per-query distance tables, ADC sums, top-10 ranking — is exact
+    * Long arithmetic both engines replay bit-for-bit. m=8 subspaces ×
+    * k=16 centroids over the 64-dim fixture vectors: 8 B/vector codes
+    * vs 256 B floats, the 32× shrink that makes a 100 TB embedding
+    * corpus memory-resident. */
+  def pqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.{ProductQuantization => PQ}
+    val emb = Tables.embeddings(spark, dir)
+    val cents = graft.ml.ModelMemo.cached(spark, s"pq:$dir") {
+      PQ.train(emb, m = 8, dim = 64, k = 16, iters = 5)
+    }
+    import spark.implicits._
+    cents.toDF().coalesce(1).write.mode("overwrite").parquet(pqDir)
+    val cent = spark.read.parquet(pqDir)
+    PQ.adcTopK(emb, cent, k = 10, m = 8, dim = 64,
+        queryPred = col("vec_id") < 8)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  private def pqAdcOracle: String =
+    s"""WITH e AS (SELECT vec_id AS id, unnest(embedding) AS x,
+       |       unnest(range(len(embedding))) AS d FROM embeddings),
+       |q AS (SELECT id, d // 8 AS sub, d % 8 AS pos,
+       |       floor(x::DOUBLE * 1e6)::BIGINT AS qx FROM e),
+       |cent AS (SELECT sub, c, unnest(cvec) AS cx,
+       |       unnest(range(len(cvec))) AS pos
+       |       FROM read_parquet('$pqDir/*.parquet')),
+       |dist AS (SELECT q.id, q.sub, cent.c,
+       |       CAST(sum((qx - cx) * (qx - cx)) AS BIGINT) AS dd
+       |       FROM q JOIN cent ON q.sub = cent.sub AND q.pos = cent.pos
+       |       GROUP BY 1, 2, 3),
+       |code AS (SELECT id, sub, c FROM dist
+       |       QUALIFY row_number() OVER (PARTITION BY id, sub
+       |                                  ORDER BY dd, c) = 1),
+       |adc AS (SELECT d.id AS query_id, k.id AS neighbor_id,
+       |       CAST(sum(d.dd) AS BIGINT) AS adc_dist
+       |       FROM code k JOIN dist d ON d.sub = k.sub AND d.c = k.c
+       |       WHERE d.id < 8 AND d.id <> k.id
+       |       GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, adc_dist,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |            ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rn
+       |      FROM adc)
+       |SELECT query_id, neighbor_id, adc_dist, rn FROM r
+       |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
+  // ---- q116: incremental admission (batch vs corpus) ---------------
+
+  /** q116 (r8): [[graft.llmops.Dedup.incrementalAdmit]] — the
+    * production ingest shape: classify a NEW batch (odd doc_ids)
+    * against an EXISTING corpus (even doc_ids) as
+    * exact_dup / near_dup / admitted without re-pairing the corpus.
+    * Exact = content-hash join; near = portable MinHash band rows of
+    * the batch joined against the corpus(+earlier-batch) band index;
+    * min-id-wins `matched_id`. Fully oracled — the DuckDB replay
+    * reuses the q64 CTE chain over corpus ∪ exact-surviving batch. */
+  def incrementalAdmitGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.incrementalAdmit(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text",
+        shingleK = 2, numHashes = 32, bands = 8, threshold = 0.3)
+      .orderBy(col("doc_id"))
+  }
+
+  private def incrementalAdmitOracle: String = {
+    val far = Long.MaxValue
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+       |         WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+       |batch AS (SELECT doc_id, text FROM documents
+       |         WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+       |bh AS (SELECT doc_id, text, md5(text) AS h,
+       |         min(doc_id) OVER (PARTITION BY md5(text)) AS bcanon
+       |       FROM batch),
+       |chash AS (SELECT md5(text) AS h, min(doc_id) AS cmatch
+       |          FROM corpus GROUP BY 1),
+       |exx AS (SELECT b.doc_id, b.text,
+       |         least(coalesce(c.cmatch, $far),
+       |           CASE WHEN b.bcanon < b.doc_id THEN b.bcanon
+       |                ELSE $far END) AS em
+       |       FROM bh b LEFT JOIN chash c ON c.h = b.h),
+       |exm AS (SELECT doc_id, text,
+       |          CASE WHEN em < $far THEN em END AS exact_match
+       |        FROM exx),
+       |base AS (SELECT doc_id, text FROM corpus
+       |         UNION ALL
+       |         SELECT doc_id, text FROM exm WHERE exact_match IS NULL),
+       |${minhashCteChain("base")},
+       |near AS (SELECT id_b AS doc_id, id_a AS m FROM est
+       |         WHERE est_jaccard >= 0.3 AND id_b % 2 = 1
+       |         UNION ALL
+       |         SELECT id_a, id_b FROM est
+       |         WHERE est_jaccard >= 0.3 AND id_a % 2 = 1 AND id_b % 2 = 0),
+       |nearm AS (SELECT doc_id, min(m) AS near_match FROM near GROUP BY 1)
+       |SELECT e.doc_id,
+       |  CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+       |       WHEN n.near_match IS NOT NULL THEN 'near_dup'
+       |       ELSE 'admitted' END AS verdict,
+       |  coalesce(e.exact_match, n.near_match) AS matched_id
+       |FROM exm e LEFT JOIN nearm n ON n.doc_id = e.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+  }
+
   /** The complete training-data admission pipeline composed as ONE
     * declarative plan — the engine's flagship composition: quality
     * filter → language-ID gate → exact dedup collapse → near-dup
@@ -1457,6 +1574,9 @@ object Llm {
     QueryDef("q83_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     QueryDef("q84_bm25_search", bm25Search, Some(bm25Oracle)),
     QueryDef("q113_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
+    QueryDef("q115_pq_adc_topk", pqAdcTopK, Some(pqAdcOracle)),
+    QueryDef("q116_incremental_admit", incrementalAdmitGate,
+      Some(incrementalAdmitOracle)),
     QueryDef("q85_feature_hash", featureHash, Some(featureHashOracle)),
     QueryDef("q87_pmi_pairs", pmiAssociations, Some(pmiOracle)),
     QueryDef("q65_simhash_portable", simhashPortable, Some(simhashPortableOracle)),

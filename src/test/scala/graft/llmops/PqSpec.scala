@@ -1,0 +1,116 @@
+package graft.llmops
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Product quantization ([[ProductQuantization]], gate q115):
+  * codebook shape, assignment optimality, ADC consistency, recall vs
+  * the exact integer-L2 ranking, empty-cluster survival, determinism. */
+class PqSpec extends SparkSpec {
+  import graft.llmops.{ProductQuantization => PQ}
+
+  private val m = 8
+  private val dim = 64
+  private val k = 16
+
+  private lazy val emb = Tables.embeddings(spark, sf0001)
+  private lazy val cents = PQ.train(emb, m, dim, k, iters = 3)
+  private lazy val centDf = {
+    import spark.implicits._
+    cents.toDF()
+  }
+
+  test("codebook has m*k centroids of subdim length") {
+    assert(cents.size == m * k)
+    assert(cents.forall(_.cvec.size == dim / m))
+    assert(cents.map(c => (c.sub, c.c)).distinct.size == m * k)
+  }
+
+  test("every (id, sub) gets the nearest code (ties to smallest c)") {
+    val sv = PQ.subvectors(emb, m, dim)
+    val codes = PQ.encode(emb, centDf, m, dim)
+    // recompute the full distance matrix and asser the chosen code is
+    // minimal; strictly-smaller alternative distance = violation
+    val full = sv.join(broadcast(centDf), Seq("sub"))
+      .withColumn("dd", aggregate(
+        zip_with(col("qv"), col("cvec"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (s, t) => s + t))
+      .select(col("id"), col("sub"), col("c").as("alt_c"), col("dd"))
+    val chosen = codes.join(full,
+        codes("id") === full("id") && codes("sub") === full("sub") &&
+          codes("c") === full("alt_c"))
+      .select(codes("id"), codes("sub"), codes("c"), col("dd").as("chosen_dd"))
+    val viol = chosen.join(full.withColumnRenamed("dd", "alt_dd"),
+        Seq("id", "sub"))
+      .filter(col("alt_dd") < col("chosen_dd") ||
+        (col("alt_dd") === col("chosen_dd") && col("alt_c") < col("c")))
+      .count()
+    assert(viol == 0L)
+  }
+
+  test("ADC distance is the sum of per-subspace table lookups") {
+    val codes = PQ.encode(emb, centDf, m, dim)
+    val adc = PQ.adcTopK(emb, centDf, k = 5, m, dim, col("vec_id") < 2)
+    // replay one (query, neighbor) pair by hand
+    val row = adc.orderBy(col("query_id"), col("rn")).head()
+    val (qid, nid, dist) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val sv = PQ.subvectors(emb, m, dim)
+    val replay = sv.filter(col("id") === qid)
+      .join(codes.filter(col("id") === nid)
+        .select(col("sub"), col("c")), Seq("sub"))
+      .join(broadcast(centDf), Seq("sub", "c"))
+      .withColumn("dd", aggregate(
+        zip_with(col("qv"), col("cvec"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (s, t) => s + t))
+      .agg(sum(col("dd"))).head().getLong(0)
+    assert(replay == dist)
+  }
+
+  test("ADC top-10 recalls the exact integer-L2 top-10 above the floor") {
+    val sv = PQ.subvectors(emb, m, dim)
+    val exact = sv.select(col("id").as("query_id"), col("sub"), col("qv"))
+      .filter(col("query_id") < 8)
+      .join(sv.select(col("id").as("neighbor_id"), col("sub"),
+        col("qv").as("nv")), Seq("sub"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dd", aggregate(
+        zip_with(col("qv"), col("nv"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (s, t) => s + t))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dd")).as("l2"))
+    val exactTop = exact.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("l2"), col("neighbor_id"))))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val adcTop = PQ.adcTopK(emb, centDf, k = 10, m, dim, col("vec_id") < 8)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+    val recall = exactTop.join(adcTop, Seq("query_id", "neighbor_id"), "left")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
+      .head().getDouble(0)
+    // m=8/k=16 PQ on UNclustered random 64-dim vectors is the
+    // worst case for a coarse quantizer: observed 0.225 — 11× the
+    // 10/499 ≈ 0.02 chance rate. Floor pinned below observed, far
+    // above chance.
+    assert(recall >= 0.15, s"ADC recall@10 $recall below floor")
+  }
+
+  test("empty clusters carry the previous centroid (duplicate corpus)") {
+    import spark.implicits._
+    val dup = (0 until 10).map(i => (i.toLong,
+      Array.fill(dim)(0.25f), 0)).toDF("vec_id", "embedding", "label")
+    val cs = PQ.train(dup, m, dim, k = 4, iters = 2)
+    assert(cs.size == m * 4)
+    // all points identical → all mass lands on code 0; codes 1..3 must
+    // still exist (carried), and code 0's centroid is the point itself
+    val q = math.floor(0.25f.toDouble * 1e6).toLong
+    assert(cs.filter(_.c == 0).forall(_.cvec.forall(_ == q)))
+  }
+
+  test("training is deterministic") {
+    val again = PQ.train(emb, m, dim, k, iters = 3)
+    assert(again == cents)
+  }
+}
