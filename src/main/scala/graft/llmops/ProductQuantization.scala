@@ -141,17 +141,23 @@ object ProductQuantization {
     * the vector's code. One broadcast (per-query distance table,
     * |Q|·m·k rows) + one keyed sum + one top-k window. Ascending
     * approximate distance; ties break by neighbor id. */
+  /** Full query→codebook distance table: (query_id, sub, c, dd) — the
+    * |Q|·m·k rows ADC looks scores up in. Shared by [[adcTopK]] and
+    * [[Similarity.ivfPqTopKPortable]]. */
+  def distTable(queries: DataFrame, cent: DataFrame, m: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    subvectors(queries, m, dim, idCol, vecCol)
+      .join(broadcast(cent), Seq("sub"))
+      .withColumn("dd", sqDist(col("qv"), col("cvec")))
+      .select(col("id").as("query_id"), col("sub"), col("c"), col("dd"))
+
   def adcTopK(vectors: DataFrame, cent: DataFrame, k: Int, m: Int, dim: Int,
       queryPred: org.apache.spark.sql.Column,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val subv = subvectors(vectors, m, dim, idCol, vecCol)
     val codes = assign(subv, cent).select(
       col("id").as("neighbor_id"), col("sub"), col("c"))
-    // full query→codebook distance table (not just the argmin row)
-    val qdist = subvectors(vectors.filter(queryPred), m, dim, idCol, vecCol)
-      .join(broadcast(cent), Seq("sub"))
-      .withColumn("dd", sqDist(col("qv"), col("cvec")))
-      .select(col("id").as("query_id"), col("sub"), col("c"), col("dd"))
+    val qdist = distTable(vectors.filter(queryPred), cent, m, dim, idCol, vecCol)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
     codes.join(broadcast(qdist), Seq("sub", "c"))

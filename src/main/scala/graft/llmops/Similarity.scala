@@ -304,9 +304,15 @@ object Similarity {
     * fine for the oracle gate's 10-label fixture, but a large corpus
     * wants [[ivfTopK]]'s KMeans cells (nCells sized ~√n), which this
     * variant exists to oracle, not replace. */
-  def ivfTopKPortable(vectors: DataFrame, k: Int, nProbe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      labelCol: String = "label"): DataFrame = {
+  /** Label-seeded integer-centroid cell routing shared by
+    * [[ivfTopKPortable]] and [[ivfPqTopKPortable]]: every vector gets
+    * its top-1 cell (`assigned`: id, v, cell) and its `nProbe` nearest
+    * cells (`probes`: query_id, qv, cell). Routing cosine = exact Long
+    * dot/norms combined in IEEE doubles (r6 adjudication: bit-stable
+    * across both engines). */
+  private def portableIvfRouting(vectors: DataFrame, nProbe: Int,
+      idCol: String, vecCol: String,
+      labelCol: String): (DataFrame, DataFrame) = {
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
       col(labelCol).as("lbl"))
     // integer centroids per label: order-independent long sums
@@ -342,6 +348,14 @@ object Similarity {
       .withColumn("pr", row_number().over(assignW))
       .filter(col("pr") <= nProbe)
       .select(col("id").as("query_id"), col("v").as("qv"), col("cell"))
+    (assigned, probes)
+  }
+
+  def ivfTopKPortable(vectors: DataFrame, k: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val (assigned, probes) =
+      portableIvfRouting(vectors, nProbe, idCol, vecCol, labelCol)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     probes.join(assigned.select(col("cell"), col("id").as("neighbor_id"),
@@ -351,6 +365,51 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rn"))
+  }
+
+  /** IVF-PQ: cell routing + ADC re-rank — the composition FAISS ships
+    * as its production index (`IVFx,PQy`): [[portableIvfRouting]]
+    * prunes the corpus to the query's `nProbe` cells, and within them
+    * neighbors are scored from their PQ codes against the query's
+    * full-precision distance table
+    * ([[ProductQuantization.distTable]]) — no corpus float is touched
+    * at search time. At 100 TB this is the whole point of both legs
+    * combined: the scan is 1/nCells of the corpus AND each scanned
+    * vector is m bytes, not 4·D. Exact Long ADC sums + double routing
+    * cosine (r6-adjudicated stable) keep the product
+    * DuckDB-replayable. Ascending approximate distance, ties by
+    * neighbor id. */
+  def ivfPqTopKPortable(vectors: DataFrame, codebook: DataFrame, k: Int,
+      m: Int, dim: Int, nProbe: Int,
+      queryPred: org.apache.spark.sql.Column,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    import graft.llmops.{ProductQuantization => PQ}
+    val (assigned, probes) =
+      portableIvfRouting(vectors, nProbe, idCol, vecCol, labelCol)
+    val codes = PQ.encode(vectors, codebook, m, dim, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("sub"), col("c"))
+    val qdist = PQ.distTable(vectors.filter(queryPred), codebook, m, dim,
+      idCol, vecCol)
+    val queryIds = vectors.filter(queryPred)
+      .select(col(idCol).cast("long").as("query_id"))
+    val candidates = probes
+      .select(col("query_id").cast("long").as("query_id"), col("cell"))
+      .join(broadcast(queryIds), Seq("query_id"))
+      .join(assigned.select(col("id").as("neighbor_id"), col("cell")),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    candidates
+      .join(codes, Seq("neighbor_id"))
+      .join(broadcast(qdist), Seq("query_id", "sub", "c"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dd")).cast("long").as("adc_dist"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rn"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:

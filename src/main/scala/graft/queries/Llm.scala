@@ -708,6 +708,62 @@ object Llm {
        |ORDER BY e.doc_id""".stripMargin
   }
 
+  // ---- q117: IVF-PQ composed index ---------------------------------
+
+  /** q117 (r8): [[graft.llmops.Similarity.ivfPqTopKPortable]] — the
+    * FAISS-production composition of the two ANN legs: label-seeded
+    * cell routing (q39b's math) prunes to nProbe=2 cells, PQ codes +
+    * the query's distance table (q115's math) score inside them. The
+    * codebook is the SAME memoized fit as q115 (one train per
+    * session), dumped to the same parquet; routing doubles and ADC
+    * Longs both replay in DuckDB. */
+  def ivfPqGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.{ProductQuantization => PQ}
+    val emb = Tables.embeddings(spark, dir)
+    val cents = graft.ml.ModelMemo.cached(spark, s"pq:$dir") {
+      PQ.train(emb, m = 8, dim = 64, k = 16, iters = 5)
+    }
+    import spark.implicits._
+    cents.toDF().coalesce(1).write.mode("overwrite").parquet(pqDir)
+    val cent = spark.read.parquet(pqDir)
+    Similarity.ivfPqTopKPortable(emb, cent, k = 10, m = 8, dim = 64,
+        nProbe = 2, queryPred = col("vec_id") < 8)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  private def ivfPqOracle: String =
+    s"""WITH $ivfPortableCtes,
+       |pq_q AS (SELECT vec_id AS id, d // 8 AS sub, d % 8 AS pos,
+       |       floor(x::DOUBLE * 1e6)::BIGINT AS qx FROM u),
+       |pq_cent AS (SELECT sub, c, unnest(cvec) AS cx,
+       |       unnest(range(len(cvec))) AS pos
+       |       FROM read_parquet('$pqDir/*.parquet')),
+       |pq_dist AS (SELECT q.id, q.sub, pq_cent.c,
+       |       CAST(sum((qx - cx) * (qx - cx)) AS BIGINT) AS dd
+       |       FROM pq_q q JOIN pq_cent
+       |         ON q.sub = pq_cent.sub AND q.pos = pq_cent.pos
+       |       GROUP BY 1, 2, 3),
+       |pq_code AS (SELECT id, sub, c FROM pq_dist
+       |       QUALIFY row_number() OVER (PARTITION BY id, sub
+       |                                  ORDER BY dd, c) = 1),
+       |cand2 AS (SELECT p.query_id, a.vec_id AS neighbor_id
+       |       FROM probes p JOIN assigned a
+       |         ON a.cell = p.cell AND a.vec_id != p.query_id
+       |       WHERE p.query_id < 8),
+       |adc2 AS (SELECT c.query_id, c.neighbor_id,
+       |       CAST(sum(d.dd) AS BIGINT) AS adc_dist
+       |       FROM cand2 c
+       |       JOIN pq_code k ON k.id = c.neighbor_id
+       |       JOIN pq_dist d ON d.id = c.query_id
+       |         AND d.sub = k.sub AND d.c = k.c
+       |       GROUP BY 1, 2),
+       |r2 AS (SELECT query_id, neighbor_id, adc_dist,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |            ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rn
+       |      FROM adc2)
+       |SELECT query_id, neighbor_id, adc_dist, rn FROM r2
+       |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
   /** The complete training-data admission pipeline composed as ONE
     * declarative plan — the engine's flagship composition: quality
     * filter → language-ID gate → exact dedup collapse → near-dup
@@ -1577,6 +1633,7 @@ object Llm {
     QueryDef("q115_pq_adc_topk", pqAdcTopK, Some(pqAdcOracle)),
     QueryDef("q116_incremental_admit", incrementalAdmitGate,
       Some(incrementalAdmitOracle)),
+    QueryDef("q117_ivf_pq_topk", ivfPqGate, Some(ivfPqOracle)),
     QueryDef("q85_feature_hash", featureHash, Some(featureHashOracle)),
     QueryDef("q87_pmi_pairs", pmiAssociations, Some(pmiOracle)),
     QueryDef("q65_simhash_portable", simhashPortable, Some(simhashPortableOracle)),

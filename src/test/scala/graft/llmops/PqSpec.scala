@@ -109,6 +109,22 @@ class PqSpec extends SparkSpec {
     assert(cs.filter(_.c == 0).forall(_.cvec.forall(_ == q)))
   }
 
+  test("IVF-PQ distances agree with global ADC on shared pairs") {
+    val ivfpq = Similarity.ivfPqTopKPortable(emb, centDf, k = 10, m, dim,
+      nProbe = 2, queryPred = col("vec_id") < 4)
+    val adc = PQ.adcTopK(emb, centDf, k = 1000, m, dim, col("vec_id") < 4)
+      .select(col("query_id"), col("neighbor_id"),
+        col("adc_dist").as("global_dist"))
+    // cell pruning may drop neighbors, but every surviving pair must
+    // carry the identical ADC distance
+    val joined = ivfpq.join(adc, Seq("query_id", "neighbor_id"), "left")
+    assert(joined.filter(col("global_dist").isNull ||
+      col("global_dist") =!= col("adc_dist")).count() == 0)
+    assert(ivfpq.groupBy(col("query_id"))
+      .agg(max(col("rn")).as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n") || col("n") > 10).count() == 0)
+  }
+
   test("training is deterministic") {
     val again = PQ.train(emb, m, dim, k, iters = 3)
     assert(again == cents)
