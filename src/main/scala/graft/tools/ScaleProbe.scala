@@ -53,6 +53,14 @@ object ScaleProbe {
     // the q99 eval side is a benchmark — constant size at every scale
     val evalDocs = docsBase.filter(col("doc_id") < 50).cache()
     evalDocs.count()
+    // PQ codebook: an artifact, not a scaled input — train once on the
+    // base corpus (production trains on a sample) and share both scales
+    val pqCents = graft.llmops.ProductQuantization.train(
+      embBase, m = 8, dim = 64, k = 16, iters = 5)
+    def pqCodebook(s: SparkSession): DataFrame = {
+      import s.implicits._
+      pqCents.toDF()
+    }
 
     def gates(docs: DataFrame, emb: DataFrame): Seq[(String, () => DataFrame)] = Seq(
       "q33_exact_dedup" -> (() => Dedup.exact(docs, "doc_id", "text")),
@@ -88,7 +96,20 @@ object ScaleProbe {
           graft.text.Bm25.search(docs, "doc_id", "text", terms, topK = 20),
           graft.text.HybridSearch.queryLikelihood(docs, "doc_id", "text",
             terms))
-      }))
+      }),
+      // r8 session additions: PQ search is encode (map-side) + one
+      // keyed sum — linear; IVF-PQ adds cell pruning on top;
+      // incremental admission is the q64 band join restricted to the
+      // batch side
+      "q115_pq_adc" -> (() => graft.llmops.ProductQuantization.adcTopK(
+        emb, pqCodebook(spark), k = 10, m = 8, dim = 64,
+        queryPred = col("vec_id") < 8)),
+      "q116_incremental_admit" -> (() => Dedup.incrementalAdmit(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")),
+      "q117_ivf_pq" -> (() => Similarity.ivfPqTopKPortable(
+        emb, pqCodebook(spark), k = 10, m = 8, dim = 64, nProbe = 2,
+        queryPred = col("vec_id") < 8)))
 
     def time(mk: () => DataFrame): Double = {
       val ts = (1 to 2).map { _ =>
