@@ -135,4 +135,47 @@ object Quality {
         round(avg, 6).as("avg_nll"),
         round(exp(avg), 2).as("ppl"))
   }
+
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): hashed-unigram
+    * bag-of-words models for a TARGET slice (`targetPred` over the doc
+    * row) vs the full SOURCE corpus; per-doc importance =
+    * Σ_tokens log(p_target(bucket) / p_source(bucket)), add-1
+    * smoothed, in integer micro-nats (the q84/q102 portability move:
+    * one libm log per bucket, rounded BEFORE the order-independent
+    * Long summation).
+    *
+    * Scale shape: both models are `nBuckets`-sized count vectors —
+    * constant-size artifacts that broadcast (the point of hashing the
+    * vocabulary); scoring is one scan with a broadcast lookup + one
+    * keyed sum. At 100 TB the models come from hash-samples and the
+    * scorer streams the corpus once. */
+  def dsirScores(docs: DataFrame, targetPred: Column, idCol: String,
+      textCol: String, nBuckets: Int = 1024): DataFrame = {
+    val inst = docs.select(col(idCol).cast("long").as("doc_id"),
+        targetPred.as("is_target"),
+        explode(filter(split(lower(col(textCol)), "\\s+"),
+          t => length(t) > 0)).as("t"))
+      .withColumn("b", conv(substring(md5(col("t")), 1, 8), 16, 10)
+        .cast("long") % nBuckets)
+    val srcCounts = inst.groupBy(col("b")).agg(count(lit(1)).as("cs"))
+    val tgtCounts = inst.filter(col("is_target"))
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = inst.agg(count(lit(1)).as("s_tot"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("t_tot"))
+    val lam = srcCounts.join(tgtCounts, Seq("b"), "left")
+      .withColumn("ctn", coalesce(col("ct"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .withColumn("lambda_u", round(log(
+          ((col("ctn") + 1).cast("double") /
+            (col("t_tot") + nBuckets).cast("double")) /
+          ((col("cs") + 1).cast("double") /
+            (col("s_tot") + nBuckets).cast("double"))) * 1000000)
+        .cast("long"))
+      .select(col("b"), col("lambda_u"))
+    inst.join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lambda_u")).as("dsir_score_u"))
+  }
 }

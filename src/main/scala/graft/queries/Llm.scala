@@ -1039,6 +1039,45 @@ object Llm {
       |FROM documents d JOIN r USING (lang)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q118 (r8): DSIR-style importance selection
+    * ([[graft.llmops.Quality.dsirScores]]) — target = English docs,
+    * source = the whole corpus; `selected` = docs whose hashed-unigram
+    * importance is positive (more target-like than source-like). The
+    * model is two 1024-bucket count vectors; micro-nat integer scores
+    * make the gate hash-exact. */
+  def dsirSelection(spark: SparkSession, dir: String): DataFrame =
+    Quality.dsirScores(Tables.documents(spark, dir),
+        col("lang") === "en", "doc_id", "text", nBuckets = 1024)
+      .withColumn("selected", col("dsir_score_u") > 0)
+      .orderBy(col("doc_id"))
+
+  private def dsirOracle: String =
+    """WITH inst AS (
+      |  SELECT doc_id, (lang = 'en') AS is_target,
+      |         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                            x -> x <> '')) AS t
+      |  FROM documents),
+      |ib AS (SELECT doc_id, is_target,
+      |         ('0x' || substr(md5(t), 1, 8))::BIGINT % 1024 AS b
+      |       FROM inst),
+      |cs AS (SELECT b, count(*) AS cs FROM ib GROUP BY 1),
+      |ctc AS (SELECT b, count(*) AS ct FROM ib WHERE is_target GROUP BY 1),
+      |tot AS (SELECT count(*) AS s_tot,
+      |          sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_tot
+      |        FROM ib),
+      |lam AS (SELECT cs.b,
+      |    CAST(round(ln(((coalesce(ctc.ct, 0) + 1)::DOUBLE
+      |                     / (t.t_tot + 1024)::DOUBLE)
+      |                  / ((cs.cs + 1)::DOUBLE
+      |                     / (t.s_tot + 1024)::DOUBLE)) * 1000000)
+      |         AS BIGINT) AS lambda_u
+      |  FROM cs LEFT JOIN ctc ON ctc.b = cs.b, tot t),
+      |sc AS (SELECT i.doc_id, count(*) AS n_tokens,
+      |         CAST(sum(l.lambda_u) AS BIGINT) AS dsir_score_u
+      |       FROM ib i JOIN lam l ON l.b = i.b GROUP BY 1)
+      |SELECT doc_id, n_tokens, dsir_score_u, dsir_score_u > 0 AS selected
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   /** Unigram-LM perplexity quality filter
     * ([[Quality.unigramPerplexity]]): mean negative log-likelihood per
     * doc under an add-1 unigram model fit on the corpus — the
@@ -1634,6 +1673,7 @@ object Llm {
     QueryDef("q116_incremental_admit", incrementalAdmitGate,
       Some(incrementalAdmitOracle)),
     QueryDef("q117_ivf_pq_topk", ivfPqGate, Some(ivfPqOracle)),
+    QueryDef("q118_dsir_selection", dsirSelection, Some(dsirOracle)),
     QueryDef("q85_feature_hash", featureHash, Some(featureHashOracle)),
     QueryDef("q87_pmi_pairs", pmiAssociations, Some(pmiOracle)),
     QueryDef("q65_simhash_portable", simhashPortable, Some(simhashPortableOracle)),
