@@ -1078,6 +1078,88 @@ object Llm {
       |SELECT doc_id, n_tokens, dsir_score_u, dsir_score_u > 0 AS selected
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  private val bpeMaxWords = 2000
+  private val bpeRounds = 10
+
+  /** q119 (r8): BPE merge training ([[graft.text.Bpe.train]]) — the
+    * learned merge table (rank, pair, pair frequency) after 10 rounds
+    * over the top-2000 word-frequency table. Pure integer/string
+    * logic end to end, so the full training chain (pair counts →
+    * deterministic argmax → run-parity greedy merge application)
+    * replays hash-exactly from the unrolled-CTE oracle. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.train(Tables.documents(spark, dir), "text",
+        maxWords = bpeMaxWords, rounds = bpeRounds)._1
+      .select(col("merge_rank").cast("long"), col("left_sym"),
+        col("right_sym"), col("pair_count"))
+      .orderBy(col("merge_rank"))
+
+  /** q119b (r8): final segmented vocabulary after the q119 merges —
+    * pins the whole post-merge STATE, not just the argmax chain (a
+    * wrong merge application could still pick the right next pair;
+    * it cannot also reproduce every segmentation). */
+  def bpeSegmented(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.train(Tables.documents(spark, dir), "text",
+        maxWords = bpeMaxWords, rounds = bpeRounds)._2
+      .select(col("word"), col("cnt"), array_join(col("syms"), " ").as("segmented"))
+      .orderBy(col("cnt").desc, col("word")).limit(50)
+
+  /** Unrolled CTE chain replaying [[graft.text.Bpe]] round by round:
+    * w0 = char symbols + marker; per round — pair totals, 1-row
+    * argmax (total DESC, left, right), run-parity merge application
+    * (the same two-window construction as the Scala). MATERIALIZED
+    * so the doubly-referenced per-round CTEs don't inline
+    * exponentially (the SQL twin of the localCheckpoint). */
+  private def bpeCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH wf AS MATERIALIZED (
+      SELECT word, count(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+        FROM documents)
+      WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
+    wt AS MATERIALIZED (SELECT word, cnt FROM wf
+      ORDER BY cnt DESC, word LIMIT $bpeMaxWords),
+    w0 AS MATERIALIZED (SELECT word, cnt,
+      list_append(list_transform(range(1, length(word) + 1),
+        i -> substring(word, i, 1)), '</w>') AS syms FROM wt)"""
+    for (r <- 0 until bpeRounds) sb ++= s""",
+    x$r AS MATERIALIZED (SELECT word, cnt,
+      unnest(range(1, len(syms) + 1)) AS pos, syms FROM w$r),
+    xs$r AS MATERIALIZED (SELECT word, cnt, pos, syms[pos] AS sym,
+      CASE WHEN pos < len(syms) THEN syms[pos + 1] END AS nxt FROM x$r),
+    b$r AS MATERIALIZED (SELECT sym AS l, nxt AS r,
+      CAST(sum(cnt) AS BIGINT) AS pair_count
+      FROM xs$r WHERE nxt IS NOT NULL GROUP BY 1, 2
+      ORDER BY 3 DESC, 1, 2 LIMIT 1),
+    m$r AS (SELECT word, cnt, pos, sym, nxt,
+      (sym = b.l AND coalesce(nxt = b.r, false)) AS m
+      FROM xs$r CROSS JOIN b$r b),
+    g$r AS (SELECT *, CASE WHEN m THEN
+        pos - row_number() OVER (PARTITION BY word, m ORDER BY pos) END AS grp
+      FROM m$r),
+    k$r AS (SELECT *, (m AND
+        row_number() OVER (PARTITION BY word, grp ORDER BY pos) % 2 = 1) AS keep
+      FROM g$r),
+    c$r AS (SELECT *, coalesce(lag(keep) OVER (PARTITION BY word ORDER BY pos),
+        false) AS consumed FROM k$r),
+    w${r + 1} AS MATERIALIZED (SELECT word, cnt,
+      list(CASE WHEN keep THEN sym || nxt ELSE sym END ORDER BY pos) AS syms
+      FROM c$r WHERE NOT consumed GROUP BY word, cnt)"""
+    sb.toString
+  }
+
+  private def bpeMergesOracle: String = {
+    val union = (0 until bpeRounds).map(r =>
+      s"SELECT ${r + 1}::BIGINT AS merge_rank, l AS left_sym, " +
+        s"r AS right_sym, pair_count FROM b$r").mkString(" UNION ALL ")
+    s"$bpeCtes\nSELECT * FROM ($union) ORDER BY merge_rank"
+  }
+
+  private def bpeSegmentedOracle: String =
+    s"""$bpeCtes
+    SELECT word, cnt, array_to_string(syms, ' ') AS segmented
+    FROM w$bpeRounds ORDER BY cnt DESC, word LIMIT 50"""
+
   /** Unigram-LM perplexity quality filter
     * ([[Quality.unigramPerplexity]]): mean negative log-likelihood per
     * doc under an add-1 unigram model fit on the corpus — the
@@ -1674,6 +1756,8 @@ object Llm {
       Some(incrementalAdmitOracle)),
     QueryDef("q117_ivf_pq_topk", ivfPqGate, Some(ivfPqOracle)),
     QueryDef("q118_dsir_selection", dsirSelection, Some(dsirOracle)),
+    QueryDef("q119_bpe_merges", bpeMerges, Some(bpeMergesOracle)),
+    QueryDef("q119b_bpe_segmented", bpeSegmented, Some(bpeSegmentedOracle)),
     QueryDef("q85_feature_hash", featureHash, Some(featureHashOracle)),
     QueryDef("q87_pmi_pairs", pmiAssociations, Some(pmiOracle)),
     QueryDef("q65_simhash_portable", simhashPortable, Some(simhashPortableOracle)),

@@ -53,6 +53,24 @@ object Tables {
           throw new IllegalStateException(
             s"events.ts has unsupported dtype $other — expected long nanos or timestamp")
       }
+    } else if (name == "embeddings") {
+      // The ANN/cosine kernels and every DuckDB oracle assume float32
+      // vectors. Tolerate a driver fixture regeneration that widens the
+      // list element to double (the r7 events.ts lesson: tolerate known
+      // drift in the loader, detect unknown drift in FixtureContractSpec)
+      // by casting back down — float64 fixtures would have been produced
+      // from the same float32 values, so the down-cast is lossless.
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("embedding").dataType match {
+        case ArrayType(FloatType, _) => raw
+        case ArrayType(DoubleType, _) =>
+          raw.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+        case other =>
+          throw new IllegalStateException(
+            s"embeddings.embedding has unsupported dtype $other — expected array<float|double>")
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

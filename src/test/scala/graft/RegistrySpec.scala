@@ -30,7 +30,7 @@ class RegistrySpec extends AnyFunSuite {
     // persisted fixtures
     val idRe = "(?i)(?:from|join)\\s+([a-z_][a-z0-9_]*)".r
     SparkEntry.oracleSql.foreach { case (k, sql) =>
-      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([a-z0-9_,\\s]*\\))?\\s+as\\s*\\(".r
+      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([a-z0-9_,\\s]*\\))?\\s+as\\s+(?:materialized\\s*)?\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       idRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
         val tableFns = Set("read_parquet", "lateral", "unnest", "range",

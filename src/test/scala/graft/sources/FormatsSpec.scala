@@ -63,6 +63,27 @@ class FormatsSpec extends SparkSpec {
     }
   }
 
+  test("Tables.embeddings normalizes float AND double fixtures to array<float>") {
+    // Same drift class as events.ts: the driver could regenerate
+    // embeddings.parquet with float64 lists; the kernels assume float32.
+    import spark.implicits._
+    val vecs = Seq((0L, Seq(0.25f, -1.5f, 3.0f), 1), (1L, Seq(0.5f, 2.0f, -0.125f), 2))
+    val dirF = Files.createTempDirectory("embF").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dirF/embeddings.parquet")
+    val dirD = Files.createTempDirectory("embD").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .write.mode("overwrite").parquet(s"$dirD/embeddings.parquet")
+    for (dir <- Seq(dirF, dirD)) {
+      val emb = Tables.embeddings(spark, dir)
+      assert(emb.schema("embedding").dataType.simpleString == "array<float>", dir)
+      val got = emb.orderBy("vec_id").select(col("embedding"))
+        .as[Seq[Float]].collect().toSeq
+      assert(got == vecs.map(_._2), s"layout at $dir")
+    }
+  }
+
   test("orc round-trip with predicate pushdown in the plan") {
     val dir = Files.createTempDirectory("orc").toString + "/c"
     base.write.mode("overwrite").orc(dir)
