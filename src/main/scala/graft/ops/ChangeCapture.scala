@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture primitives over at-rest snapshots — the feed
+  * side of the [[graft.sources.Snapshots.mergeUpsert]] (SCD-1) sink:
+  * derive a changelog by DIFFING two snapshots, and build SCD-2
+  * interval history from a stream of versioned deliveries.
+  *
+  * Scale shape:
+  *  - [[snapshotDiff]] is one full-outer equi-join on the key — both
+  *    sides shuffle once on the same key (or not at all when the
+  *    snapshots are co-bucketed / z-ordered on it, ops/ZOrder). Row
+  *    content is reduced to an md5 content hash BEFORE the join, so
+  *    the shuffle carries (key, 32-byte hash) rather than whole rows
+  *    — at 100 TB the diff moves ~1% of the table's bytes.
+  *  - [[scd2]] is one shuffle on the key; the change-collapse window
+  *    and the interval-close window both run on that same
+  *    partitioning (no second exchange — the plan shows one Exchange
+  *    feeding two Window operators).
+  *
+  * Reference corollary: the reference's Django layer re-syncs whole
+  * tables into ES on a schedule (app/management/commands/
+  * sync_data_to_es.py:18-50 re-indexes everything); a changelog diff
+  * is what makes that sync incremental at scale.
+  */
+object ChangeCapture {
+
+  // \u0001-separated so ("ab","c") and ("a","bc") hash differently;
+  // DuckDB replays as md5(concat_ws(chr(1), ...)).
+  private def contentHash(cols: Seq[String]) =
+    md5(concat_ws("", cols.map(col): _*))
+
+  /** Changelog between two snapshots of the same table: one row per
+    * key whose content changed — op I (insert), U (update), D
+    * (delete) — with the old/new content hashes as evidence.
+    * Unchanged keys are dropped before anything else consumes the
+    * result, so downstream incremental work is proportional to the
+    * CHANGE volume, not the table. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+      cols: Seq[String]): DataFrame = {
+    val o = oldSnap.select(col(key), contentHash(cols).as("h_old"))
+    val n = newSnap.select(col(key), contentHash(cols).as("h_new"))
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("op",
+        when(col("h_old").isNull, lit("I"))
+          .when(col("h_new").isNull, lit("D"))
+          .when(col("h_old") =!= col("h_new"), lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col(key), col("op"), col("h_old"), col("h_new"))
+  }
+
+  /** SCD-2 interval history from versioned upsert deliveries
+    * (key, version, content): re-deliveries with unchanged content
+    * collapse into the open interval (no spurious version churn); a
+    * content change closes the previous interval at version − 1 and
+    * opens a new one. Output: one row per (key, interval) with
+    * content hash, valid_from / valid_to (null = open) and
+    * is_current. Assumes at most one delivery per (key, version) —
+    * upstream dedup (q68) owns at-least-once collapse. */
+  def scd2(deliveries: DataFrame, key: String, versionCol: String,
+      cols: Seq[String]): DataFrame = {
+    val changesOnly = deliveries
+      .select(col(key), col(versionCol).cast("long").as("v"),
+        contentHash(cols).as("h"))
+      .withColumn("prev_h", lag(col("h"), 1).over(Window.partitionBy(key).orderBy("v")))
+      .filter(col("prev_h").isNull || col("h") =!= col("prev_h"))
+    changesOnly
+      .withColumn("valid_to",
+        lead(col("v"), 1).over(Window.partitionBy(key).orderBy("v")) - 1)
+      .select(col(key), col("h"), col("v").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+}

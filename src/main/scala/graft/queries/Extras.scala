@@ -244,6 +244,84 @@ object Extras {
       .orderBy(col("doc_id"))
   }
 
+  /** q120 (r8): CDC changelog by snapshot diff
+    * ([[graft.ops.ChangeCapture.snapshotDiff]]) — v2 of the documents
+    * snapshot fabricated deterministically (every 7th doc deleted,
+    * every surviving 5th updated, every 11th re-keyed as an insert),
+    * diffed against v1 into I/U/D rows carrying the old/new content
+    * hashes. Unchanged keys never leave the join. */
+  def cdcChangelog(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val survivors = docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        concat(lit("[v2] "), col("text"))).otherwise(col("text")))
+    val inserts = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("[new] "), col("text")).as("text"))
+    graft.ops.ChangeCapture.snapshotDiff(
+        docs, survivors.unionByName(inserts), "doc_id", Seq("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def cdcChangelogOracle: String =
+    """WITH o AS (SELECT doc_id, md5(text) AS h_old FROM documents),
+      |n0 AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 5 = 0 THEN '[v2] ' || text ELSE text END AS text
+      |       FROM documents WHERE doc_id % 7 <> 0),
+      |ni AS (SELECT doc_id + 1000000 AS doc_id, '[new] ' || text AS text
+      |       FROM documents WHERE doc_id % 11 = 0),
+      |n AS (SELECT doc_id, md5(text) AS h_new
+      |      FROM (SELECT * FROM n0 UNION ALL SELECT * FROM ni)),
+      |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, h_old, h_new
+      |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      |SELECT doc_id,
+      |  CASE WHEN h_old IS NULL THEN 'I'
+      |       WHEN h_new IS NULL THEN 'D' ELSE 'U' END AS op,
+      |  h_old, h_new
+      |FROM j WHERE h_old IS NULL OR h_new IS NULL OR h_old <> h_new
+      |ORDER BY doc_id""".stripMargin
+
+  /** q121 (r8): SCD-2 interval history ([[graft.ops.ChangeCapture.scd2]])
+    * from three fabricated delivery waves — wave 2 modifies every 5th
+    * doc, wave 3 every 10th; everything else re-delivers IDENTICAL
+    * content and must collapse into the open interval rather than
+    * churn versions. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val v1 = docs.select(col("doc_id"), lit(1L).as("version"), col("text"))
+    val v2 = docs.select(col("doc_id"), lit(2L).as("version"),
+      when(col("doc_id") % 5 === 0, concat(lit("[v2] "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val v3 = docs.select(col("doc_id"), lit(3L).as("version"),
+      when(col("doc_id") % 10 === 0, concat(lit("[v3] "), col("text")))
+        .when(col("doc_id") % 5 === 0, concat(lit("[v2] "), col("text")))
+        .otherwise(col("text")).as("text"))
+    graft.ops.ChangeCapture.scd2(
+        v1.unionByName(v2).unionByName(v3), "doc_id", "version", Seq("text"))
+      .orderBy(col("doc_id"), col("valid_from"))
+  }
+
+  private def scd2Oracle: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents),
+      |d AS (
+      |  SELECT doc_id, 1 AS v, text FROM docs
+      |  UNION ALL
+      |  SELECT doc_id, 2,
+      |    CASE WHEN doc_id % 5 = 0 THEN '[v2] ' || text ELSE text END FROM docs
+      |  UNION ALL
+      |  SELECT doc_id, 3,
+      |    CASE WHEN doc_id % 10 = 0 THEN '[v3] ' || text
+      |         WHEN doc_id % 5 = 0 THEN '[v2] ' || text ELSE text END FROM docs),
+      |h AS (SELECT doc_id, v::BIGINT AS v, md5(text) AS h FROM d),
+      |c AS (SELECT *, lag(h) OVER (PARTITION BY doc_id ORDER BY v) AS prev_h
+      |      FROM h),
+      |f AS (SELECT doc_id, v, h FROM c WHERE prev_h IS NULL OR h <> prev_h),
+      |i AS (SELECT doc_id, h, v AS valid_from,
+      |        lead(v) OVER (PARTITION BY doc_id ORDER BY v) - 1 AS valid_to
+      |      FROM f)
+      |SELECT doc_id, h, valid_from, valid_to, valid_to IS NULL AS is_current
+      |FROM i ORDER BY doc_id, valid_from""".stripMargin
+
   /** Weekly retention cohorts over events: users grouped by first-seen
     * day; distinct active users per (cohort, week offset). */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
@@ -563,6 +641,8 @@ object Extras {
         |SELECT doc_id, version, text FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin)),
     QueryDef("q112_zorder_layout", zorderLayout, Some(zorderOracle)),
+    QueryDef("q120_cdc_changelog", cdcChangelog, Some(cdcChangelogOracle)),
+    QueryDef("q121_scd2_history", scd2History, Some(scd2Oracle)),
     QueryDef("q114_image_resize_golden", imageResizeGolden,
       Some(imageResizeGoldenOracle)),
     QueryDef("q78_retention_cohorts", retentionCohorts, Some(
