@@ -322,6 +322,70 @@ object Extras {
       |SELECT doc_id, h, valid_from, valid_to, valid_to IS NULL AS is_current
       |FROM i ORDER BY doc_id, valid_from""".stripMargin
 
+  /** q122 (r8): strictly-ordered funnel step times
+    * ([[graft.ops.Funnel.stepTimes]]) — per user, the earliest
+    * view → click → purchase chain where each step must occur at or
+    * after the previous step's reach time. One shuffle on user_id;
+    * the oracle replays the RANGE-framed running-min windows. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.stepTimes(Tables.events(spark, dir),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .select(col("user_id"),
+        unix_micros(col("t_1")).as("t1_us"),
+        unix_micros(col("t_2")).as("t2_us"),
+        unix_micros(col("t_3")).as("t3_us"))
+      .orderBy(col("user_id"))
+
+  private val funnelWindowCtes =
+    """e AS (SELECT user_id, event_type AS t, ts FROM events),
+      |w1 AS (SELECT user_id, t, ts,
+      |  min(CASE WHEN t = 'view' THEN ts END) OVER
+      |    (PARTITION BY user_id ORDER BY ts
+      |     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1
+      |  FROM e),
+      |w2 AS (SELECT *,
+      |  min(CASE WHEN t = 'click' AND r1 IS NOT NULL THEN ts END) OVER
+      |    (PARTITION BY user_id ORDER BY ts
+      |     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+      |  FROM w1),
+      |per AS (SELECT user_id,
+      |    min(CASE WHEN t = 'view' THEN ts END) AS t1,
+      |    min(CASE WHEN t = 'click' AND r1 IS NOT NULL THEN ts END) AS t2,
+      |    min(CASE WHEN t = 'purchase' AND r2 IS NOT NULL THEN ts END) AS t3
+      |  FROM w2 GROUP BY user_id)""".stripMargin
+
+  private def funnelStepsOracle: String =
+    s"""WITH $funnelWindowCtes
+       |SELECT user_id, epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us,
+       |       epoch_us(t3) AS t3_us
+       |FROM per ORDER BY user_id""".stripMargin
+
+  /** q122b (r8): funnel summary ([[graft.ops.Funnel.summary]]) — users
+    * reaching each step + integer ppm conversion vs previous/first. */
+  def funnelSummary(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.summary(Tables.events(spark, dir),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+
+  private def funnelSummaryOracle: String =
+    s"""WITH $funnelWindowCtes,
+       |c AS (SELECT count(t1)::BIGINT AS n1, count(t2)::BIGINT AS n2,
+       |             count(t3)::BIGINT AS n3 FROM per)
+       |SELECT 1::INTEGER AS step, 'view' AS step_type, n1 AS n_reached,
+       |  CASE WHEN n1 > 0 THEN n1 * 1000000 // n1 ELSE 0 END AS conv_prev_ppm,
+       |  CASE WHEN n1 > 0 THEN n1 * 1000000 // n1 ELSE 0 END AS conv_first_ppm
+       |FROM c
+       |UNION ALL
+       |SELECT 2::INTEGER, 'click', n2,
+       |  CASE WHEN n1 > 0 THEN n2 * 1000000 // n1 ELSE 0 END,
+       |  CASE WHEN n1 > 0 THEN n2 * 1000000 // n1 ELSE 0 END
+       |FROM c
+       |UNION ALL
+       |SELECT 3::INTEGER, 'purchase', n3,
+       |  CASE WHEN n2 > 0 THEN n3 * 1000000 // n2 ELSE 0 END,
+       |  CASE WHEN n1 > 0 THEN n3 * 1000000 // n1 ELSE 0 END
+       |FROM c
+       |ORDER BY step""".stripMargin
+
   /** Weekly retention cohorts over events: users grouped by first-seen
     * day; distinct active users per (cohort, week offset). */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
@@ -643,6 +707,8 @@ object Extras {
     QueryDef("q112_zorder_layout", zorderLayout, Some(zorderOracle)),
     QueryDef("q120_cdc_changelog", cdcChangelog, Some(cdcChangelogOracle)),
     QueryDef("q121_scd2_history", scd2History, Some(scd2Oracle)),
+    QueryDef("q122_funnel_steps", funnelSteps, Some(funnelStepsOracle)),
+    QueryDef("q122b_funnel_summary", funnelSummary, Some(funnelSummaryOracle)),
     QueryDef("q114_image_resize_golden", imageResizeGolden,
       Some(imageResizeGoldenOracle)),
     QueryDef("q78_retention_cohorts", retentionCohorts, Some(
