@@ -52,6 +52,60 @@ object ChangeCapture {
       .select(col(key), col("op"), col("h_old"), col("h_new"))
   }
 
+  /** Row-image changelog (Debezium-style before/after images) between
+    * two snapshots: one row per changed key with op I/U/D plus the old
+    * and new images of the GROUPING column and the MEASURE column —
+    * exactly the evidence [[maintainAgg]] needs to maintain a grouped
+    * aggregate without rescanning the base table. Same join shape as
+    * [[snapshotDiff]]; the shuffle carries key + two small images. */
+  def rowImageDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+      gCol: String, vCol: String): DataFrame = {
+    val o = oldSnap.select(col(key), col(gCol).as("g_old"),
+      col(vCol).as("v_old"), lit(true).as("__in_old"))
+    val n = newSnap.select(col(key), col(gCol).as("g_new"),
+      col(vCol).as("v_new"), lit(true).as("__in_new"))
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("op",
+        when(col("__in_old").isNull, lit("I"))
+          .when(col("__in_new").isNull, lit("D"))
+          .when(!(col("g_old") <=> col("g_new")) ||
+            !(col("v_old") <=> col("v_new")), lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col(key), col("op"), col("g_old"), col("v_old"),
+        col("g_new"), col("v_new"))
+  }
+
+  /** Incremental view maintenance for a grouped (count, sum) aggregate:
+    * apply a [[rowImageDiff]] changelog to the OLD materialized view
+    * and produce the NEW one, touching only changed groups. Retractions
+    * come from old images of D/U rows, additions from new images of
+    * I/U rows — a group move (U with g_old ≠ g_new) retracts from one
+    * group and adds to the other. Groups whose count reaches zero are
+    * dropped.
+    *
+    * Scale shape: the delta aggregate is proportional to the CHANGE
+    * volume; the final full-outer join touches |groups| + changed
+    * groups. The base table is never rescanned — at 100 TB with a 0.1%
+    * daily churn this is the difference between re-aggregating 100 TB
+    * and joining a few GB of deltas into a bounded view.
+    *
+    * `oldAgg` columns: (g, n_rows, total) with LONG measures (exact
+    * integer maintenance — float sums would drift from a recompute
+    * under reordering). */
+  def maintainAgg(oldAgg: DataFrame, changes: DataFrame): DataFrame = {
+    val minus = changes.filter(col("op").isin("U", "D"))
+      .select(col("g_old").as("g"), lit(-1L).as("dn"), (-col("v_old")).as("dv"))
+    val plus = changes.filter(col("op").isin("I", "U"))
+      .select(col("g_new").as("g"), lit(1L).as("dn"), col("v_new").as("dv"))
+    val delta = minus.unionByName(plus).groupBy("g")
+      .agg(sum("dn").as("dn"), sum("dv").as("dv"))
+    oldAgg.join(delta, Seq("g"), "full_outer")
+      .select(col("g"),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_rows"),
+        (coalesce(col("total"), lit(0L)) + coalesce(col("dv"), lit(0L))).as("total"))
+      .filter(col("n_rows") > 0)
+  }
+
   /** SCD-2 interval history from versioned upsert deliveries
     * (key, version, content): re-deliveries with unchanged content
     * collapse into the open interval (no spurious version churn); a

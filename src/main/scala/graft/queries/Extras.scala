@@ -322,6 +322,77 @@ object Extras {
       |SELECT doc_id, h, valid_from, valid_to, valid_to IS NULL AS is_current
       |FROM i ORDER BY doc_id, valid_from""".stripMargin
 
+  /** q123 (r8): incremental view maintenance
+    * ([[graft.ops.ChangeCapture.maintainAgg]]) — revenue-by-priority
+    * materialized view maintained from a row-image changelog of a
+    * fabricated orders v2 wave (every 7th deleted, every 5th survivor
+    * price-bumped +10% in integer cents, every 15th ALSO moved to a
+    * new group, every 11th re-keyed as an insert). The gate emits the
+    * maintained view PLUS a `matches_recompute` flag against a full
+    * recompute of the new snapshot — the IVM invariant is data the
+    * oracle hashes, not just a spec assertion. */
+  def incrementalAggMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey").as("k"),
+      col("o_orderpriority").as("g"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+    val survivors = o.filter(col("k") % 7 =!= 0)
+      .withColumn("v", when(col("k") % 5 === 0,
+        col("v") + expr("v DIV 10")).otherwise(col("v")))
+      .withColumn("g", when(col("k") % 15 === 0, lit("9-MOVED"))
+        .otherwise(col("g")))
+    val inserts = o.filter(col("k") % 11 === 0)
+      .select((col("k") + 10000000L).as("k"), col("g"), col("v"))
+    val newSnap = survivors.unionByName(inserts)
+    val oldAgg = o.groupBy("g")
+      .agg(count(lit(1)).as("n_rows"), sum("v").as("total"))
+    val changes = graft.ops.ChangeCapture.rowImageDiff(o, newSnap, "k", "g", "v")
+    val maintained = graft.ops.ChangeCapture.maintainAgg(oldAgg, changes)
+    val recomputed = newSnap.groupBy("g")
+      .agg(count(lit(1)).as("rn"), sum("v").as("rt"))
+    maintained.join(recomputed, Seq("g"), "full_outer")
+      .select(col("g").as("grp"), col("n_rows"), col("total"),
+        (col("n_rows") <=> col("rn") && col("total") <=> col("rt"))
+          .as("matches_recompute"))
+      .orderBy(col("grp"))
+  }
+
+  private def incrementalAggMaintainOracle: String =
+    """WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS g,
+      |            CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+      |           FROM orders),
+      |n0 AS (SELECT k,
+      |         CASE WHEN k % 15 = 0 THEN '9-MOVED' ELSE g END AS g,
+      |         CASE WHEN k % 5 = 0 THEN v + v // 10 ELSE v END AS v
+      |       FROM o WHERE k % 7 <> 0),
+      |ni AS (SELECT k + 10000000 AS k, g, v FROM o WHERE k % 11 = 0),
+      |n AS (SELECT * FROM n0 UNION ALL SELECT * FROM ni),
+      |oldagg AS (SELECT g, count(*)::BIGINT AS n_rows,
+      |             sum(v)::BIGINT AS total FROM o GROUP BY g),
+      |ch AS (SELECT o.g AS g_old, o.v AS v_old, n.g AS g_new, n.v AS v_new,
+      |         CASE WHEN o.k IS NULL THEN 'I' WHEN n.k IS NULL THEN 'D'
+      |              WHEN o.g IS DISTINCT FROM n.g
+      |                OR o.v IS DISTINCT FROM n.v THEN 'U' END AS op
+      |       FROM o FULL OUTER JOIN n ON o.k = n.k),
+      |chg AS (SELECT * FROM ch WHERE op IS NOT NULL),
+      |d AS (SELECT g_old AS g, -1::BIGINT AS dn, -v_old AS dv FROM chg
+      |        WHERE op IN ('U', 'D')
+      |      UNION ALL
+      |      SELECT g_new, 1::BIGINT, v_new FROM chg WHERE op IN ('I', 'U')),
+      |delta AS (SELECT g, sum(dn)::BIGINT AS dn, sum(dv)::BIGINT AS dv
+      |          FROM d GROUP BY g),
+      |m AS (SELECT coalesce(a.g, delta.g) AS g,
+      |        coalesce(a.n_rows, 0) + coalesce(delta.dn, 0) AS n_rows,
+      |        coalesce(a.total, 0) + coalesce(delta.dv, 0) AS total
+      |      FROM oldagg a FULL OUTER JOIN delta ON a.g = delta.g),
+      |mm AS (SELECT * FROM m WHERE n_rows > 0),
+      |rec AS (SELECT g, count(*)::BIGINT AS rn, sum(v)::BIGINT AS rt
+      |        FROM n GROUP BY g)
+      |SELECT coalesce(mm.g, rec.g) AS grp, n_rows, total,
+      |       n_rows IS NOT DISTINCT FROM rn
+      |         AND total IS NOT DISTINCT FROM rt AS matches_recompute
+      |FROM mm FULL OUTER JOIN rec ON mm.g = rec.g
+      |ORDER BY grp""".stripMargin
+
   /** q122 (r8): strictly-ordered funnel step times
     * ([[graft.ops.Funnel.stepTimes]]) — per user, the earliest
     * view → click → purchase chain where each step must occur at or
@@ -709,6 +780,8 @@ object Extras {
     QueryDef("q121_scd2_history", scd2History, Some(scd2Oracle)),
     QueryDef("q122_funnel_steps", funnelSteps, Some(funnelStepsOracle)),
     QueryDef("q122b_funnel_summary", funnelSummary, Some(funnelSummaryOracle)),
+    QueryDef("q123_ivm_maintain", incrementalAggMaintain,
+      Some(incrementalAggMaintainOracle)),
     QueryDef("q114_image_resize_golden", imageResizeGolden,
       Some(imageResizeGoldenOracle)),
     QueryDef("q78_retention_cohorts", retentionCohorts, Some(

@@ -38,6 +38,49 @@ class ChangeCaptureSpec extends SparkSpec {
       (3L, 1L, Some(1L), false), (3L, 2L, Some(2L), false), (3L, 3L, None, true)))
   }
 
+  test("rowImageDiff carries before/after images for I/U/D only") {
+    val old = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L))
+      .toDF("k", "g", "v")
+    val neu = Seq((2L, "b", 25L), (3L, "c", 30L), (4L, "a", 40L))
+      .toDF("k", "g", "v")
+    val got = ChangeCapture.rowImageDiff(old, neu, "k", "g", "v")
+      .select($"k", $"op", $"g_old", $"v_old", $"g_new", $"v_new")
+      .as[(Long, String, Option[String], Option[Long], Option[String], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((1L, "D", Some("a"), Some(10L), None, None)))
+    assert(got(2L) == ((2L, "U", Some("b"), Some(20L), Some("b"), Some(25L))))
+    assert(got(3L) == ((3L, "U", Some("a"), Some(30L), Some("c"), Some(30L)))) // group move
+    assert(got(4L) == ((4L, "I", None, None, Some("a"), Some(40L))))
+  }
+
+  test("maintainAgg applies deltas: update, group move, insert, delete, zero-drop") {
+    val old = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L), (5L, "z", 5L))
+      .toDF("k", "g", "v")
+    // 1 deleted; 2 updated in place; 3 moves a->c; 4 inserted; 5 (sole
+    // member of z) deleted -> group z must vanish
+    val neu = Seq((2L, "b", 25L), (3L, "c", 30L), (4L, "a", 40L))
+      .toDF("k", "g", "v")
+    val oldAgg = old.groupBy("g").agg(count(lit(1)).as("n_rows"), sum("v").as("total"))
+    val changes = ChangeCapture.rowImageDiff(old, neu, "k", "g", "v")
+    val got = ChangeCapture.maintainAgg(oldAgg, changes)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val want = neu.groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("t"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == want, "maintained view must equal a recompute of the new snapshot")
+    assert(!got.contains("z"), "a group whose count reaches zero is dropped")
+  }
+
+  test("maintainAgg on an empty changelog is the old view") {
+    val old = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "g", "v")
+    val oldAgg = old.groupBy("g").agg(count(lit(1)).as("n_rows"), sum("v").as("total"))
+    val changes = ChangeCapture.rowImageDiff(old, old, "k", "g", "v")
+    assert(changes.isEmpty)
+    val got = ChangeCapture.maintainAgg(oldAgg, changes)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 1L, 10L), ("b", 1L, 20L)))
+  }
+
   test("scd2 plan shuffles once: a single exchange feeds both windows") {
     val deliveries = Seq((1L, 1L, "x"), (1L, 2L, "y")).toDF("k", "version", "t")
     val plan = ChangeCapture.scd2(deliveries, "k", "version", Seq("t"))
