@@ -127,4 +127,13 @@ object ChangeCapture {
       .select(col(key), col("h"), col("v").as("valid_from"),
         col("valid_to"), col("valid_to").isNull.as("is_current"))
   }
+
+  /** Time-travel read over an [[scd2]] history: the table as of
+    * version `v` is the set of rows whose validity interval covers
+    * `v`. A pure partition-pruning-friendly filter — no join, no
+    * shuffle; on a history table range-partitioned by valid_from the
+    * scan prunes to files overlapping `v`. */
+  def asOfVersion(history: DataFrame, v: Long): DataFrame =
+    history.filter(col("valid_from") <= v &&
+      (col("valid_to").isNull || lit(v) <= col("valid_to")))
 }

@@ -286,7 +286,8 @@ object Extras {
     * doc, wave 3 every 10th; everything else re-delivers IDENTICAL
     * content and must collapse into the open interval rather than
     * churn versions. */
-  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+  /** The three fabricated delivery waves shared by q121 and q124. */
+  private def scd2Deliveries(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val v1 = docs.select(col("doc_id"), lit(1L).as("version"), col("text"))
     val v2 = docs.select(col("doc_id"), lit(2L).as("version"),
@@ -296,10 +297,48 @@ object Extras {
       when(col("doc_id") % 10 === 0, concat(lit("[v3] "), col("text")))
         .when(col("doc_id") % 5 === 0, concat(lit("[v2] "), col("text")))
         .otherwise(col("text")).as("text"))
-    graft.ops.ChangeCapture.scd2(
-        v1.unionByName(v2).unionByName(v3), "doc_id", "version", Seq("text"))
-      .orderBy(col("doc_id"), col("valid_from"))
+    v1.unionByName(v2).unionByName(v3)
   }
+
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ChangeCapture.scd2(
+        scd2Deliveries(spark, dir), "doc_id", "version", Seq("text"))
+      .orderBy(col("doc_id"), col("valid_from"))
+
+  /** q124 (r8): time-travel read
+    * ([[graft.ops.ChangeCapture.asOfVersion]]) — the documents table
+    * reconstructed as of each of versions 1..3 from the SCD-2 interval
+    * history. The oracle derives the SAME reads independently as
+    * latest-delivery-wins over the raw delivery stream (NOT by
+    * replaying the interval filter), so the gate proves the interval
+    * encoding round-trips every version. */
+  def timeTravelRead(spark: SparkSession, dir: String): DataFrame = {
+    val hist = graft.ops.ChangeCapture.scd2(
+      scd2Deliveries(spark, dir), "doc_id", "version", Seq("text"))
+    Seq(1L, 2L, 3L).map { v =>
+      graft.ops.ChangeCapture.asOfVersion(hist, v)
+        .select(lit(v).as("as_of"), col("doc_id"), col("h"))
+    }.reduce(_ unionByName _).orderBy(col("as_of"), col("doc_id"))
+  }
+
+  private def timeTravelOracle: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents),
+      |d AS (
+      |  SELECT doc_id, 1::BIGINT AS v, text FROM docs
+      |  UNION ALL
+      |  SELECT doc_id, 2::BIGINT,
+      |    CASE WHEN doc_id % 5 = 0 THEN '[v2] ' || text ELSE text END FROM docs
+      |  UNION ALL
+      |  SELECT doc_id, 3::BIGINT,
+      |    CASE WHEN doc_id % 10 = 0 THEN '[v3] ' || text
+      |         WHEN doc_id % 5 = 0 THEN '[v2] ' || text ELSE text END FROM docs),
+      |vs AS (SELECT unnest([1, 2, 3]::BIGINT[]) AS as_of),
+      |j AS (SELECT vs.as_of, d.doc_id, d.text,
+      |        row_number() OVER (PARTITION BY vs.as_of, d.doc_id
+      |                           ORDER BY d.v DESC) AS rn
+      |      FROM vs JOIN d ON d.v <= vs.as_of)
+      |SELECT as_of, doc_id, md5(text) AS h
+      |FROM j WHERE rn = 1 ORDER BY as_of, doc_id""".stripMargin
 
   private def scd2Oracle: String =
     """WITH docs AS (SELECT doc_id, text FROM documents),
@@ -782,6 +821,7 @@ object Extras {
     QueryDef("q122b_funnel_summary", funnelSummary, Some(funnelSummaryOracle)),
     QueryDef("q123_ivm_maintain", incrementalAggMaintain,
       Some(incrementalAggMaintainOracle)),
+    QueryDef("q124_timetravel_read", timeTravelRead, Some(timeTravelOracle)),
     QueryDef("q114_image_resize_golden", imageResizeGolden,
       Some(imageResizeGoldenOracle)),
     QueryDef("q78_retention_cohorts", retentionCohorts, Some(

@@ -81,6 +81,28 @@ class ChangeCaptureSpec extends SparkSpec {
     assert(got == Set(("a", 1L, 10L), ("b", 1L, 20L)))
   }
 
+  test("asOfVersion reconstructs every version as latest-delivery-wins") {
+    val deliveries = Seq(
+      (1L, 1L, "x"), (1L, 2L, "x"), (1L, 3L, "y"),
+      (2L, 1L, "p"), (2L, 2L, "p"), (2L, 3L, "p"),
+      (3L, 1L, "a"), (3L, 2L, "b"), (3L, 3L, "a")
+    ).toDF("k", "version", "t")
+    val hist = ChangeCapture.scd2(deliveries, "k", "version", Seq("t"))
+    for (v <- 1L to 3L) {
+      val got = ChangeCapture.asOfVersion(hist, v)
+        .select($"k", $"h").as[(Long, String)].collect().toMap
+      val want = deliveries.filter($"version" <= v)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("k").orderBy($"version".desc)))
+        .filter($"rn" === 1)
+        .select($"k", md5(concat_ws("", $"t")))
+        .as[(Long, String)].collect().toMap
+      assert(got == want, s"as-of $v mismatch")
+      assert(got.size == 3, s"every key visible as of $v")
+    }
+  }
+
   test("scd2 plan shuffles once: a single exchange feeds both windows") {
     val deliveries = Seq((1L, 1L, "x"), (1L, 2L, "y")).toDF("k", "version", "t")
     val plan = ChangeCapture.scd2(deliveries, "k", "version", Seq("t"))
