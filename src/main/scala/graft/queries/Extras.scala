@@ -432,6 +432,37 @@ object Extras {
       |FROM mm FULL OUTER JOIN rec ON mm.g = rec.g
       |ORDER BY grp""".stripMargin
 
+  /** q125 (r8): compaction planner ([[graft.ops.Compaction.planBins]])
+    * — the event log's per-(day, hour) "files" (bytes = summed props
+    * length) packed into ~4 KiB output files per day. The oracle
+    * replays the prefix-sum binning and every per-bin envelope. */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val fileStats = Tables.events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("part"),
+        hour(col("ts")).cast("long").as("file_id"),
+        length(col("props")).cast("long").as("b"))
+      .groupBy("part", "file_id").agg(sum("b").as("bytes"))
+    graft.ops.Compaction.planBins(fileStats, "part", "file_id", "bytes", 4096L)
+      .orderBy(col("part"), col("bin"))
+  }
+
+  private def compactionOracle: String =
+    """WITH f AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS part,
+      |         CAST(extract(hour FROM ts) AS BIGINT) AS file_id,
+      |         CAST(sum(length(props)) AS BIGINT) AS bytes
+      |  FROM events GROUP BY 1, 2),
+      |c AS (SELECT part, file_id, bytes,
+      |        sum(bytes) OVER (PARTITION BY part ORDER BY file_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM f),
+      |b AS (SELECT part, file_id, bytes,
+      |        CAST((cum - bytes) // 4096 AS BIGINT) AS bin FROM c)
+      |SELECT part, bin, count(*)::BIGINT AS n_files,
+      |       sum(bytes)::BIGINT AS total_bytes,
+      |       min(file_id) AS first_file, max(file_id) AS last_file
+      |FROM b GROUP BY part, bin ORDER BY part, bin""".stripMargin
+
   /** q122 (r8): strictly-ordered funnel step times
     * ([[graft.ops.Funnel.stepTimes]]) — per user, the earliest
     * view → click → purchase chain where each step must occur at or
@@ -822,6 +853,7 @@ object Extras {
     QueryDef("q123_ivm_maintain", incrementalAggMaintain,
       Some(incrementalAggMaintainOracle)),
     QueryDef("q124_timetravel_read", timeTravelRead, Some(timeTravelOracle)),
+    QueryDef("q125_compaction_plan", compactionPlan, Some(compactionOracle)),
     QueryDef("q114_image_resize_golden", imageResizeGolden,
       Some(imageResizeGoldenOracle)),
     QueryDef("q78_retention_cohorts", retentionCohorts, Some(
