@@ -136,6 +136,55 @@ object Quality {
         round(exp(avg), 2).as("ppl"))
   }
 
+  /** Interpolated bigram LM perplexity — the KenLM-lite upgrade of
+    * [[unigramPerplexity]]: per adjacent token pair,
+    * p(w2|w1) = λ·c(w1 w2)/c(w1) + (1−λ)·(c(w2)+1)/(N+V), summed as
+    * integer micro-nats (one libm log per instance, rounded BEFORE the
+    * order-independent Long sum — the q84/q102 portability move). The
+    * interpolation term means unseen contexts degrade to the smoothed
+    * unigram score instead of −∞, which is what makes the filter
+    * usable on short/rare text.
+    *
+    * Scale: bigram extraction is a lead() window on the doc key (one
+    * shuffle); the bigram/unigram count tables shuffle on their own
+    * keys and join back keyed or broadcast as Catalyst sizes them;
+    * corpus totals are a broadcast scalar. Linear end to end. Docs
+    * with fewer than two tokens emit nothing (no bigram evidence).
+    *
+    * @return (doc_id, n_bigrams, avg_nll, ppl) per doc with ≥2 tokens.
+    */
+  def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(filter(split(lower(col(textCol)), "\\s+"),
+          t => length(t) > 0)))
+      .toDF("doc_id", "pos", "t")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bigr = toks
+      .withColumn("t2", lead(col("t"), 1).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("t").as("w1"), col("t2").as("w2"))
+    val c2 = bigr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = toks.groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val stats = c1.agg(sum(col("c1")).as("n_tok"), count(lit(1)).as("v"))
+    val p =
+      lit(lambda) * (col("c2").cast("double") / col("c1a").cast("double")) +
+        lit(1.0 - lambda) * ((col("c1b") + 1).cast("double") /
+          (col("n_tok") + col("v")).cast("double"))
+    val avg = col("nll_sum_u") / (col("n_bigrams") * 1000000.0)
+    bigr
+      .join(c2, Seq("w1", "w2"))
+      .join(c1.select(col("t").as("w1"), col("c1").as("c1a")), Seq("w1"))
+      .join(c1.select(col("t").as("w2"), col("c1").as("c1b")), Seq("w2"))
+      .crossJoin(broadcast(stats))
+      .withColumn("nll_u", (-round(log(p) * 1000000)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_u")).as("nll_sum_u"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(avg, 6).as("avg_nll"),
+        round(exp(avg), 2).as("ppl"))
+  }
+
   /** DSIR-style importance scores (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): hashed-unigram
     * bag-of-words models for a TARGET slice (`targetPred` over the doc

@@ -1188,6 +1188,47 @@ object Llm {
       |       round(exp(sum(nll_u) / (count(*) * 1000000.0)), 2) AS ppl
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q126 (r8): interpolated bigram LM perplexity
+    * ([[Quality.bigramPerplexity]]) — the KenLM-lite upgrade of q102:
+    * p(w2|w1) = 0.7·c₂/c₁(w1) + 0.3·smoothed-unigram(w2), integer
+    * micro-nat sums. The oracle extracts bigrams by 1-based list
+    * indexing (range over len−1) where Spark uses a lead() window —
+    * two independent derivations of adjacency. */
+  def bigramPpl(spark: SparkSession, dir: String): DataFrame =
+    Quality.bigramPerplexity(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private def bigramPplOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> x <> '') AS l
+      |  FROM documents),
+      |toks AS (SELECT doc_id, unnest(l) AS t FROM base),
+      |bigr AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+      |         FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i
+      |               FROM base)),
+      |c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bigr GROUP BY 1, 2),
+      |c1 AS (SELECT t, count(*)::BIGINT AS c1 FROM toks GROUP BY 1),
+      |st AS (SELECT CAST(sum(c1) AS BIGINT) AS n_tok,
+      |              CAST(count(*) AS BIGINT) AS v FROM c1),
+      |sc AS (SELECT doc_id,
+      |         CAST(-round(ln(
+      |             CAST(0.7 AS DOUBLE)
+      |               * (CAST(c2 AS DOUBLE) / CAST(c1a AS DOUBLE))
+      |             + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+      |               * (CAST(c1b + 1 AS DOUBLE)
+      |                  / CAST(n_tok + v AS DOUBLE))) * 1000000)
+      |           AS BIGINT) AS nll_u
+      |       FROM bigr
+      |       JOIN c2 USING (w1, w2)
+      |       JOIN (SELECT t AS w1, c1 AS c1a FROM c1) USING (w1)
+      |       JOIN (SELECT t AS w2, c1 AS c1b FROM c1) USING (w2), st)
+      |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      |       round(sum(nll_u) / (count(*) * 1000000.0), 6) AS avg_nll,
+      |       round(exp(sum(nll_u) / (count(*) * 1000000.0)), 2) AS ppl
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** BM25 ranked retrieval for a fixed bag-of-words query — integer
     * micro-score sum (see [[graft.text.Bm25]]) makes the full scoring
     * pipeline hash-exact across engines. */
@@ -1748,6 +1789,7 @@ object Llm {
     QueryDef("q100_repetition_signals", repetitionSignals, Some(repetitionSignalsOracle)),
     QueryDef("q101_mixture_rebalance", mixtureRebalance, Some(mixtureRebalanceOracle)),
     QueryDef("q102_unigram_ppl", unigramPpl, Some(unigramPplOracle)),
+    QueryDef("q126_bigram_ppl", bigramPpl, Some(bigramPplOracle)),
     QueryDef("q83_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     QueryDef("q84_bm25_search", bm25Search, Some(bm25Oracle)),
     QueryDef("q113_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
