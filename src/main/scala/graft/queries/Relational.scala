@@ -642,6 +642,59 @@ object Relational {
       |WHERE l_quantity > 45
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** q127 (r8): Bloom-pruned fact join
+    * ([[graft.ops.BloomJoin.bloomPrune]]) — lineitem pruned map-side
+    * against a 65536-bit image of one nation's supplier keys before
+    * the join (the runtime-filter pattern). Revenue per supplier in
+    * exact cents plus the global (n_fact, n_after_bloom) pruning
+    * stats as data; the oracle replays every Bloom position, the
+    * 3-of-3 probe rule, the pruned join and the stats. */
+  def bloomJoinSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_suppkey", $"l_extendedprice", $"l_discount")
+    val dim = Tables.supplier(spark, dir)
+      .filter($"s_nationkey" === 3)
+      .select($"s_suppkey", $"s_name")
+    val pruned = graft.ops.BloomJoin.bloomPrune(
+      li, dim.select($"s_suppkey"), "l_suppkey", "s_suppkey")
+    val per = pruned.join(broadcast(dim), pruned("l_suppkey") === dim("s_suppkey"))
+      .groupBy($"s_suppkey", $"s_name")
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("revenue_c"))
+    val stats = li.agg(count(lit(1)).as("n_fact"))
+      .crossJoin(pruned.agg(count(lit(1)).as("n_after_bloom")))
+    per.crossJoin(broadcast(stats)).orderBy($"s_suppkey")
+  }
+
+  private def bloomJoinOracle: String =
+    """WITH dim AS (SELECT s_suppkey, s_name FROM supplier
+      |            WHERE s_nationkey = 3),
+      |ks AS (SELECT unnest([0, 1, 2]) AS k),
+      |bits AS (SELECT DISTINCT
+      |           ('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)
+      |              || '#' || k::VARCHAR), 1, 15))::BIGINT % 65536 AS pos
+      |         FROM dim CROSS JOIN ks),
+      |fh AS (SELECT l_suppkey, l_extendedprice, l_discount FROM lineitem),
+      |keys AS (SELECT DISTINCT l_suppkey FROM fh),
+      |pr AS (SELECT l_suppkey,
+      |         ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)
+      |            || '#' || k::VARCHAR), 1, 15))::BIGINT % 65536 AS pos
+      |       FROM keys CROSS JOIN ks),
+      |passk AS (SELECT l_suppkey FROM pr
+      |          WHERE pos IN (SELECT pos FROM bits)
+      |          GROUP BY 1 HAVING count(*) = 3),
+      |pruned AS (SELECT fh.* FROM fh JOIN passk USING (l_suppkey)),
+      |per AS (SELECT d.s_suppkey, d.s_name, count(*)::BIGINT AS n_items,
+      |          sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+      |              AS BIGINT))::BIGINT AS revenue_c
+      |        FROM pruned p JOIN dim d ON p.l_suppkey = d.s_suppkey
+      |        GROUP BY 1, 2),
+      |st AS (SELECT (SELECT count(*) FROM fh)::BIGINT AS n_fact,
+      |              (SELECT count(*) FROM pruned)::BIGINT AS n_after_bloom)
+      |SELECT * FROM per, st ORDER BY s_suppkey""".stripMargin
+
   private def rollupOracle: String =
     """SELECT coalesce(r_name, 'ALL') AS r_name,
       |       coalesce(n_name, 'ALL') AS n_name,
@@ -753,6 +806,7 @@ object Relational {
     QueryDef("q92_cube_revenue", cubeRevenue, Some(cubeOracle)),
     QueryDef("q93_edit_distance", editDistancePairs, Some(editDistanceOracle)),
     QueryDef("q94_salted_join", saltedJoinOrders, Some(saltedJoinOracle)),
+    QueryDef("q127_bloom_join", bloomJoinSuppliers, Some(bloomJoinOracle)),
     QueryDef("q81_pivot_status", pivotStatusCounts, Some(pivotOracle)),
     QueryDef("q82_unpivot_status", unpivotStatusCounts, Some(unpivotOracle)),
     QueryDef("q54_percentiles", percentiles, Some(
