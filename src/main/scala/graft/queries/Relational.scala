@@ -695,6 +695,55 @@ object Relational {
       |              (SELECT count(*) FROM pruned)::BIGINT AS n_after_bloom)
       |SELECT * FROM per, st ORDER BY s_suppkey""".stripMargin
 
+  /** q128 (r8): the TPC-H Q5 archetype — six-table join with the
+    * "local supplier" condition (customer and supplier share a
+    * nation), revenue per ASIA nation over a three-year window.
+    * Exercises Catalyst's multi-way join ordering: lineitem/orders/
+    * customer/supplier shuffle on their keys (none is broadcastable
+    * at 100 TB), nation/region broadcast explicitly; revenue in exact
+    * cents so the sum is order-independent. */
+  def localSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1995-01-01") &&
+        $"o_orderdate" < lit("1998-01-01"))
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey",
+      expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+        .as("rev_c"))
+    val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+    val supp = Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")
+    val nat = Tables.nation(spark, dir)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+    val reg = Tables.region(spark, dir)
+      .filter($"r_name" === "ASIA").select($"r_regionkey")
+    li.join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey" &&
+        $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_items"), sum($"rev_c").as("revenue_c"))
+      .orderBy($"revenue_c".desc, $"n_name")
+  }
+
+  private def localSupplierOracle: String =
+    """SELECT n_name, count(*)::BIGINT AS n_items,
+      |       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+      |           AS BIGINT))::BIGINT AS revenue_c
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue_c DESC, n_name""".stripMargin
+
   private def rollupOracle: String =
     """SELECT coalesce(r_name, 'ALL') AS r_name,
       |       coalesce(n_name, 'ALL') AS n_name,
@@ -807,6 +856,8 @@ object Relational {
     QueryDef("q93_edit_distance", editDistancePairs, Some(editDistanceOracle)),
     QueryDef("q94_salted_join", saltedJoinOrders, Some(saltedJoinOracle)),
     QueryDef("q127_bloom_join", bloomJoinSuppliers, Some(bloomJoinOracle)),
+    QueryDef("q128_local_supplier_revenue", localSupplierRevenue,
+      Some(localSupplierOracle)),
     QueryDef("q81_pivot_status", pivotStatusCounts, Some(pivotOracle)),
     QueryDef("q82_unpivot_status", unpivotStatusCounts, Some(unpivotOracle)),
     QueryDef("q54_percentiles", percentiles, Some(
