@@ -26,9 +26,16 @@ import org.apache.spark.sql.functions._
 object Funnel {
 
   /** Per-entity earliest qualifying time for each step.
-    * Output: (entity, t_1 .. t_n) — t_k null when step k not reached. */
+    * Output: (entity, t_1 .. t_n) — t_k null when step k not reached.
+    *
+    * @param maxSpanSec when set, steps 2..n additionally must occur
+    *        within this many seconds of the entity's step-1 time (the
+    *        "converted within 72 h" product question). The horizon is
+    *        anchored at the EARLIEST step-1 occurrence — a later
+    *        re-entry does not restart the clock. */
   def stepTimes(events: DataFrame, entityCol: String, typeCol: String,
-      tsCol: String, steps: Seq[String]): DataFrame = {
+      tsCol: String, steps: Seq[String],
+      maxSpanSec: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     // RANGE frame (orderBy's default): at any row, reach_{k} is the
     // earliest qualifying step-k time among ALL events with ts <= this
@@ -38,9 +45,16 @@ object Funnel {
     // entity had already reached step k-1 at (or exactly at) its ts.
     val withReach = steps.zipWithIndex.foldLeft(events.toDF()) {
       case (df, (step, i)) =>
+        val inHorizon = maxSpanSec match {
+          case Some(s) if i > 0 =>
+            unix_micros(col(tsCol)) - unix_micros(col("__reach_0")) <=
+              lit(s * 1000000L)
+          case _ => lit(true)
+        }
         val qualifies =
           if (i == 0) col(typeCol) === step
-          else col(typeCol) === step && col(s"__reach_${i - 1}").isNotNull
+          else col(typeCol) === step &&
+            col(s"__reach_${i - 1}").isNotNull && inHorizon
         df.withColumn(s"__q_$i", when(qualifies, col(tsCol)))
           .withColumn(s"__reach_$i", min(col(s"__q_$i")).over(w))
     }
@@ -53,8 +67,9 @@ object Funnel {
     * it and integer parts-per-million conversion vs step 1 and vs the
     * previous step (exact integer DIV — replayable by any engine). */
   def summary(events: DataFrame, entityCol: String, typeCol: String,
-      tsCol: String, steps: Seq[String]): DataFrame = {
-    val per = stepTimes(events, entityCol, typeCol, tsCol, steps)
+      tsCol: String, steps: Seq[String],
+      maxSpanSec: Option[Long] = None): DataFrame = {
+    val per = stepTimes(events, entityCol, typeCol, tsCol, steps, maxSpanSec)
     val counts = per.select(
       steps.indices.map(i =>
         count(col(s"t_${i + 1}")).as(s"n_${i + 1}")): _*)

@@ -527,6 +527,43 @@ object Extras {
        |FROM c
        |ORDER BY step""".stripMargin
 
+  /** q129 (r8): horizon-bounded funnel — q122's strict ordering plus
+    * a 72-hour conversion window anchored at each user's FIRST view
+    * (later steps outside the horizon don't count). */
+  def funnelHorizon(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.stepTimes(Tables.events(spark, dir),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+        maxSpanSec = Some(72L * 3600))
+      .select(col("user_id"),
+        unix_micros(col("t_1")).as("t1_us"),
+        unix_micros(col("t_2")).as("t2_us"),
+        unix_micros(col("t_3")).as("t3_us"))
+      .orderBy(col("user_id"))
+
+  private def funnelHorizonOracle: String =
+    """WITH e AS (SELECT user_id, event_type AS t, ts FROM events),
+      |w1 AS (SELECT user_id, t, ts,
+      |  min(CASE WHEN t = 'view' THEN ts END) OVER
+      |    (PARTITION BY user_id ORDER BY ts
+      |     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1
+      |  FROM e),
+      |w2 AS (SELECT *,
+      |  min(CASE WHEN t = 'click' AND r1 IS NOT NULL
+      |           AND epoch_us(ts) - epoch_us(r1) <= 259200000000
+      |           THEN ts END) OVER
+      |    (PARTITION BY user_id ORDER BY ts
+      |     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+      |  FROM w1)
+      |SELECT user_id,
+      |  epoch_us(min(CASE WHEN t = 'view' THEN ts END)) AS t1_us,
+      |  epoch_us(min(CASE WHEN t = 'click' AND r1 IS NOT NULL
+      |    AND epoch_us(ts) - epoch_us(r1) <= 259200000000
+      |    THEN ts END)) AS t2_us,
+      |  epoch_us(min(CASE WHEN t = 'purchase' AND r2 IS NOT NULL
+      |    AND epoch_us(ts) - epoch_us(r1) <= 259200000000
+      |    THEN ts END)) AS t3_us
+      |FROM w2 GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Weekly retention cohorts over events: users grouped by first-seen
     * day; distinct active users per (cohort, week offset). */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
@@ -850,6 +887,7 @@ object Extras {
     QueryDef("q121_scd2_history", scd2History, Some(scd2Oracle)),
     QueryDef("q122_funnel_steps", funnelSteps, Some(funnelStepsOracle)),
     QueryDef("q122b_funnel_summary", funnelSummary, Some(funnelSummaryOracle)),
+    QueryDef("q129_funnel_horizon", funnelHorizon, Some(funnelHorizonOracle)),
     QueryDef("q123_ivm_maintain", incrementalAggMaintain,
       Some(incrementalAggMaintainOracle)),
     QueryDef("q124_timetravel_read", timeTravelRead, Some(timeTravelOracle)),

@@ -56,6 +56,25 @@ class FunnelSpec extends SparkSpec {
     assert(got == ((Some(10000000L), Some(20000000L))))
   }
 
+  test("horizon bounds later steps to the first step-1 time") {
+    val ev = Seq(
+      // u1: click inside 100s horizon, purchase outside -> step 3 unreached
+      (1L, "view", ts(0)), (1L, "click", ts(50)), (1L, "purchase", ts(150)),
+      // u2: all inside
+      (2L, "view", ts(0)), (2L, "click", ts(50)), (2L, "purchase", ts(99)),
+      // u3: a second view at t=200 does NOT restart the clock
+      (3L, "view", ts(0)), (3L, "view", ts(200)), (3L, "click", ts(250))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel.stepTimes(ev, "user_id", "event_type", "ts", steps,
+        maxSpanSec = Some(100L))
+      .select($"user_id", unix_micros($"t_2"), unix_micros($"t_3"))
+      .as[(Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((Some(50000000L), None)))
+    assert(got(2L) == ((Some(50000000L), Some(99000000L))))
+    assert(got(3L) == ((None, None)), "horizon anchors at the FIRST view")
+  }
+
   test("summary counts and ppm conversions") {
     val ev = Seq(
       (1L, "view", ts(10)), (1L, "click", ts(20)), (1L, "purchase", ts(30)),
