@@ -564,6 +564,40 @@ object Extras {
       |    THEN ts END)) AS t3_us
       |FROM w2 GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q130 (r8): batch interval-overlap join
+    * ([[graft.ops.IntervalJoin.overlapJoin]]) — each user's purchase
+    * windows (1 h) × error windows (30 min), bucket-decomposed into an
+    * equi-join on (user, hour bucket) with canonical-bucket
+    * exactly-once emission. The oracle is the PLAIN predicate join —
+    * if the bucketing dropped or duplicated one pair, the hash breaks. */
+  def intervalOverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("l_id"),
+        unix_micros(col("ts")).as("ls"),
+        (unix_micros(col("ts")) + 3600000000L).as("le"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("r_id"),
+        unix_micros(col("ts")).as("rs"),
+        (unix_micros(col("ts")) + 1800000000L).as("re"))
+    graft.ops.IntervalJoin.overlapJoin(purchases, errors, "user_id",
+        bucketWidth = 3600000000L)
+      .select(col("user_id"), col("l_id"), col("r_id"))
+      .orderBy(col("user_id"), col("l_id"), col("r_id"))
+  }
+
+  private def intervalOverlapOracle: String =
+    """WITH l AS (SELECT user_id, event_id AS l_id, epoch_us(ts) AS ls,
+      |             epoch_us(ts) + 3600000000 AS le
+      |           FROM events WHERE event_type = 'purchase'),
+      |r AS (SELECT user_id, event_id AS r_id, epoch_us(ts) AS rs,
+      |        epoch_us(ts) + 1800000000 AS re
+      |      FROM events WHERE event_type = 'error')
+      |SELECT user_id, l_id, r_id
+      |FROM l JOIN r USING (user_id)
+      |WHERE ls <= re AND rs <= le
+      |ORDER BY user_id, l_id, r_id""".stripMargin
+
   /** Weekly retention cohorts over events: users grouped by first-seen
     * day; distinct active users per (cohort, week offset). */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
@@ -888,6 +922,8 @@ object Extras {
     QueryDef("q122_funnel_steps", funnelSteps, Some(funnelStepsOracle)),
     QueryDef("q122b_funnel_summary", funnelSummary, Some(funnelSummaryOracle)),
     QueryDef("q129_funnel_horizon", funnelHorizon, Some(funnelHorizonOracle)),
+    QueryDef("q130_interval_join", intervalOverlapJoin,
+      Some(intervalOverlapOracle)),
     QueryDef("q123_ivm_maintain", incrementalAggMaintain,
       Some(incrementalAggMaintainOracle)),
     QueryDef("q124_timetravel_read", timeTravelRead, Some(timeTravelOracle)),
