@@ -427,8 +427,8 @@ object Extras {
       |rec AS (SELECT g, count(*)::BIGINT AS rn, sum(v)::BIGINT AS rt
       |        FROM n GROUP BY g)
       |SELECT coalesce(mm.g, rec.g) AS grp, n_rows, total,
-      |       n_rows IS NOT DISTINCT FROM rn
-      |         AND total IS NOT DISTINCT FROM rt AS matches_recompute
+      |       coalesce(n_rows = rn, FALSE)
+      |         AND coalesce(total = rt, FALSE) AS matches_recompute
       |FROM mm FULL OUTER JOIN rec ON mm.g = rec.g
       |ORDER BY grp""".stripMargin
 
@@ -449,7 +449,7 @@ object Extras {
   private def compactionOracle: String =
     """WITH f AS (
       |  SELECT strftime(ts, '%Y-%m-%d') AS part,
-      |         CAST(extract(hour FROM ts) AS BIGINT) AS file_id,
+      |         CAST(datepart('hour', ts) AS BIGINT) AS file_id,
       |         CAST(sum(length(props)) AS BIGINT) AS bytes
       |  FROM events GROUP BY 1, 2),
       |c AS (SELECT part, file_id, bytes,
