@@ -598,6 +598,41 @@ object Extras {
       |WHERE ls <= re AND rs <= le
       |ORDER BY user_id, l_id, r_id""".stripMargin
 
+  /** q131 (r8): HLL sketch re-aggregation — the store-sketches /
+    * merge-on-read pattern for distinct counts: per-DAY HllSketch of
+    * active users (`hll_sketch_agg`), merged per WEEK with
+    * `hll_union_agg`, estimate read back against the exact weekly
+    * countDistinct. At 100 TB the daily sketches are the stored
+    * artifact (KBs/day instead of a user-id shuffle per query window)
+    * and any rollup window is a merge, never a rescan. The gate emits
+    * the exact count plus a self-asserting `est_ok` band column (5% or
+    * ±1); the DuckDB oracle recomputes the exact count and pins
+    * est_ok=TRUE, so an out-of-band sketch breaks the hash — the
+    * q54b/q88b sketch-vs-exact pattern. */
+  def hllReaggregate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      expr("unix_micros(ts) DIV 86400000000").as("day"),
+      expr("unix_micros(ts) DIV 86400000000 DIV 7").as("week"),
+      col("user_id"))
+    val daily = ev.groupBy(col("week"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val weekly = daily.groupBy(col("week"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = ev.groupBy(col("week"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(weekly, Seq("week"))
+      .select(col("week"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <=
+          greatest(lit(1L), (col("n_exact") * 5) / 100)).as("est_ok"))
+      .orderBy(col("week"))
+  }
+
+  private def hllReaggregateOracle: String =
+    """SELECT epoch_us(ts) // 86400000000 // 7 AS week,
+      |       count(DISTINCT user_id)::BIGINT AS n_exact,
+      |       TRUE AS est_ok
+      |FROM events GROUP BY 1 ORDER BY week""".stripMargin
+
   /** Weekly retention cohorts over events: users grouped by first-seen
     * day; distinct active users per (cohort, week offset). */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
@@ -924,6 +959,8 @@ object Extras {
     QueryDef("q129_funnel_horizon", funnelHorizon, Some(funnelHorizonOracle)),
     QueryDef("q130_interval_join", intervalOverlapJoin,
       Some(intervalOverlapOracle)),
+    QueryDef("q131_hll_reaggregate", hllReaggregate,
+      Some(hllReaggregateOracle)),
     QueryDef("q123_ivm_maintain", incrementalAggMaintain,
       Some(incrementalAggMaintainOracle)),
     QueryDef("q124_timetravel_read", timeTravelRead, Some(timeTravelOracle)),
