@@ -334,6 +334,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT similarity join via prefix filtering (AllPairs/PPJoin
+    * family, Bayardo et al. WWW'07): all pairs with shingle-set
+    * Jaccard ≥ `threshold`, with NO approximation — the deterministic
+    * sibling of the MinHash-LSH candidate path.
+    *
+    * Why it scales: order every doc's shingles by ascending GLOBAL
+    * frequency (rarest first, shingle string as tie-break). For
+    * J(x,y) ≥ t the overlap obeys o ≥ ⌈t·|x|⌉, so if x and y share NO
+    * shingle among x's first |x| − ⌈t·|x|⌉ + 1 rarest shingles, all o
+    * shared shingles would have to fit in the remaining ⌈t·|x|⌉ − 1
+    * positions — contradiction. Hence the equi-join on PREFIX
+    * shingles finds every qualifying pair, and because prefixes hold
+    * each doc's RAREST shingles, the join's per-key buckets are the
+    * small tail of the frequency distribution — the head ("the quick
+    * brown") never enters the shuffle. Candidates then verify with
+    * the exact [[exactJaccard]] kernel, candidate-pairs-only.
+    *
+    * Output: (id_a, id_b, jaccard) for id_a < id_b, jaccard ≥ t. */
+  def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val sh = shingleSets(docs, idCol, textCol, shingleK)
+    val inst = sh.select(col("id"), explode(col("sh")).as("t"))
+    val freq = inst.groupBy(col("t")).agg(count(lit(1)).as("f"))
+    val wRank = Window.partitionBy(col("id")).orderBy(col("f"), col("t"))
+    val prefixes = inst.join(freq, Seq("t"))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("id"), col("t"))
+    val candidates = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.t") === col("b.t") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    exactJaccard(docs, candidates, idCol, textCol, shingleK)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   // ---- SimHash -----------------------------------------------------
 
   /** 64-bit SimHash over normalized tokens (Charikar 2002): sum ±1 per

@@ -1229,6 +1229,44 @@ object Llm {
       |       round(exp(sum(nll_u) / (count(*) * 1000000.0)), 2) AS ppl
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q132 (r8): exact similarity join via prefix filtering
+    * ([[Dedup.prefixFilterJoin]], AllPairs/PPJoin family) — every doc
+    * pair with 3-shingle Jaccard ≥ 0.5, found by equi-joining only
+    * each doc's RAREST |x|−⌈t|x|⌉+1 shingles then verifying exactly.
+    * The oracle is the full brute-force pair join — a pair the prefix
+    * pruning wrongly dropped breaks the hash (the completeness
+    * theorem, checked at data scale). */
+  def prefixJaccardJoin(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterJoin(Tables.documents(spark, dir), "doc_id", "text",
+        shingleK = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def prefixJaccardOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(coalesce(text, '')),
+      |                     '\s+'), x -> x <> '') AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS t
+      |  FROM (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i
+      |        FROM base WHERE len(l) >= 3)
+      |  UNION
+      |  SELECT doc_id, array_to_string(l, ' ') AS t
+      |  FROM base WHERE len(l) < 3),
+      |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |            count(*)::BIGINT AS inter
+      |          FROM sh a JOIN sh b ON a.t = b.t AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |j AS (SELECT id_a, id_b,
+      |        inter * 1.0 / (sa.n + sb.n - inter) AS raw
+      |      FROM pairs
+      |      JOIN sz sa ON id_a = sa.doc_id
+      |      JOIN sz sb ON id_b = sb.doc_id)
+      |SELECT id_a, id_b, round(raw, 6) AS jaccard
+      |FROM j WHERE raw >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
   /** BM25 ranked retrieval for a fixed bag-of-words query — integer
     * micro-score sum (see [[graft.text.Bm25]]) makes the full scoring
     * pipeline hash-exact across engines. */
@@ -1790,6 +1828,8 @@ object Llm {
     QueryDef("q101_mixture_rebalance", mixtureRebalance, Some(mixtureRebalanceOracle)),
     QueryDef("q102_unigram_ppl", unigramPpl, Some(unigramPplOracle)),
     QueryDef("q126_bigram_ppl", bigramPpl, Some(bigramPplOracle)),
+    QueryDef("q132_prefix_jaccard_join", prefixJaccardJoin,
+      Some(prefixJaccardOracle)),
     QueryDef("q83_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     QueryDef("q84_bm25_search", bm25Search, Some(bm25Oracle)),
     QueryDef("q113_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),

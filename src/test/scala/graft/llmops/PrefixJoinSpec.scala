@@ -1,0 +1,57 @@
+package graft.llmops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PrefixJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def bruteForce(docs: org.apache.spark.sql.DataFrame, t: Double) = {
+    val ids = docs.select($"doc_id".as("id_a")).crossJoin(
+      docs.select($"doc_id".as("id_b"))).filter($"id_a" < $"id_b")
+    Dedup.exactJaccard(docs, ids, "doc_id", "text", 3)
+      .filter($"jaccard" >= t)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+  }
+
+  test("prefix-filtered join equals brute force on a planted corpus") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " lambda"),                    // near-dup of 1
+      (3L, base.replace("delta", "DELTA") + " mu nu"),
+      (4L, "totally different words about cooking bread and mountain gardens today"),
+      (5L, "totally different words about cooking bread and mountain gardens tomorrow"),
+      (6L, "unrelated singleton content nothing shared here at all whatsoever")
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == bruteForce(docs, t), s"mismatch at t=$t")
+    }
+  }
+
+  test("a pair exactly at the threshold is retained") {
+    // doc 1: shingles {s1..s4}; doc 2 shares 2 of 4 with 2 extra ->
+    // J = 2/6 = 0.333...; use t = 1/3 boundary via a cleaner J = 0.5:
+    // x: 4 shingles, y: same 4 shingles + 4 others -> J = 4/8 = 0.5
+    val x = "a b c d e f"                       // shingles: abc bcd cde def (4)
+    val y = "a b c d e f p q r s"               // 8 shingles, 4 shared
+    val docs = Seq((1L, x), (2L, y)).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0.5)))
+  }
+
+  test("prefix pruning keeps common-shingle-only pairs out of the join") {
+    // many docs share a COMMON head shingle but nothing else; with
+    // t=0.5 no pair qualifies and none should even reach verification
+    val docs = (1L to 30L).map(i =>
+      (i, s"common head shingle unique$i tail$i word$i extra$i more$i"))
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, 0.5).count()
+    assert(got == 0)
+  }
+}
