@@ -51,6 +51,20 @@ object ScaleCorpus {
         text.as("text"))
     }.reduce(_ unionByName _)
 
+  /** events ×factor: disjoint user/event-id copies over the IDENTICAL
+    * timeline — N× users in the same window, which is how a larger
+    * deployment actually grows. Per-user structure (sessions, funnels,
+    * interval overlaps) is preserved exactly; no key joins across
+    * copies, so keyed-window/join outputs scale ∝ factor by
+    * construction and any super-linear probe reading is the engine's. */
+  def amplifyEvents(events: DataFrame, factor: Int,
+      idShift: Long = 10000000L): DataFrame =
+    (0 until factor).map { k =>
+      events.select((col("event_id") + lit(k * idShift)).as("event_id"),
+        (col("user_id") + lit(k * idShift)).as("user_id"),
+        col("event_type"), col("ts"))
+    }.reduce(_ unionByName _)
+
   /** embeddings ×factor with per-copy orthogonal sign flips. */
   def amplifyEmbeddings(emb: DataFrame, factor: Int, dim: Int = 64,
       idShift: Long = 10000000L): DataFrame =

@@ -50,6 +50,10 @@ object ScaleProbe {
     val docsN = stage(s"docs$factor", ScaleCorpus.amplifyDocs(docsBase, factor))
     val emb1 = stage("emb1", ScaleCorpus.amplifyEmbeddings(embBase, 1))
     val embN = stage(s"emb$factor", ScaleCorpus.amplifyEmbeddings(embBase, factor))
+    val evBase = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val ev1 = stage("ev1", ScaleCorpus.amplifyEvents(evBase, 1))
+    val evN = stage(s"ev$factor", ScaleCorpus.amplifyEvents(evBase, factor))
     // the q99 eval side is a benchmark — constant size at every scale
     val evalDocs = docsBase.filter(col("doc_id") < 50).cache()
     evalDocs.count()
@@ -62,7 +66,37 @@ object ScaleProbe {
       pqCents.toDF()
     }
 
-    def gates(docs: DataFrame, emb: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+    def gates(docs: DataFrame, emb: DataFrame, ev: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+      // r8 late-session additions: funnel/interval are per-user-keyed
+      // (work ∝ users), prefix join's candidates live in the rare
+      // shingle tail, IVM's delta path is ∝ change volume
+      "q122_funnel" -> (() => graft.ops.Funnel.stepTimes(ev,
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))),
+      "q130_interval_join" -> (() => {
+        val l = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("l_id"),
+            unix_micros(col("ts")).as("ls"),
+            (unix_micros(col("ts")) + 3600000000L).as("le"))
+        val r = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("r_id"),
+            unix_micros(col("ts")).as("rs"),
+            (unix_micros(col("ts")) + 1800000000L).as("re"))
+        graft.ops.IntervalJoin.overlapJoin(l, r, "user_id", 3600000000L)
+      }),
+      "q132_prefix_join" -> (() => Dedup.prefixFilterJoin(
+        docs, "doc_id", "text", shingleK = 3, threshold = 0.5)),
+      "q123_ivm" -> (() => {
+        val o = docs.select(col("doc_id").as("k"),
+          (length(col("text")) % 10).as("g"),
+          length(col("text")).cast("long").as("v"))
+        val n = o.filter(col("k") % 7 =!= 0)
+          .withColumn("v", when(col("k") % 5 === 0, col("v") * 2)
+            .otherwise(col("v")))
+        val oldAgg = o.groupBy("g")
+          .agg(count(lit(1)).as("n_rows"), sum("v").as("total"))
+        graft.ops.ChangeCapture.maintainAgg(oldAgg,
+          graft.ops.ChangeCapture.rowImageDiff(o, n, "k", "g", "v"))
+      }),
       "q33_exact_dedup" -> (() => Dedup.exact(docs, "doc_id", "text")),
       "q35_minhash" -> (() => Dedup.minhashCandidates(docs, "doc_id", "text",
         shingleK = 2, numHashes = 64, bands = 16, threshold = 0.3)),
@@ -121,8 +155,12 @@ object ScaleProbe {
       ts.min
     }
 
-    val g1 = gates(docs1, emb1)
-    val gN = gates(docsN, embN)
+    // optional comma-separated name-prefix filter for targeted runs
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def keep(n: String) = only.forall(_.exists(n.startsWith))
+    val g1 = gates(docs1, emb1, ev1).filter(p => keep(p._1))
+    val gN = gates(docsN, embN, evN).filter(p => keep(p._1))
     var t1Lsh = 0.0
     val rows = g1.zip(gN).map { case ((name, mk1), (_, mkN)) =>
       val t1 = time(mk1)
@@ -138,16 +176,19 @@ object ScaleProbe {
     // super-linear BY CONSTRUCTION. The default leg above derives
     // planes via autoPlanes, so this measures what NOT scaling the
     // planes would cost (r6: exponent 1.41 fixed vs 0.21 derived).
-    val frozenPlanes = Similarity.autoPlanes(emb1, Similarity.NearDupOccupancy)
-    val tFixed = time(() => Similarity.lshNearDupPairsPortable(
-      embN, threshold = 0.4, nPlanes = frozenPlanes, dim = 64, nTables = 8))
-    val expFixed = math.log(tFixed / t1Lsh) / math.log(factor.toDouble)
-    System.err.println(
-      f"[scale] q97b_fixed_planes(planes=$frozenPlanes) t$factor=$tFixed%.2f exp=$expFixed%.2f")
-    val scaledRow =
-      f""""q97b_fixed_planes":{"t1":$t1Lsh%.3f,"tN":$tFixed%.3f,"exponent":$expFixed%.3f,"nPlanes":$frozenPlanes}"""
+    // skipped when a PROBE_ONLY filter excluded the q97b base leg
+    val contrastRows = if (t1Lsh > 0) {
+      val frozenPlanes = Similarity.autoPlanes(emb1, Similarity.NearDupOccupancy)
+      val tFixed = time(() => Similarity.lshNearDupPairsPortable(
+        embN, threshold = 0.4, nPlanes = frozenPlanes, dim = 64, nTables = 8))
+      val expFixed = math.log(tFixed / t1Lsh) / math.log(factor.toDouble)
+      System.err.println(
+        f"[scale] q97b_fixed_planes(planes=$frozenPlanes) t$factor=$tFixed%.2f exp=$expFixed%.2f")
+      Seq(
+        f""""q97b_fixed_planes":{"t1":$t1Lsh%.3f,"tN":$tFixed%.3f,"exponent":$expFixed%.3f,"nPlanes":$frozenPlanes}""")
+    } else Seq.empty
     spark.stop()
-    println((rows :+ scaledRow)
+    println((rows ++ contrastRows)
       .mkString(s"""{"factor":$factor,"sf":"$sfDir","gates":{""", ",", "}}"))
   }
 }
