@@ -5,6 +5,7 @@ import graft.llmops.Multimodal
 import graft.sources.Tables
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Streaming-equivalent and multimodal queries. */
@@ -633,6 +634,39 @@ object Extras {
       |       TRUE AS est_ok
       |FROM events GROUP BY 1 ORDER BY week""".stripMargin
 
+  /** q133 (r8): Markov transition matrix over user journeys — counts
+    * and integer-ppm row-normalized probabilities of each
+    * event_type → next-event_type transition within a user's timeline
+    * (ties broken by event_id so both engines see one ordering). The
+    * funnel's (q122) global cousin: one lead() window on the user key,
+    * then a 25-cell aggregate. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    trans.groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_ppm", expr(
+        "n * 1000000L DIV sum(n) OVER (PARTITION BY event_type)"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  private def eventTransitionsOracle: String =
+    """WITH t AS (
+      |  SELECT event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |c AS (SELECT event_type, next_type, count(*)::BIGINT AS n
+      |      FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, next_type, n,
+      |       CAST(n * 1000000 // sum(n) OVER (PARTITION BY event_type)
+      |            AS BIGINT) AS p_ppm
+      |FROM c ORDER BY event_type, next_type""".stripMargin
+
   /** Weekly retention cohorts over events: users grouped by first-seen
     * day; distinct active users per (cohort, week offset). */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
@@ -961,6 +995,8 @@ object Extras {
       Some(intervalOverlapOracle)),
     QueryDef("q131_hll_reaggregate", hllReaggregate,
       Some(hllReaggregateOracle)),
+    QueryDef("q133_event_transitions", eventTransitions,
+      Some(eventTransitionsOracle)),
     QueryDef("q123_ivm_maintain", incrementalAggMaintain,
       Some(incrementalAggMaintainOracle)),
     QueryDef("q124_timetravel_read", timeTravelRead, Some(timeTravelOracle)),
