@@ -744,6 +744,33 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY revenue_c DESC, n_name""".stripMargin
 
+  /** q134 (r8): explicit GROUPING SETS — ((priority), (status), ()) —
+    * a subtotal shape neither ROLLUP nor CUBE produces (no
+    * (priority, status) cell). One Expand feeding one aggregate, like
+    * q80/q92. */
+  def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+      .groupingSets(
+        Seq(Seq($"o_orderpriority"), Seq($"o_orderstatus"), Seq()),
+        $"o_orderpriority", $"o_orderstatus")
+      .agg(sum($"cents").as("revenue_cents"),
+        count(lit(1)).as("n_orders"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy($"gid", $"o_orderpriority", $"o_orderstatus")
+  }
+
+  private def groupingSetsOracle: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT
+      |         AS revenue_cents,
+      |       count(*)::BIGINT AS n_orders,
+      |       GROUPING(o_orderpriority, o_orderstatus)::BIGINT AS gid
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin
+
   private def rollupOracle: String =
     """SELECT coalesce(r_name, 'ALL') AS r_name,
       |       coalesce(n_name, 'ALL') AS n_name,
@@ -858,6 +885,8 @@ object Relational {
     QueryDef("q127_bloom_join", bloomJoinSuppliers, Some(bloomJoinOracle)),
     QueryDef("q128_local_supplier_revenue", localSupplierRevenue,
       Some(localSupplierOracle)),
+    QueryDef("q134_grouping_sets", groupingSetsRevenue,
+      Some(groupingSetsOracle)),
     QueryDef("q81_pivot_status", pivotStatusCounts, Some(pivotOracle)),
     QueryDef("q82_unpivot_status", unpivotStatusCounts, Some(unpivotOracle)),
     QueryDef("q54_percentiles", percentiles, Some(
