@@ -251,6 +251,58 @@ object EventStreams {
       }
   }
 
+  case class FunnelOut(userId: Long, t1Us: Option[Long],
+      t2Us: Option[Long], t3Us: Option[Long])
+  /** Per-user funnel state: earliest reach micros per step,
+    * Long.MaxValue = not reached. */
+  case class FunnelSt(t1: Long, t2: Long, t3: Long)
+
+  /** Streaming twin of [[graft.ops.Funnel.stepTimes]] (3 steps) via
+    * mapGroupsWithState: per-user state is just the three earliest
+    * reach times — O(users) state, no event buffer.
+    *
+    * Contract: per-user event-time-ORDERED arrival across micro-
+    * batches (a watermark-ordered replay; the at-least-once dedup of
+    * q68 composes upstream). Within a batch, events sort by
+    * (ts, step index), which reproduces the batch RANGE-frame tie
+    * rule exactly: an equal-timestamp view qualifies an equal-
+    * timestamp click whatever order they arrived in. Under that
+    * contract each reach time is set once and never moves, so
+    * Update-mode emissions are monotone refinements of the same final
+    * row per user. A LATE earlier view could in principle re-qualify
+    * an already-discarded click; handling that exactly would mean
+    * buffering all pre-t1 clicks (unbounded) — out of contract, as
+    * with every production streaming funnel. */
+  def funnelStreaming(events: DataFrame, steps: Seq[String])
+      : Dataset[FunnelOut] = {
+    require(steps.size == 3, "3-step funnel state")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val idx = steps.zipWithIndex.toMap
+    val U = Long.MaxValue
+    events.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelSt, FunnelOut](
+        GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[FunnelSt]) =>
+          val t = state.getOption.map(s => Array(s.t1, s.t2, s.t3))
+            .getOrElse(Array(U, U, U))
+          val evs = rows.flatMap { case (_, ty, us) =>
+            idx.get(ty).map(k => (us, k))
+          }.toArray
+          scala.util.Sorting.quickSort(evs)(Ordering.Tuple2[Long, Int])
+          evs.foreach { case (us, k) =>
+            if (k == 0) { if (us < t(0)) t(0) = us }
+            else if (t(k - 1) != U && us >= t(k - 1) && us < t(k)) t(k) = us
+          }
+          state.update(FunnelSt(t(0), t(1), t(2)))
+          FunnelOut(uid, Some(t(0)).filter(_ != U),
+            Some(t(1)).filter(_ != U), Some(t(2)).filter(_ != U))
+      }
+  }
+
   /** Drive a streaming query to completion against a bounded source and
     * return the materialized result (memory sink). */
   def runToMemory(df: DataFrame, name: String,

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class FunnelStreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val steps = Seq("view", "click", "purchase")
+
+  /** Final per-user row from Update-mode emissions: under the ordered-
+    * arrival contract each reach time is set once, so min-over-
+    * emissions per column IS the final state. */
+  private def finalRows(updates: org.apache.spark.sql.DataFrame) =
+    updates.groupBy($"userId")
+      .agg(min($"t1Us").as("t1"), min($"t2Us").as("t2"), min($"t3Us").as("t3"))
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+  test("streaming funnel over the fixture equals the batch operator") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.ops.Funnel.stepTimes(
+        graft.sources.Tables.events(spark, sf),
+        "user_id", "event_type", "ts", steps)
+      .select($"user_id", unix_micros($"t_1"), unix_micros($"t_2"),
+        unix_micros($"t_3"))
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(batch.nonEmpty)
+
+    val got = finalRows(EventStreams.runToMemory(
+      EventStreams.funnelStreaming(
+        EventStreams.readEvents(spark, sf), steps).toDF(),
+      "funnel_stream", OutputMode.Update()))
+    assert(got == batch)
+  }
+
+  test("state carries across micro-batches; ties within a batch qualify") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val events = ms.toDF().toDF("user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_micros($"sec" * 1000000L))
+    val q = EventStreams.funnelStreaming(events, steps).toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("funnel_waves").start()
+
+    // wave 1: u1 view; u2 view+click+purchase all at the SAME second
+    ms.addData((1L, "view", 10L),
+      (2L, "view", 10L), (2L, "purchase", 10L), (2L, "click", 10L))
+    q.processAllAvailable()
+    // wave 2 (later event times): u1 converts
+    ms.addData((1L, "click", 20L), (1L, "purchase", 30L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = finalRows(spark.table("funnel_waves"))
+    def us(s: Long) = Some(s * 1000000L)
+    assert(got(1L) == ((us(10), us(20), us(30))),
+      "click/purchase in wave 2 must qualify against wave-1 state")
+    assert(got(2L) == ((us(10), us(10), us(10))),
+      "same-timestamp arrival order must not matter (step-index sort)")
+  }
+}
