@@ -26,12 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object BloomJoin {
 
-  /** The fact frame filtered to rows whose key passes the Bloom image
-    * of `dimKeys`. Adds nothing, removes only guaranteed-non-matching
-    * rows. `dimKeys` must be bounded (it is collected): the dim side
-    * of a join you would broadcast anyway. */
-  def bloomPrune(fact: DataFrame, dimKeys: DataFrame, factKey: String,
-      dimKey: String, k: Int = 3, mBits: Int = 65536): DataFrame = {
+  /** The fact frame plus a boolean `flagName` column: true iff the
+    * key passes the Bloom image of `dimKeys` (never false for a real
+    * match). For single-pass plans that need both the pruned rows AND
+    * pruning statistics from ONE scan. `dimKeys` must be bounded (it
+    * is collected): the dim side of a join you would broadcast
+    * anyway. */
+  def bloomTag(fact: DataFrame, dimKeys: DataFrame, factKey: String,
+      dimKey: String, flagName: String, k: Int = 3,
+      mBits: Int = 65536): DataFrame = {
     require(mBits % 64 == 0, "mBits must be a multiple of 64")
     // bounded collect: k positions per dim key, deduped — the same
     // driver-side bound a broadcast-hash-join build side accepts
@@ -42,16 +45,25 @@ object BloomJoin {
     val words = new Array[Long](mBits / 64)
     positions.foreach(p => words((p / 64).toInt) |= (1L << (p % 64)))
     val probe = Sketches.bloomPositions(col(factKey).cast("string"), k, mBits)
-    val withProbes = fact
-      .withColumn("__bw", typedLit(words.toSeq))
-      .withColumn("__pp", probe)
     val allSet: Column = (0 until k).map { i =>
       expr(s"""(shiftright(
         element_at(__bw, cast(element_at(__pp, ${i + 1}) DIV 64 AS INT) + 1),
         cast(element_at(__pp, ${i + 1}) % 64 AS INT)) & 1) = 1""")
     }.reduce(_ && _)
-    withProbes.filter(allSet).drop("__bw", "__pp")
+    fact
+      .withColumn("__bw", typedLit(words.toSeq))
+      .withColumn("__pp", probe)
+      .withColumn(flagName, allSet)
+      .drop("__bw", "__pp")
   }
+
+  /** The fact frame filtered to rows whose key passes the Bloom image
+    * of `dimKeys`. Adds nothing, removes only guaranteed-non-matching
+    * rows. */
+  def bloomPrune(fact: DataFrame, dimKeys: DataFrame, factKey: String,
+      dimKey: String, k: Int = 3, mBits: Int = 65536): DataFrame =
+    bloomTag(fact, dimKeys, factKey, dimKey, "__bloom_pass", k, mBits)
+      .filter(col("__bloom_pass")).drop("__bloom_pass")
 
   /** Bloom-pruned inner equi-join: prune the fact side, then join.
     * Result is row-identical to `fact.join(dim, fact(key)===dim(key))`

@@ -656,15 +656,27 @@ object Relational {
     val dim = Tables.supplier(spark, dir)
       .filter($"s_nationkey" === 3)
       .select($"s_suppkey", $"s_name")
-    val pruned = graft.ops.BloomJoin.bloomPrune(
-      li, dim.select($"s_suppkey"), "l_suppkey", "s_suppkey")
-    val per = pruned.join(broadcast(dim), pruned("l_suppkey") === dim("s_suppkey"))
-      .groupBy($"s_suppkey", $"s_name")
-      .agg(count(lit(1)).as("n_items"),
+    // ONE fact scan: tag rows with the Bloom verdict, broadcast-left-
+    // join the dim, and partially aggregate to (pass, suppkey) — the
+    // per-supplier rows AND both pruning stats all read off the tiny
+    // grouped frame (a pass=true row with a null suppkey is a Bloom
+    // false positive: counted in n_after_bloom, excluded from `per`,
+    // exactly as a two-phase plan would behave).
+    val tagged = graft.ops.BloomJoin.bloomTag(
+      li, dim.select($"s_suppkey"), "l_suppkey", "s_suppkey", "__pass")
+    val grouped = tagged
+      .join(broadcast(dim), tagged("l_suppkey") === dim("s_suppkey"), "left")
+      .groupBy($"__pass", $"s_suppkey", $"s_name")
+      .agg(count(lit(1)).as("cnt"),
         sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
-          .as("revenue_c"))
-    val stats = li.agg(count(lit(1)).as("n_fact"))
-      .crossJoin(pruned.agg(count(lit(1)).as("n_after_bloom")))
+          .as("rev"))
+      .cache() // bounded: <= 2 x (|dim| + 1) rows
+    val per = grouped.filter($"__pass" && $"s_suppkey".isNotNull)
+      .select($"s_suppkey", $"s_name", $"cnt".as("n_items"),
+        $"rev".as("revenue_c"))
+    val stats = grouped.agg(
+      sum($"cnt").as("n_fact"),
+      sum(when($"__pass", $"cnt").otherwise(lit(0L))).as("n_after_bloom"))
     per.crossJoin(broadcast(stats)).orderBy($"s_suppkey")
   }
 
