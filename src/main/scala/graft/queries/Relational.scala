@@ -756,6 +756,61 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY revenue_c DESC, n_name""".stripMargin
 
+  /** q135 (r8): the TPC-H Q8 archetype — market share: of all revenue
+    * ASIA-region customers generated per order year, the ppm fraction
+    * supplied by CHINA suppliers. Conditional aggregate over the q128
+    * join shape; integer cents and DIV keep the share exact. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", year($"o_orderdate").as("o_year"))
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey",
+      expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+        .as("rev_c"))
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    val custAsia = Tables.customer(spark, dir)
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(reg.filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey")
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(nat.select($"n_nationkey".as("sn_key"),
+        $"n_name".as("supp_nation"))), $"s_nationkey" === $"sn_key")
+      .select($"s_suppkey", $"supp_nation")
+    li.join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(custAsia, $"o_custkey" === $"c_custkey")
+      .join(suppNation, $"l_suppkey" === $"s_suppkey")
+      .groupBy($"o_year")
+      .agg(sum($"rev_c").as("total_c"),
+        sum(when($"supp_nation" === "CHINA", $"rev_c").otherwise(lit(0L)))
+          .as("china_c"))
+      .withColumn("share_ppm", expr("china_c * 1000000L DIV total_c"))
+      .orderBy($"o_year")
+  }
+
+  private def marketShareOracle: String =
+    """WITH j AS (
+      |  SELECT CAST(datepart('year', o_orderdate) AS INTEGER) AS o_year,
+      |         CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+      |              AS BIGINT) AS rev_c,
+      |         sn.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN region ON cn.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  WHERE r_name = 'ASIA')
+      |SELECT o_year, sum(rev_c)::BIGINT AS total_c,
+      |       sum(CASE WHEN supp_nation = 'CHINA' THEN rev_c
+      |                ELSE 0 END)::BIGINT AS china_c,
+      |       CAST(sum(CASE WHEN supp_nation = 'CHINA' THEN rev_c
+      |                     ELSE 0 END) * 1000000
+      |            // sum(rev_c) AS BIGINT) AS share_ppm
+      |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin
+
   /** q134 (r8): explicit GROUPING SETS — ((priority), (status), ()) —
     * a subtotal shape neither ROLLUP nor CUBE produces (no
     * (priority, status) cell). One Expand feeding one aggregate, like
@@ -899,6 +954,7 @@ object Relational {
       Some(localSupplierOracle)),
     QueryDef("q134_grouping_sets", groupingSetsRevenue,
       Some(groupingSetsOracle)),
+    QueryDef("q135_market_share", marketShare, Some(marketShareOracle)),
     QueryDef("q81_pivot_status", pivotStatusCounts, Some(pivotOracle)),
     QueryDef("q82_unpivot_status", unpivotStatusCounts, Some(unpivotOracle)),
     QueryDef("q54_percentiles", percentiles, Some(
