@@ -322,8 +322,13 @@ object Dedup {
     * Joins shingle arrays back per side — runs only on the (small)
     * candidate set, never all-pairs. */
   def exactJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
-      textCol: String, shingleK: Int = 3): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, shingleK)
+      textCol: String, shingleK: Int = 3): DataFrame =
+    exactJaccardOn(shingleSets(docs, idCol, textCol, shingleK), pairs)
+
+  /** [[exactJaccard]] over pre-materialized shingle sets — callers that
+    * already computed (and cached) the sets avoid re-running the
+    * shingle kernel. */
+  def exactJaccardOn(sh: DataFrame, pairs: DataFrame): DataFrame = {
     pairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
@@ -355,7 +360,9 @@ object Dedup {
   def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
-    val sh = shingleSets(docs, idCol, textCol, shingleK)
+    // cached: the shingle kernel feeds both the prefix index and the
+    // verification join (bounded: one row of distinct shingles per doc)
+    val sh = shingleSets(docs, idCol, textCol, shingleK).cache()
     val inst = sh.select(col("id"), explode(col("sh")).as("t"))
     val freq = inst.groupBy(col("t")).agg(count(lit(1)).as("f"))
     val wRank = Window.partitionBy(col("id")).orderBy(col("f"), col("t"))
@@ -369,7 +376,7 @@ object Dedup {
         col("a.t") === col("b.t") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    exactJaccard(docs, candidates, idCol, textCol, shingleK)
+    exactJaccardOn(sh, candidates)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
