@@ -811,6 +811,35 @@ object Relational {
       |            // sum(rev_c) AS BIGINT) AS share_ppm
       |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin
 
+  /** One ANSI SQL text, two engines: q136 runs this string through
+    * `spark.sql` over registered views; the SAME string is the DuckDB
+    * oracle. Both dialects accept it unmodified — the SQL front door
+    * the reference's users would come through. */
+  private val sqlFrontDoorText: String =
+    """SELECT n_name, count(*) AS n_items,
+      |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+      |           AS BIGINT)) AS BIGINT) AS revenue_c
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY revenue_c DESC, n_name""".stripMargin
+
+  /** q136 (r8): the SQL front door — every fixture table registered as
+    * a temp view, the query submitted as SQL TEXT (not DataFrame
+    * calls), Catalyst planning it identically to q128's API form. */
+  def sqlFrontDoor(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Tables.all.foreach { t =>
+      graft.sources.Tables(spark, dir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(sqlFrontDoorText)
+  }
+
   /** q134 (r8): explicit GROUPING SETS — ((priority), (status), ()) —
     * a subtotal shape neither ROLLUP nor CUBE produces (no
     * (priority, status) cell). One Expand feeding one aggregate, like
@@ -955,6 +984,7 @@ object Relational {
     QueryDef("q134_grouping_sets", groupingSetsRevenue,
       Some(groupingSetsOracle)),
     QueryDef("q135_market_share", marketShare, Some(marketShareOracle)),
+    QueryDef("q136_sql_front_door", sqlFrontDoor, Some(sqlFrontDoorText)),
     QueryDef("q81_pivot_status", pivotStatusCounts, Some(pivotOracle)),
     QueryDef("q82_unpivot_status", unpivotStatusCounts, Some(unpivotOracle)),
     QueryDef("q54_percentiles", percentiles, Some(
