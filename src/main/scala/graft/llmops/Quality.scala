@@ -185,6 +185,30 @@ object Quality {
         round(exp(avg), 2).as("ppl"))
   }
 
+  /** Token-budgeted best-first selection per source — the "data
+    * recipe" admission step: each source contributes its
+    * highest-quality docs until its token budget is spent (greedy
+    * prefix of the quality order; a doc that would overflow the budget
+    * ends the source's intake — knapsack-refilling past it is not a
+    * windowed computation and not what recipe tooling does either).
+    * Deterministic: quality ties break on the id.
+    *
+    * Scale: one shuffle on the source key; the quality sort and the
+    * running token sum share that partitioning. Budgets are per
+    * source, so no global coordination exists at all — each source's
+    * intake closes independently on its own executor partition. */
+  def budgetedSelection(docs: DataFrame, srcCol: String, idCol: String,
+      tokenExpr: Column, qualityExpr: Column, budgetPerSource: Long)
+      : DataFrame = {
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(col("quality").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), col(srcCol), tokenExpr.as("tok"),
+        qualityExpr.as("quality"))
+      .withColumn("cum_tok", sum(col("tok")).over(w))
+      .withColumn("admitted", col("cum_tok") <= budgetPerSource)
+  }
+
   /** DSIR-style importance scores (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): hashed-unigram
     * bag-of-words models for a TARGET slice (`targetPred` over the doc

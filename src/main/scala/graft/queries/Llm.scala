@@ -1267,6 +1267,36 @@ object Llm {
       |SELECT id_a, id_b, round(raw, 6) AS jaccard
       |FROM j WHERE raw >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
+  /** q137 (r8): token-budgeted data recipe
+    * ([[Quality.budgetedSelection]]) — every source admits its
+    * longest docs (n_chars as the quality signal, doc_id tie-break)
+    * until an 800-token budget closes its intake. */
+  def budgetedRecipe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Quality.budgetedSelection(docs, "source", "doc_id",
+        tokenExpr = size(filter(split(lower(col("text")), "\\s+"),
+          t => length(t) > 0)).cast("long"),
+        qualityExpr = col("n_chars"),
+        budgetPerSource = 800L)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  private def budgetedRecipeOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars AS quality,
+      |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                              x -> x <> '')) AS BIGINT) AS tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, source, tok, quality,
+      |        CAST(sum(tok) OVER (PARTITION BY source
+      |          ORDER BY quality DESC, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS BIGINT) AS cum_tok
+      |      FROM d)
+      |SELECT doc_id, source, tok, quality, cum_tok,
+      |       cum_tok <= 800 AS admitted
+      |FROM c ORDER BY source, doc_id""".stripMargin
+
   /** BM25 ranked retrieval for a fixed bag-of-words query — integer
     * micro-score sum (see [[graft.text.Bm25]]) makes the full scoring
     * pipeline hash-exact across engines. */
@@ -1830,6 +1860,8 @@ object Llm {
     QueryDef("q126_bigram_ppl", bigramPpl, Some(bigramPplOracle)),
     QueryDef("q132_prefix_jaccard_join", prefixJaccardJoin,
       Some(prefixJaccardOracle)),
+    QueryDef("q137_budgeted_recipe", budgetedRecipe,
+      Some(budgetedRecipeOracle)),
     QueryDef("q83_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     QueryDef("q84_bm25_search", bm25Search, Some(bm25Oracle)),
     QueryDef("q113_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
