@@ -366,9 +366,12 @@ object Dedup {
     val inst = sh.select(col("id"), explode(col("sh")).as("t"))
     val freq = inst.groupBy(col("t")).agg(count(lit(1)).as("f"))
     val wRank = Window.partitionBy(col("id")).orderBy(col("f"), col("t"))
+    // |x| comes from the set array itself (map-side size), not a second
+    // window pass over the exploded instances
+    val sizes = sh.select(col("id"), size(col("sh")).cast("long").as("n"))
     val prefixes = inst.join(freq, Seq("t"))
+      .join(sizes, Seq("id"))
       .withColumn("rk", row_number().over(wRank))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("id"), col("t"))
     val candidates = prefixes.as("a")
