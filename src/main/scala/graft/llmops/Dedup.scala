@@ -360,18 +360,20 @@ object Dedup {
   def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
-    // cached: the shingle kernel feeds both the prefix index and the
-    // verification join (bounded: one row of distinct shingles per doc)
-    val sh = shingleSets(docs, idCol, textCol, shingleK).cache()
+    // NOT cached: columnar-caching array<string> rows costs more than
+    // re-running the shingle kernel (bench-adjudicated: the cached
+    // variant ran 12→21 s at sf0.1 across three passes)
+    val sh = shingleSets(docs, idCol, textCol, shingleK)
     val inst = sh.select(col("id"), explode(col("sh")).as("t"))
     val freq = inst.groupBy(col("t")).agg(count(lit(1)).as("f"))
     val wRank = Window.partitionBy(col("id")).orderBy(col("f"), col("t"))
-    // |x| comes from the set array itself (map-side size), not a second
-    // window pass over the exploded instances
-    val sizes = sh.select(col("id"), size(col("sh")).cast("long").as("n"))
+    // set size via a count window on the SAME id partitioning the rank
+    // window already shuffled to — a size(sh) join would re-evaluate
+    // the shingle-kernel lineage a second time inside this plan
+    // (bench-adjudicated slower, as was caching sh)
     val prefixes = inst.join(freq, Seq("t"))
-      .join(sizes, Seq("id"))
       .withColumn("rk", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("id"), col("t"))
     val candidates = prefixes.as("a")
