@@ -23,11 +23,21 @@ object AsOfJoin {
     * @param keyCol      equi-key present on both sides
     * @param timeCol     event-time column present on both sides (same type)
     * @param rightPayload right columns to carry (renamed as given)
+    * @param tolerance   optional max staleness in timeCol's own units
+    *                    (pandas merge_asof / kdb aj semantics): a match
+    *                    older than left_time − tolerance yields nulls
+    *                    instead — point-in-time enrichment that must
+    *                    not serve arbitrarily stale state. Requires a
+    *                    numeric timeCol.
     * @return left rows + nullable payload columns (left as-of join)
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String,
-      timeCol: String, rightPayload: Seq[String]): DataFrame = {
-    val payloadStruct = struct(rightPayload.map(col): _*)
+      timeCol: String, rightPayload: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    // the right TIME rides inside the payload so staleness is checked
+    // against the row actually carried (not just any right row)
+    val payloadStruct =
+      struct((rightPayload.map(col) :+ col(timeCol).as("__t")): _*)
     val l = left.withColumn("__side", lit(1))
       .withColumn("__payload", lit(null).cast(
         right.select(payloadStruct).schema.head.dataType.sql))
@@ -50,8 +60,15 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = lAligned.unionByName(rAligned)
       .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+    val fresh = tolerance match {
+      case Some(tol) =>
+        col("__asof").isNotNull &&
+          col(timeCol) - col("__asof").getField("__t") <= tol
+      case None => col("__asof").isNotNull
+    }
     carried.filter(col("__side") === 1)
       .select((left.columns.toIndexedSeq.map(col) ++
-        rightPayload.map(p => col("__asof").getField(p).as(s"asof_$p"))): _*)
+        rightPayload.map(p =>
+          when(fresh, col("__asof").getField(p)).as(s"asof_$p"))): _*)
   }
 }

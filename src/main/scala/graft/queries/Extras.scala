@@ -827,6 +827,36 @@ object Extras {
       .orderBy(col("event_id"))
   }
 
+  /** q138 (r8): tolerance-bounded as-of join (pandas merge_asof / kdb
+    * aj semantics) — q48's enrichment, but a purchase older than 30
+    * minutes yields nulls instead of arbitrarily stale state. The
+    * DuckDB oracle uses the native ASOF JOIN plus a staleness CASE. */
+  def clicksAsOfPurchasesTol(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("purchase_id"))
+    graft.ops.AsOfJoin.asOf(clicks, purchases, "user_id", "ts_us",
+        Seq("purchase_id"), tolerance = Some(1800000000L))
+      .orderBy(col("event_id"))
+  }
+
+  private def asofTolOracle: String =
+    """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |              event_type FROM events),
+      |clicks AS (SELECT event_id, user_id, ts_us FROM ev
+      |           WHERE event_type = 'click'),
+      |purch AS (SELECT event_id AS purchase_id, user_id, ts_us FROM ev
+      |          WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.ts_us, c.event_id,
+      |       CASE WHEN c.ts_us - p.ts_us <= 1800000000
+      |            THEN p.purchase_id END AS asof_purchase_id
+      |FROM clicks c ASOF LEFT JOIN purch p
+      |  ON c.user_id = p.user_id AND p.ts_us <= c.ts_us
+      |ORDER BY c.event_id""".stripMargin
+
   /** Albedo-shaped profile-builder jobs over the deterministic fixture
     * generator. The fixtures are persisted to parquet
     * (AlbedoFixtures.persistDir) and read back, so the DuckDB oracle
@@ -945,6 +975,8 @@ object Extras {
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND p.ts_us <= c.ts_us
         |ORDER BY c.event_id""".stripMargin)),
+    QueryDef("q138_asof_tolerance", clicksAsOfPurchasesTol,
+      Some(asofTolOracle)),
     QueryDef("q28_hourly_window_counts", hourlyWindowCounts, Some(
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
         | event_type, count(*) AS n, round(sum(value), 2) AS total_value

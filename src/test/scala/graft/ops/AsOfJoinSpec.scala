@@ -18,6 +18,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got("e3").isEmpty)          // no right row ≤ 10
   }
 
+  test("tolerance nulls stale matches but keeps fresh ones") {
+    val left = Seq((1, 50L, "fresh"), (1, 200L, "stale"), (1, 140L, "edge"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1, 40L, "s40")).toDF("k", "t", "state")
+    val got = AsOfJoin.asOf(left, right, "k", "t", Seq("state"),
+        tolerance = Some(100L))
+      .select("tag", "asof_state").as[(String, Option[String])]
+      .collect().toMap
+    assert(got("fresh").contains("s40"))   // 10 units old
+    assert(got("edge").contains("s40"))    // exactly 100 units old (<=)
+    assert(got("stale").isEmpty)           // 160 units old
+  }
+
   test("multiple keys stay isolated") {
     val left = Seq((1, 10L, "a"), (2, 10L, "b")).toDF("k", "t", "tag")
     val right = Seq((1, 5L, "x")).toDF("k", "t", "state")
