@@ -667,6 +667,33 @@ object Extras {
       |            AS BIGINT) AS p_ppm
       |FROM c ORDER BY event_type, next_type""".stripMargin
 
+  /** q139 (r8): funnel time-to-convert distribution — over q122's
+    * step times, exact interpolated percentiles of (purchase − first
+    * view) seconds among fully-converted users (the q54 exact-
+    * percentile pattern: fixture-scale oracle vehicle; the q54b
+    * mergeable-sketch twin is the 100 TB path for this shape too). */
+  def funnelTimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val per = graft.ops.Funnel.stepTimes(Tables.events(spark, dir),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+    per.filter(col("t_3").isNotNull)
+      .select(((unix_micros(col("t_3")) - unix_micros(col("t_1")))
+        / lit(1000000L)).cast("long").as("sec"))
+      .agg(count(lit(1)).as("n_converted"),
+        expr("CAST(round(percentile(sec, 0.5)) AS BIGINT)").as("p50_sec"),
+        expr("CAST(round(percentile(sec, 0.9)) AS BIGINT)").as("p90_sec"),
+        min(col("sec")).as("min_sec"), max(col("sec")).as("max_sec"))
+  }
+
+  private def funnelTtcOracle: String =
+    s"""WITH $funnelWindowCtes,
+       |conv AS (SELECT (epoch_us(t3) - epoch_us(t1)) // 1000000 AS sec
+       |         FROM per WHERE t3 IS NOT NULL)
+       |SELECT count(*)::BIGINT AS n_converted,
+       |       CAST(round(quantile_cont(sec, 0.5), 0) AS BIGINT) AS p50_sec,
+       |       CAST(round(quantile_cont(sec, 0.9), 0) AS BIGINT) AS p90_sec,
+       |       min(sec) AS min_sec, max(sec) AS max_sec
+       |FROM conv""".stripMargin
+
   /** Weekly retention cohorts over events: users grouped by first-seen
     * day; distinct active users per (cohort, week offset). */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
@@ -1029,6 +1056,7 @@ object Extras {
       Some(hllReaggregateOracle)),
     QueryDef("q133_event_transitions", eventTransitions,
       Some(eventTransitionsOracle)),
+    QueryDef("q139_funnel_ttc", funnelTimeToConvert, Some(funnelTtcOracle)),
     QueryDef("q123_ivm_maintain", incrementalAggMaintain,
       Some(incrementalAggMaintainOracle)),
     QueryDef("q124_timetravel_read", timeTravelRead, Some(timeTravelOracle)),
