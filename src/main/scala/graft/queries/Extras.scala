@@ -21,11 +21,13 @@ object Extras {
     graft.ops.ZOrder.layoutStats(Tables.events(spark, dir),
       rowsPerFile = 512, bits = 8)
 
-  private def zorderOracle: String = {
+  /** Shared CTE chain: events → z-order 512-row files with envelopes
+    * (used by q112's oracle and, extended, by q140's). */
+  private def zorderFileCtes: String = {
     val terms = (0 until 8).map(j =>
       s"(((ub >> $j) & 1) << ${2 * j}) + (((hb >> $j) & 1) << ${2 * j + 1})")
       .mkString(" + ")
-    s"""WITH raw AS (SELECT event_id, user_id AS u,
+    s"""raw AS (SELECT event_id, user_id AS u,
        |              epoch_ns(ts) // 3600000000000 AS hr FROM events),
        |s AS (SELECT min(u) AS minu, max(u) AS maxu,
        |             min(hr) AS minh, max(hr) AS maxh FROM raw),
@@ -35,12 +37,52 @@ object Extras {
        |      FROM raw CROSS JOIN s),
        |z AS (SELECT event_id, ub, hb, $terms AS zv FROM e),
        |r AS (SELECT ub, hb,
-       |        row_number() OVER (ORDER BY zv, event_id) - 1 AS rn FROM z)
-       |SELECT rn // 512 AS file_id, count(*) AS n_rows,
-       |       min(ub) AS min_ub, max(ub) AS max_ub,
-       |       min(hb) AS min_hb, max(hb) AS max_hb
-       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+       |        row_number() OVER (ORDER BY zv, event_id) - 1 AS rn FROM z),
+       |files AS (SELECT rn // 512 AS file_id, count(*) AS n_rows,
+       |            min(ub) AS min_ub, max(ub) AS max_ub,
+       |            min(hb) AS min_hb, max(hb) AS max_hb
+       |          FROM r GROUP BY 1)""".stripMargin
   }
+
+  private def zorderOracle: String =
+    s"""WITH $zorderFileCtes
+       |SELECT file_id, n_rows, min_ub, max_ub, min_hb, max_hb
+       |FROM files ORDER BY file_id""".stripMargin
+
+  /** q140 (r8): the OPTIMIZE pipeline — [[graft.ops.Compaction.planBins]]
+    * over the z-order files of q112 (rows as the size proxy, 2048-row
+    * target): contiguous-in-z merges, so each output file's envelope is
+    * the union of ADJACENT z-ranges and the two-dimensional clustering
+    * survives compaction. Output: one row per planned output file with
+    * its merged envelope. */
+  def zorderCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val files = graft.ops.ZOrder.layoutStats(Tables.events(spark, dir),
+        rowsPerFile = 512, bits = 8)
+      .withColumn("part", lit("t"))
+    val plan = graft.ops.Compaction.planBins(files, "part", "file_id",
+      "n_rows", targetBytes = 2048L).alias("p")
+    val f = files.alias("f")
+    plan.join(f,
+        col("f.file_id").between(col("p.first_file"), col("p.last_file")))
+      .groupBy(col("p.bin").as("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("f.n_rows")).as("total_rows"),
+        min(col("f.min_ub")).as("min_ub"), max(col("f.max_ub")).as("max_ub"),
+        min(col("f.min_hb")).as("min_hb"), max(col("f.max_hb")).as("max_hb"))
+      .orderBy(col("bin"))
+  }
+
+  private def zorderCompactionOracle: String =
+    s"""WITH $zorderFileCtes,
+       |c AS (SELECT *, sum(n_rows) OVER (ORDER BY file_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM files),
+       |b AS (SELECT *, CAST((cum - n_rows) // 2048 AS BIGINT) AS bin FROM c)
+       |SELECT bin, count(*)::BIGINT AS n_files,
+       |       sum(n_rows)::BIGINT AS total_rows,
+       |       min(min_ub) AS min_ub, max(max_ub) AS max_ub,
+       |       min(min_hb) AS min_hb, max(max_hb) AS max_hb
+       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
   /** Event-time hourly windowed agg — the same transformation the
     * streaming path runs (EventStreams.hourlyTypeCounts), executed over
@@ -1057,6 +1099,8 @@ object Extras {
     QueryDef("q133_event_transitions", eventTransitions,
       Some(eventTransitionsOracle)),
     QueryDef("q139_funnel_ttc", funnelTimeToConvert, Some(funnelTtcOracle)),
+    QueryDef("q140_zorder_compaction", zorderCompaction,
+      Some(zorderCompactionOracle)),
     QueryDef("q123_ivm_maintain", incrementalAggMaintain,
       Some(incrementalAggMaintainOracle)),
     QueryDef("q124_timetravel_read", timeTravelRead, Some(timeTravelOracle)),
