@@ -72,11 +72,19 @@ object Bench {
       (q.name, dt, err)
     }
 
+    // machine load bracketing the run (VERDICT r8 "Next round" #3):
+    // contention adjudications keep recurring (r7 #4, r8 #1) and were
+    // narrative-only; embedding /proc/loadavg makes them data.
+    def loadavg(): String = scala.util.Try(
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .trim.split("\\s+").take(3).mkString(" ")).getOrElse("n/a")
+    val loadStart = loadavg()
     val allPasses = (1 to passes).map { i =>
       val r = onePass()
       System.err.println(f"[bench] pass $i/$passes total ${r.map(_._2).sum}%.1f s, errors ${r.count(_._3.isDefined)}")
       r
     }
+    val loadEnd = loadavg()
     // per-query minimum across SUCCESSFUL passes (keyed merge — registry
     // order kept). ANY failed pass puts the gate in `errors` (a flaky
     // gate is a failure signal, not a pass); a gate that failed EVERY
@@ -139,9 +147,9 @@ object Bench {
       "q54_percentiles", "q55_approx_distinct", "q56_pii_redaction")
     val r1Total = results.collect { case (k, v) if r1Set(k) && !errored(k) => v }.sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"errors":$errsJson,"queries":$qs,"pass_times":$passesJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","errors":$errsJson,"queries":$qs,"pass_times":$passesJson,"sf":"$sfDir"}"""
     val shortLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"n_errors":${errors.size},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_errors":${errors.size},"sf":"$sfDir"}"""
     spark.stop()
     // the complete per-query record must survive ANY stdout window:
     // persist it as a repo artifact too (BENCH_r04's captured window
@@ -162,8 +170,16 @@ object Bench {
     val outDir = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .orElse(repoRoot)
       .getOrElse(sys.props.getOrElse("user.dir", "."))
+    // BENCH_full.json is the COMMITTED quiet-machine artifact; every
+    // driver run used to clobber it with a contended reading (VERDICT
+    // r7 #4, recurred r8 #1). Unattended runs now land in
+    // BENCH_driver.json; only a run explicitly marked quiet
+    // (SPARK_GRAFT_BENCH_COMMIT=1) may refresh the committed file.
+    val artifactName =
+      if (sys.env.get("SPARK_GRAFT_BENCH_COMMIT").contains("1")) "BENCH_full.json"
+      else "BENCH_driver.json"
     try {
-      val p = java.nio.file.Paths.get(outDir).resolve("BENCH_full.json").toAbsolutePath
+      val p = java.nio.file.Paths.get(outDir).resolve(artifactName).toAbsolutePath
       java.nio.file.Files.writeString(p, fullLine + "\n")
       System.err.println(s"[bench] artifact written: $p")
     } catch { case e: Throwable =>

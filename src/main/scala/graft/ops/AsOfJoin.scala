@@ -31,13 +31,20 @@ object AsOfJoin {
     *                    numeric timeCol.
     * @return left rows + nullable payload columns (left as-of join)
     */
+  /** Internal staleness-timestamp field inside the carried payload
+    * struct — namespaced so a real payload column can't collide with
+    * it (ADVICE r8 #4); collision is rejected loudly regardless. */
+  private val TsField = "__graft_asof_ts"
+
   def asOf(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String, rightPayload: Seq[String],
       tolerance: Option[Long] = None): DataFrame = {
+    require(!rightPayload.contains(TsField),
+      s"rightPayload must not contain the reserved column name $TsField")
     // the right TIME rides inside the payload so staleness is checked
     // against the row actually carried (not just any right row)
     val payloadStruct =
-      struct((rightPayload.map(col) :+ col(timeCol).as("__t")): _*)
+      struct((rightPayload.map(col) :+ col(timeCol).as(TsField)): _*)
     val l = left.withColumn("__side", lit(1))
       .withColumn("__payload", lit(null).cast(
         right.select(payloadStruct).schema.head.dataType.sql))
@@ -63,7 +70,7 @@ object AsOfJoin {
     val fresh = tolerance match {
       case Some(tol) =>
         col("__asof").isNotNull &&
-          col(timeCol) - col("__asof").getField("__t") <= tol
+          col(timeCol) - col("__asof").getField(TsField) <= tol
       case None => col("__asof").isNotNull
     }
     carried.filter(col("__side") === 1)

@@ -37,10 +37,14 @@ object BloomJoin {
       mBits: Int = 65536): DataFrame = {
     require(mBits % 64 == 0, "mBits must be a multiple of 64")
     // bounded collect: k positions per dim key, deduped — the same
-    // driver-side bound a broadcast-hash-join build side accepts
+    // driver-side bound a broadcast-hash-join build side accepts.
+    // NULL dim keys hash to NULL positions (md5(NULL) is NULL); they
+    // can never equi-join anyway, so drop them BEFORE the collect —
+    // otherwise getLong NPEs on the driver (ADVICE r8 #1).
     val positions = dimKeys
       .select(explode(Sketches.bloomPositions(
         col(dimKey).cast("string"), k, mBits)).as("p"))
+      .filter(col("p").isNotNull)
       .distinct().collect().map(_.getLong(0))
     val words = new Array[Long](mBits / 64)
     positions.foreach(p => words((p / 64).toInt) |= (1L << (p % 64)))

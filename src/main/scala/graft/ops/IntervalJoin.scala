@@ -31,16 +31,35 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  /** Start/end column names are parameters like `keyCol` (ADVICE r8
+    * #3 — the previous hardcoded ls/le/rs/re contract failed at
+    * analysis time for un-renamed inputs and could silently read a
+    * left column that happened to be named rs/re in the residual).
+    * The four must be mutually distinct so the post-join residual is
+    * unambiguous without internal renames. */
   def overlapJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long, leftStart: String = "ls", leftEnd: String = "le",
+      rightStart: String = "rs", rightEnd: String = "re"): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val lb = left.withColumn("__bkt",
-      explode(sequence(expr(s"ls DIV $bucketWidth"), expr(s"le DIV $bucketWidth"))))
-    val rb = right.withColumn("__bkt",
-      explode(sequence(expr(s"rs DIV $bucketWidth"), expr(s"re DIV $bucketWidth"))))
+    val names = Seq(leftStart, leftEnd, rightStart, rightEnd)
+    require(names.distinct.size == 4,
+      s"interval column names must be mutually distinct, got $names")
+    require(!right.columns.contains(leftStart) && !right.columns.contains(leftEnd),
+      s"right side must not carry the left interval columns $leftStart/$leftEnd")
+    require(!left.columns.contains(rightStart) && !left.columns.contains(rightEnd),
+      s"left side must not carry the right interval columns $rightStart/$rightEnd")
+    // integer DIV, not `/`: float division of ns-scale longs (~1e18)
+    // exceeds double precision and would misassign buckets
+    val lb = left.withColumn("__bkt", explode(sequence(
+      expr(s"`$leftStart` DIV $bucketWidth"),
+      expr(s"`$leftEnd` DIV $bucketWidth"))))
+    val rb = right.withColumn("__bkt", explode(sequence(
+      expr(s"`$rightStart` DIV $bucketWidth"),
+      expr(s"`$rightEnd` DIV $bucketWidth"))))
     lb.join(rb, Seq(keyCol, "__bkt"))
-      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
-      .filter(col("__bkt") === expr(s"greatest(ls, rs) DIV $bucketWidth"))
+      .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      .filter(col("__bkt") ===
+        expr(s"greatest(`$leftStart`, `$rightStart`) DIV $bucketWidth"))
       .drop("__bkt")
   }
 }

@@ -677,7 +677,11 @@ object Relational {
     val stats = grouped.agg(
       sum($"cnt").as("n_fact"),
       sum(when($"__pass", $"cnt").otherwise(lit(0L))).as("n_after_bloom"))
-    per.crossJoin(broadcast(stats)).orderBy($"s_suppkey")
+    // the result is ≤ |dim| rows: materialize it locally so the grouped
+    // cache can unpersist NOW instead of leaking a cached RDD into
+    // executor storage per invocation (ADVICE r8 #2)
+    graft.ops.Materialize.localThenUnpersist(
+      per.crossJoin(broadcast(stats)).orderBy($"s_suppkey"), grouped)
   }
 
   private def bloomJoinOracle: String =

@@ -40,4 +40,12 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got("a").contains("x"))
     assert(got("b").isEmpty)
   }
+
+  test("reserved internal payload field name is rejected loudly (ADVICE r8 #4)") {
+    val left = Seq((1, 10L, "a")).toDF("k", "t", "tag")
+    val right = Seq((1, 5L, "x")).toDF("k", "t", "__graft_asof_ts")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, "k", "t", Seq("__graft_asof_ts"))
+    }
+  }
 }

@@ -41,4 +41,13 @@ class BloomJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle, plan:\n$plan")
   }
+
+  test("NULL dim keys are ignored, not a driver NPE (ADVICE r8 #1)") {
+    val fact = (1L to 50L).map(i => (i, i)).toDF("k", "payload")
+    val dim = Seq(Some(1L), None, Some(2L)).toDF("dk")
+    val kept = BloomJoin.bloomPrune(fact, dim, "k", "dk")
+      .select($"k").as[Long].collect().toSet
+    // a NULL key never equi-joins, so the image behaves as if it were absent
+    assert(kept.contains(1L) && kept.contains(2L) && kept.size < 10)
+  }
 }

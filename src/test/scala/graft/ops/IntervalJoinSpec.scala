@@ -61,4 +61,33 @@ class IntervalJoinSpec extends SparkSpec {
       assert(got.toSet == naive(left, right).toSet, s"mismatch at width $wdt")
     }
   }
+
+  test("caller-named interval columns work without renames (ADVICE r8 #3)") {
+    val left = Seq((1L, 10L, 0L, 5L), (1L, 11L, 8L, 32L))
+      .toDF("k", "l_id", "win_start", "win_end")
+    val right = Seq((1L, 50L, 5L, 9L), (1L, 51L, 200L, 210L))
+      .toDF("k", "r_id", "err_start", "err_end")
+    val got = IntervalJoin.overlapJoin(left, right, "k", 10L,
+        leftStart = "win_start", leftEnd = "win_end",
+        rightStart = "err_start", rightEnd = "err_end")
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 50L), (11L, 50L)))
+    // ambiguous naming is rejected, not silently mis-joined
+    intercept[IllegalArgumentException] {
+      IntervalJoin.overlapJoin(left, right, "k", 10L,
+        leftStart = "win_start", leftEnd = "win_end",
+        rightStart = "win_start", rightEnd = "err_end")
+    }
+  }
+
+  test("ns-scale interval bounds keep exact buckets (integer DIV, not float)") {
+    // 1.7e18 ns timestamps exceed double precision; a float-division
+    // bucket would misassign and drop/dup pairs
+    val base = 1700000000000000000L
+    val left = Seq((1L, 1L, base, base + 10L)).toDF("k", "l_id", "ls", "le")
+    val right = Seq((1L, 2L, base + 5L, base + 20L)).toDF("k", "r_id", "rs", "re")
+    val got = IntervalJoin.overlapJoin(left, right, "k", 1000000000L)
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
 }
