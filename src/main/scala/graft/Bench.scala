@@ -123,9 +123,12 @@ object Bench {
     // apples-to-apples number against the 86.9 s baseline; `total`
     // additionally includes every gate added since. q42_porter_stems
     // was retired from the registry in r8 (subsumed by q42b golden);
-    // it stays in this literal for the record but contributes 0 —
-    // its quiet-r7 cost was ~0.5 s, so the subtotal comparison drifts
-    // by under 1.2% (noted in NOTES_r8.md).
+    // q45_multimodal_features / q46_frame_samples followed in r9
+    // (subsumed by q45b/q46b/q114 goldens — VERDICT r8 #8). Retired
+    // names stay in this literal for the record but contribute 0;
+    // dropping them can only LOWER the subtotal (their combined quiet
+    // cost, ~1.9 s ≈ 5%, is documented in NOTES_r8/NOTES_r9 so the
+    // cross-round comparison stays honest).
     val r1Set = Set(
       "q01_agg_pricing_summary", "q02_filter_project", "q03_join_top_revenue",
       "q04_semi_join_priority", "q05_anti_join_customers", "q06_cross_join_regions",

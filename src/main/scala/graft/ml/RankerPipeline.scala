@@ -132,7 +132,10 @@ object RankerPipeline {
     * (reference: ALSRecommenderCV.scala:67-90, LogisticRegressionRankerCV
     * .scala:326-350 — seeded, parallel fits). Returns one row per grid
     * point with the fold-averaged AUC. */
-  def crossValidate(spark: SparkSession, interactions: DataFrame,
+  /** Raw variant: UNROUNDED fold-averaged AUC per grid point — the
+    * dump surface for the q47b grid-replay oracle (VERDICT r8 "Next
+    * round" #2; see AlsRecommender.crossValidateRaw). */
+  def crossValidateRaw(spark: SparkSession, interactions: DataFrame,
       folds: Int = 2, memoKey: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
     // cached + right-sized: the grid×folds fits would otherwise re-derive
@@ -180,13 +183,21 @@ object RankerPipeline {
         // in-session invocation (r6 bench pass-2 failure)
         def byName[T](n: String): T =
           pm.toSeq.find(_.param.name == n).get.value.asInstanceOf[T]
-        // 1e3: CV AUC drifts ~1e-5 between JVM runs (float-sum order in
-        // the distributed fit); report only run-stable digits
         (byName[Double]("regParam"), byName[String]("weightCol"),
-          byName[Int]("maxIter"), math.rint(m * 1e3) / 1e3)
-      }.toDF("reg_param", "weight_col", "max_iter", "avg_auc")
-      .orderBy(col("avg_auc").desc, col("reg_param"), col("weight_col"))
+          byName[Int]("maxIter"), m)
+      }.toDF("reg_param", "weight_col", "max_iter", "avg_metric")
   }
+
+  /** Weighted-LR grid search; metric rounded to run-stable digits
+    * (CV AUC drifts ~1e-5 between JVM runs — float-sum order in the
+    * distributed fit). */
+  def crossValidate(spark: SparkSession, interactions: DataFrame,
+      folds: Int = 2, memoKey: Option[String] = None): DataFrame =
+    crossValidateRaw(spark, interactions, folds, memoKey)
+      .select(col("reg_param"), col("weight_col"), col("max_iter"),
+        // bround = HALF_EVEN, matching the previous math.rint behavior
+        (bround(col("avg_metric") * 1e3) / 1e3).as("avg_auc"))
+      .orderBy(col("avg_auc").desc, col("reg_param"), col("weight_col"))
 
   /** Full two-stage flow: CG union (popularity + curation) → distinct →
     * feature join → LR probability re-rank → NDCG against a time-split

@@ -1067,13 +1067,16 @@ object Extras {
         |       make_timestamp(e_us + 1800000000) AS session_end,
         |       n_events, session_value
         |FROM sess ORDER BY user_id, session_start""".stripMargin)),
-    QueryDef("q45_multimodal_features", multimodalFeatures, None),
+    // q45/q46/q70 (corpus-scale multimodal vehicles, rows-only) were
+    // retired from the registry in r9 (VERDICT r8 "Next round" #8,
+    // the q42 precedent): the q45b/q46b/q70b/q114 golden oracles pin
+    // the decode/resize/frame/feature kernels hash-exactly, so the
+    // unverifiable corpus-scale twins added no driver-visible signal.
+    // Library APIs (Multimodal.*) + MultimodalSpec coverage remain.
     QueryDef("q45b_multimodal_golden", multimodalGolden,
       Some(multimodalGoldenOracle)),
-    QueryDef("q46_frame_samples", frameSamples, None),
     QueryDef("q46b_frame_samples_golden", frameSamplesGolden,
       Some(frameSamplesGoldenOracle)),
-    QueryDef("q70_audio_features", audioFeatures, None),
     QueryDef("q70b_audio_features_golden", audioFeaturesGolden,
       Some(audioFeaturesGoldenOracle)),
     QueryDef("q77_snapshot_merge", snapshotMerge, Some(

@@ -178,22 +178,26 @@ object Reco {
        |SELECT user_id, item_id, score_q, rn FROM r WHERE rn <= 5
        |ORDER BY user_id, rn""".stripMargin
 
+  /** Reference loadUserActualItemsDF: top-k most RECENT items per
+    * user — shared by q62 and its q62b replay twin. */
+  private def alsActualItems(ratings: DataFrame): DataFrame = {
+    val recentW = Window.partitionBy(col("user_id"))
+      .orderBy(col("last_ts_ns").desc, col("item_id"))
+    ratings
+      .withColumn("rn", row_number().over(recentW))
+      .filter(col("rn") <= 10)
+      .select(col("user_id"), col("item_id"))
+  }
+
   /** ALS hyperparameter grid via CrossValidator + ranking-NDCG
     * evaluator (reference ALSRecommenderCV.scala:67-90; rows-only —
     * factor math not SQL-expressible). One row per grid point. */
   def alsCvGrid(spark: SparkSession, dir: String): DataFrame = {
     val ratings = Interactions.ratings(spark, dir)
-    // reference loadUserActualItemsDF: top-k most RECENT items per user
-    val recentW = Window.partitionBy(col("user_id"))
-      .orderBy(col("last_ts_ns").desc, col("item_id"))
-    val actual = ratings
-      .withColumn("rn", row_number().over(recentW))
-      .filter(col("rn") <= 10)
-      .select(col("user_id"), col("item_id"))
     // the reference's full 2×2×2 grid SHAPE (rank × regParam × alpha,
     // ALSRecommenderCV.scala:67-72) with its reg/alpha values verbatim;
     // ranks scaled to the fixture as everywhere else
-    AlsRecommender.crossValidate(ratings, actual,
+    AlsRecommender.crossValidate(ratings, alsActualItems(ratings),
       ranks = Seq(8, 16), regParams = Seq(0.1, 0.5), alphas = Seq(0.1, 40.0),
       maxIter = 3, k = 10, memoKey = Some(dir))
       // driver-visible collapse detector (the q90 band pattern, r6):
@@ -203,6 +207,52 @@ object Reco {
       .withColumn("within_band",
         col("avg_ndcg") > 0.05 && col("avg_ndcg") < 0.8)
   }
+
+  /** On-disk home of the q62b grid dump (the q25b convention: the
+    * oracle SQL reads these exact files via read_parquet). */
+  private val cvDumpDir =
+    graft.fixtures.AlbedoFixtures.persistDir + "/cv_grids"
+
+  /** q62b: grid-replay oracle for the CV family (VERDICT r8 "Next
+    * round" #2 — the q25b dump-and-replay trick applied to grid
+    * search). The fitted grid's fold-averaged metrics are *data*:
+    * dump the raw (params, metric) table once per run, then BOTH
+    * engines replay quantization floor(m·10⁶), the ranking order
+    * (metric desc, then params) and winner selection from the same
+    * bytes. A broken grid ranking or winner rule now hash-fails
+    * against DuckDB; run-to-run float drift in the fit is irrelevant
+    * because the dump is regenerated per run. q62 stays the
+    * production-path vehicle with its collapse-detector band.
+    * Reference: ALSRecommenderCV.scala:67-90. */
+  def alsCvReplay(spark: SparkSession, dir: String): DataFrame = {
+    val ratings = Interactions.ratings(spark, dir)
+    AlsRecommender.crossValidateRaw(ratings, alsActualItems(ratings),
+        ranks = Seq(8, 16), regParams = Seq(0.1, 0.5), alphas = Seq(0.1, 40.0),
+        maxIter = 3, k = 10, memoKey = Some(dir))
+      .coalesce(1).write.mode("overwrite").parquet(s"$cvDumpDir/als.parquet")
+    val w = Window.orderBy(col("metric_q").desc, col("als_rank"),
+      col("reg_param"), col("alpha"))
+    spark.read.parquet(s"$cvDumpDir/als.parquet")
+      .withColumn("metric_q", floor(col("avg_metric") * lit(1e6)).cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("is_winner", col("rn") === 1L)
+      .select(col("als_rank").cast("long").as("als_rank"), col("reg_param"),
+        col("alpha"), col("metric_q"), col("rn"), col("is_winner"))
+      .orderBy(col("rn"))
+  }
+
+  private def alsCvReplayOracle: String =
+    s"""WITH g AS (SELECT CAST(als_rank AS BIGINT) AS als_rank,
+       |             reg_param, alpha,
+       |             CAST(floor(avg_metric * 1e6) AS BIGINT) AS metric_q
+       |           FROM read_parquet('$cvDumpDir/als.parquet/*.parquet')),
+       |r AS (SELECT als_rank, reg_param, alpha, metric_q,
+       |        row_number() OVER (ORDER BY metric_q DESC, als_rank,
+       |                           reg_param, alpha) AS rn
+       |      FROM g)
+       |SELECT als_rank, reg_param, alpha, metric_q, rn,
+       |       rn = 1 AS is_winner
+       |FROM r ORDER BY rn""".stripMargin
 
   /** Time-split popularity recommendation evaluated with NDCG/P@k/MAP —
     * exercises the full CG→format→evaluate lifecycle
@@ -521,6 +571,7 @@ object Reco {
     QueryDef("q25b_als_factor_replay", alsFactorReplay,
       Some(alsFactorReplayOracle)),
     QueryDef("q62_als_cv_grid", alsCvGrid, None),
+    QueryDef("q62b_als_cv_replay", alsCvReplay, Some(alsCvReplayOracle)),
     QueryDef("q26_popularity_ndcg", popularityEval, Some(
       s"""WITH raw AS (SELECT user_id, CAST(props->>'k' AS INT) AS item_id,
          |              epoch_ns(ts) AS ts_ns FROM events),

@@ -844,6 +844,93 @@ object Relational {
     spark.sql(sqlFrontDoorText)
   }
 
+  /** Shared-text SQL gate runner (VERDICT r8 "Next round" #7): the
+    * string below q136's pattern IS both the Spark plan source and
+    * the DuckDB oracle — one dialect-portable ANSI text, two engines.
+    * Widens the front door from one proof query to the staple
+    * relational shapes a reference user would type first (agg, join
+    * top-k, HAVING, ROLLUP, CUBE). Dialect constraints honored:
+    * CAST not ::, no // integer division (floor + CAST instead),
+    * per-column grouping() (portable where multi-arg grouping_id is
+    * not), CAST around BIGINT sums (DuckDB widens to HUGEINT). */
+  private def sharedSql(text: String)(spark: SparkSession,
+      dir: String): DataFrame = {
+    graft.sources.Tables.all.foreach { t =>
+      graft.sources.Tables(spark, dir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(text)
+  }
+
+  /** q141: the q01 pricing summary as shared SQL text. */
+  private val sqlPricingSummaryText: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      | round(avg(l_discount), 4) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q142: the q03 join-top-revenue as shared SQL text. */
+  private val sqlTopRevenueText: String =
+    """SELECT o_orderkey, o_orderdate, o_orderpriority,
+      | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** q143: the q19 HAVING shape as shared SQL text. Integer division
+    * is not dialect-shared (Spark DIV vs DuckDB //): avg_cents uses
+    * floor over IEEE division — both engines compute the identical
+    * double from identical BIGINT inputs, so the floor agrees. */
+  private val sqlHeavyCustomersText: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |   AS spend_cents,
+      | CAST(floor(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |                 AS BIGINT) / count(*)) AS BIGINT) AS avg_cents
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING count(*) >= 10
+      |ORDER BY spend_cents DESC, o_custkey""".stripMargin
+
+  /** q144: the q80 ROLLUP as shared SQL text (per-column grouping()
+    * composes the gid portably: 2·g(first) + g(second), the
+    * grouping_id bit layout both engines document). */
+  private val sqlRollupText: String =
+    """SELECT coalesce(r_name, 'ALL') AS r_name,
+      |       coalesce(n_name, 'ALL') AS n_name,
+      |       CAST(2 * grouping(r_name) + grouping(n_name) AS BIGINT) AS gid,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS revenue_cents,
+      |       count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY gid, r_name, n_name""".stripMargin
+
+  /** q145: the q92 CUBE as shared SQL text. */
+  private val sqlCubeText: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+      |       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+      |       CAST(2 * grouping(o_orderpriority) + grouping(o_orderstatus)
+      |            AS BIGINT) AS gid,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS revenue_cents,
+      |       count(*) AS n_orders
+      |FROM orders
+      |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin
+
   /** q134 (r8): explicit GROUPING SETS — ((priority), (status), ()) —
     * a subtotal shape neither ROLLUP nor CUBE produces (no
     * (priority, status) cell). One Expand feeding one aggregate, like
@@ -989,6 +1076,16 @@ object Relational {
       Some(groupingSetsOracle)),
     QueryDef("q135_market_share", marketShare, Some(marketShareOracle)),
     QueryDef("q136_sql_front_door", sqlFrontDoor, Some(sqlFrontDoorText)),
+    QueryDef("q141_sql_pricing_summary", sharedSql(sqlPricingSummaryText),
+      Some(sqlPricingSummaryText)),
+    QueryDef("q142_sql_top_revenue", sharedSql(sqlTopRevenueText),
+      Some(sqlTopRevenueText)),
+    QueryDef("q143_sql_heavy_customers", sharedSql(sqlHeavyCustomersText),
+      Some(sqlHeavyCustomersText)),
+    QueryDef("q144_sql_rollup_revenue", sharedSql(sqlRollupText),
+      Some(sqlRollupText)),
+    QueryDef("q145_sql_cube_revenue", sharedSql(sqlCubeText),
+      Some(sqlCubeText)),
     QueryDef("q81_pivot_status", pivotStatusCounts, Some(pivotOracle)),
     QueryDef("q82_unpivot_status", unpivotStatusCounts, Some(unpivotOracle)),
     QueryDef("q54_percentiles", percentiles, Some(

@@ -51,8 +51,15 @@ object AlsRecommender {
     *        validation row is a hit and NDCG degenerates to 1.0).
     *
     * Scale: CrossValidator iterates the bounded grid on the driver (as
-    * the reference does); each fit/eval is fully distributed. */
-  def crossValidate(ratings: DataFrame, actual: DataFrame, ranks: Seq[Int],
+    * the reference does); each fit/eval is fully distributed.
+    *
+    * This raw variant returns the UNROUNDED fold-averaged metric —
+    * the dump surface for the q62b grid-replay oracle (VERDICT r8
+    * "Next round" #2). The production gate ([[crossValidate]]) keeps
+    * reporting run-stable rounded digits; the replay quantizes this
+    * run's exact doubles identically in both engines, so float drift
+    * between runs is irrelevant. */
+  def crossValidateRaw(ratings: DataFrame, actual: DataFrame, ranks: Seq[Int],
       regParams: Seq[Double], alphas: Seq[Double], maxIter: Int = 5,
       k: Int = 10, folds: Int = 2, seed: Long = 42,
       memoKey: Option[String] = None): DataFrame = {
@@ -92,11 +99,24 @@ object AlsRecommender {
         def byName[T](n: String): T =
           pm.toSeq.find(_.param.name == n).get.value.asInstanceOf[T]
         (byName[Int]("rank"), byName[Double]("regParam"),
-          byName[Double]("alpha"),
-          math.rint(m * 1e3) / 1e3) // run-stable digits only (see RankerPipeline)
-      }.toDF("rank", "reg_param", "alpha", "avg_ndcg")
-      .orderBy(col("avg_ndcg").desc, col("rank"), col("reg_param"), col("alpha"))
+          byName[Double]("alpha"), m)
+      }.toDF("als_rank", "reg_param", "alpha", "avg_metric")
   }
+
+  /** ALS hyperparameter grid via CrossValidator + ranking-NDCG
+    * evaluator. One row per grid point, metric rounded to run-stable
+    * digits (CV NDCG drifts ~1e-5 between JVM runs — float-sum order
+    * in the distributed fit). */
+  def crossValidate(ratings: DataFrame, actual: DataFrame, ranks: Seq[Int],
+      regParams: Seq[Double], alphas: Seq[Double], maxIter: Int = 5,
+      k: Int = 10, folds: Int = 2, seed: Long = 42,
+      memoKey: Option[String] = None): DataFrame =
+    crossValidateRaw(ratings, actual, ranks, regParams, alphas, maxIter,
+        k, folds, seed, memoKey)
+      .select(col("als_rank").as("rank"), col("reg_param"), col("alpha"),
+        // bround = HALF_EVEN, matching the previous math.rint behavior
+        (bround(col("avg_metric") * 1e3) / 1e3).as("avg_ndcg"))
+      .orderBy(col("avg_ndcg").desc, col("rank"), col("reg_param"), col("alpha"))
 
   /** Train with the reference's hyperparameters (scaled-down rank/iters
     * are caller's choice; defaults mirror ALSRecommenderBuilder.scala:45-59).
