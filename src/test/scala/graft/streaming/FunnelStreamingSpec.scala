@@ -63,4 +63,72 @@ class FunnelStreamingSpec extends SparkSpec {
     assert(got(2L) == ((us(10), us(10), us(10))),
       "same-timestamp arrival order must not matter (step-index sort)")
   }
+
+  test("unordered funnel: fully shuffled arrival equals the batch operator") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.ops.Funnel.stepTimes(
+        graft.sources.Tables.events(spark, sf),
+        "user_id", "event_type", "ts", steps)
+      .select($"user_id", unix_micros($"t_1"), unix_micros($"t_2"),
+        unix_micros($"t_3"))
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(batch.nonEmpty)
+
+    // replay the fixture SHUFFLED (seeded) across 4 arbitrary waves;
+    // a generous watermark delay keeps every event in-contract, so
+    // the result must equal batch regardless of arrival order
+    val all = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .as[(Long, String, Long)].collect()
+    val shuffled = new scala.util.Random(7).shuffle(all.toSeq)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val events = ms.toDF().toDF("user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+    val q = EventStreams.funnelStreamingUnordered(events, steps,
+        delay = "3650 days").toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("funnel_shuffled").start()
+    shuffled.grouped((shuffled.size / 4).max(1)).foreach { wave =>
+      ms.addData(wave)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(finalRows(spark.table("funnel_shuffled")) == batch)
+  }
+
+  test("unordered funnel: in-delay disorder merges, beyond-watermark drops") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val events = ms.toDF().toDF("user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_micros($"sec" * 1000000L))
+    val q = EventStreams.funnelStreamingUnordered(events, steps,
+        delay = "10 seconds").toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("funnel_disorder").start()
+
+    // wave 1: u1 has only a click (its view is still in flight);
+    // u3's lone view is older than the watermark will be after this
+    // wave (max ts 50 → wm 40), so u3's armed timeout DRAINS it:
+    // t1=20 finalizes and u3's frontier advances to 40.
+    ms.addData((1L, "click", 48L), (2L, "view", 50L), (3L, "view", 20L))
+    q.processAllAvailable()
+    // wave 2: u1's view@45 arrives AFTER its click but inside the
+    // delay window → merges in event-time order and qualifies the
+    // click; u3's click@25 is below its fold frontier (40) → dropped
+    // (batch over all events would say t2=25 — the watermark contract
+    // is exactly this bounded forgetting).
+    ms.addData((1L, "view", 45L), (3L, "click", 25L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = finalRows(spark.table("funnel_disorder"))
+    def us(s: Long) = Some(s * 1000000L)
+    assert(got(1L) == ((us(45), us(48), None)),
+      "in-delay disorder must merge in event-time order")
+    assert(got(2L) == ((us(50), None, None)))
+    assert(got(3L) == ((us(20), None, None)),
+      "an event below the fold frontier must drop, not rewrite history")
+  }
 }
