@@ -92,9 +92,63 @@ class PqSpec extends SparkSpec {
       .head().getDouble(0)
     // m=8/k=16 PQ on UNclustered random 64-dim vectors is the
     // worst case for a coarse quantizer: observed 0.225 — 11× the
-    // 10/499 ≈ 0.02 chance rate. Floor pinned below observed, far
-    // above chance.
-    assert(recall >= 0.15, s"ADC recall@10 $recall below floor")
+    // 10/499 ≈ 0.02 chance rate. Band at the measured value minus
+    // fixture-regeneration margin (SCALE.md §r9 curve).
+    assert(recall >= 0.18, s"ADC recall@10 $recall below measured band")
+  }
+
+  /** The measured recall@5 CURVE from SCALE.md §r9 (PqRecallProbe,
+    * VERDICT r8 #5): operating-point floors sit just under the
+    * observed values (0.200 at m=8/k=16; 0.375 at m=16/k=16;
+    * IVF-PQ 0.094→0.213 over nProbe 1→8), and the FAISS-shaped
+    * monotonicity relations — finer quantization and more probes
+    * recall strictly more — hold structurally across fixture
+    * regenerations where any point value could drift. */
+  test("recall@5 follows the measured (m, k, nProbe) curve") {
+    import spark.implicits._
+    val nq = 32
+    val sv = PQ.subvectors(emb, m, dim)
+    val exactTop = sv.select(col("id").as("query_id"), col("sub"), col("qv"))
+      .filter(col("query_id") < nq)
+      .join(sv.select(col("id").as("neighbor_id"), col("sub"),
+        col("qv").as("nv")), Seq("sub"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dd", aggregate(
+        zip_with(col("qv"), col("nv"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (s, t) => s + t))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dd")).as("l2"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("l2"), col("neighbor_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val denom = exactTop.count().toDouble
+    def recall(top: org.apache.spark.sql.DataFrame): Double =
+      exactTop.join(top.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0)))).head().getLong(0) / denom
+    def adcRecall(mm: Int, kk: Int): Double = {
+      val c = PQ.train(emb, mm, dim, kk, iters = 3).toDF()
+      recall(PQ.adcTopK(emb, c, k = 5, mm, dim, col("vec_id") < nq))
+    }
+    val coarse = adcRecall(4, 16)
+    val op = adcRecall(8, 16)
+    val fine = adcRecall(16, 16)
+    assert(op >= 0.15, s"operating point m=8/k=16 recall@5 $op (measured 0.200)")
+    assert(fine >= 0.30, s"m=16/k=16 recall@5 $fine (measured 0.375)")
+    assert(fine > coarse,
+      s"finer quantization must recall more: m16k16=$fine vs m4k16=$coarse")
+    val ivf1 = recall(Similarity.ivfPqTopKPortable(emb, centDf, k = 5, m, dim,
+      nProbe = 1, queryPred = col("vec_id") < nq))
+    val ivf8 = recall(Similarity.ivfPqTopKPortable(emb, centDf, k = 5, m, dim,
+      nProbe = 8, queryPred = col("vec_id") < nq))
+    assert(ivf8 >= 0.17, s"nProbe=8 recall@5 $ivf8 (measured 0.213)")
+    assert(ivf8 > ivf1,
+      s"more probes must recall more: nProbe8=$ivf8 vs nProbe1=$ivf1")
+    exactTop.unpersist()
   }
 
   test("empty clusters carry the previous centroid (duplicate corpus)") {
