@@ -36,9 +36,13 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCorpus {
 
-  /** documents ×factor with structure-preserving disjoint copies. */
+  /** documents ×factor with structure-preserving disjoint copies.
+    * `carry` columns (lang/source/n_chars metadata) pass through
+    * unchanged per copy — copy-invariant, so target/source
+    * proportions and quality distributions are preserved exactly
+    * (r9, for the DSIR / budgeted-recipe probe legs). */
   def amplifyDocs(docs: DataFrame, factor: Int,
-      idShift: Long = 10000000L): DataFrame =
+      idShift: Long = 10000000L, carry: Seq[String] = Nil): DataFrame =
     (0 until factor).map { k =>
       val text =
         if (k == 0) col("text")
@@ -47,8 +51,8 @@ object ScaleCorpus {
             filter(split(col("text"), "\\s+"), t => length(t) > 0),
             t => concat(t, lit(s"cp$k"))),
           " ")
-      docs.select((col("doc_id") + lit(k * idShift)).as("doc_id"),
-        text.as("text"))
+      docs.select((Seq((col("doc_id") + lit(k * idShift)).as("doc_id"),
+        text.as("text")) ++ carry.map(col)): _*)
     }.reduce(_ unionByName _)
 
   /** events ×factor: disjoint user/event-id copies over the IDENTICAL

@@ -36,7 +36,9 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val root = java.nio.file.Files.createTempDirectory("scale-probe").toString
-    val docsBase = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val docCarry = Seq("lang", "source", "n_chars")
+    val docsBase = Tables.documents(spark, sfDir)
+      .select((Seq("doc_id", "text") ++ docCarry).map(col): _*)
     val embBase = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), col("label"))
     // materialize both scales; 1× goes through amplify(1) so both sides
@@ -46,8 +48,9 @@ object ScaleProbe {
       df.write.mode("overwrite").parquet(p)
       spark.read.parquet(p)
     }
-    val docs1 = stage("docs1", ScaleCorpus.amplifyDocs(docsBase, 1))
-    val docsN = stage(s"docs$factor", ScaleCorpus.amplifyDocs(docsBase, factor))
+    val docs1 = stage("docs1", ScaleCorpus.amplifyDocs(docsBase, 1, carry = docCarry))
+    val docsN = stage(s"docs$factor",
+      ScaleCorpus.amplifyDocs(docsBase, factor, carry = docCarry))
     val emb1 = stage("emb1", ScaleCorpus.amplifyEmbeddings(embBase, 1))
     val embN = stage(s"emb$factor", ScaleCorpus.amplifyEmbeddings(embBase, factor))
     val evBase = Tables.events(spark, sfDir)
@@ -143,7 +146,32 @@ object ScaleProbe {
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")),
       "q117_ivf_pq" -> (() => Similarity.ivfPqTopKPortable(
         emb, pqCodebook(spark), k = 10, m = 8, dim = 64, nProbe = 2,
-        queryPred = col("vec_id") < 8)))
+        queryPred = col("vec_id") < 8)),
+      // r9 additions (VERDICT r8 #6): DSIR is two constant-size
+      // hashed-bucket models + one scoring scan; BPE's per-round cost
+      // is the word-count agg (rounds bounded); HLL rollup is
+      // constant-size sketch merges; budgeted selection is one
+      // per-source running-sum window (budget fixed as the corpus
+      // grows — the production shape)
+      "q118_dsir" -> (() => graft.llmops.Quality.dsirScores(docs,
+        col("lang") === "en", "doc_id", "text", nBuckets = 1024)),
+      "q119_bpe" -> (() => graft.text.Bpe.train(docs, "text",
+        maxWords = 2000, rounds = 10)._1),
+      "q131_hll_reagg" -> (() => {
+        val e = ev.select(
+          expr("unix_micros(ts) DIV 86400000000").as("day"),
+          expr("unix_micros(ts) DIV 86400000000 DIV 7").as("week"),
+          col("user_id"))
+        val daily = e.groupBy(col("week"), col("day"))
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        daily.groupBy(col("week"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      }),
+      "q137_budgeted" -> (() => graft.llmops.Quality.budgetedSelection(
+        docs, "source", "doc_id",
+        tokenExpr = size(filter(split(lower(col("text")), "\\s+"),
+          t => length(t) > 0)).cast("long"),
+        qualityExpr = col("n_chars"), budgetPerSource = 800L)))
 
     def time(mk: () => DataFrame): Double = {
       val ts = (1 to 2).map { _ =>
