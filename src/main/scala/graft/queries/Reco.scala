@@ -223,7 +223,13 @@ object Reco {
     * against DuckDB; run-to-run float drift in the fit is irrelevant
     * because the dump is regenerated per run. q62 stays the
     * production-path vehicle with its collapse-detector band.
-    * Reference: ALSRecommenderCV.scala:67-90. */
+    * Reference: ALSRecommenderCV.scala:67-90.
+    *
+    * Quantization is the production gate's run-stable milli-metric
+    * granularity (half-up, bit-identical in both engines) — the q47b
+    * lesson: fold-averaged CV metrics carry ~1e-5 distributed-sum
+    * noise across JVM runs, and a replay quantized below that noise
+    * is itself nondeterministic under the doublecheck gate. */
   def alsCvReplay(spark: SparkSession, dir: String): DataFrame = {
     val ratings = Interactions.ratings(spark, dir)
     AlsRecommender.crossValidateRaw(ratings, alsActualItems(ratings),
@@ -233,7 +239,8 @@ object Reco {
     val w = Window.orderBy(col("metric_q").desc, col("als_rank"),
       col("reg_param"), col("alpha"))
     spark.read.parquet(s"$cvDumpDir/als.parquet")
-      .withColumn("metric_q", floor(col("avg_metric") * lit(1e6)).cast("long"))
+      .withColumn("metric_q",
+        floor(col("avg_metric") * lit(1e3) + lit(0.5)).cast("long"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("is_winner", col("rn") === 1L)
       .select(col("als_rank").cast("long").as("als_rank"), col("reg_param"),
@@ -244,7 +251,7 @@ object Reco {
   private def alsCvReplayOracle: String =
     s"""WITH g AS (SELECT CAST(als_rank AS BIGINT) AS als_rank,
        |             reg_param, alpha,
-       |             CAST(floor(avg_metric * 1e6) AS BIGINT) AS metric_q
+       |             CAST(floor(avg_metric * 1e3 + 0.5) AS BIGINT) AS metric_q
        |           FROM read_parquet('$cvDumpDir/als.parquet/*.parquet')),
        |r AS (SELECT als_rank, reg_param, alpha, metric_q,
        |        row_number() OVER (ORDER BY metric_q DESC, als_rank,

@@ -55,7 +55,61 @@ object CjkSegmenter {
     "如果", "虽然", "已经", "还是", "非常", "什么", "怎么",
     "为什么", "大家", "我们", "你们", "他们", "自己", "一起",
     // places / orgs commonly seen in dev corpora
-    "东京", "谷歌", "台北", "北京", "上海", "深圳", "香港")
+    "东京", "谷歌", "台北", "北京", "上海", "深圳", "香港",
+    // r9 breadth pass (VERDICT r8 "What's missing" #2): more public
+    // everyday + software vocabulary so realistic dev-corpus text
+    // segments into words instead of degrading to per-char tokens.
+    // -- software / systems
+    "前端", "后端", "全栈", "架构", "架构师", "微服务", "容器",
+    "虚拟机", "编译", "编译器", "解释器", "脚本", "语言", "类型",
+    "字符串", "数组", "列表", "字典", "哈希", "索引", "查询",
+    "事务", "缓存", "队列", "消息", "日志", "监控", "告警",
+    "配置", "环境", "依赖", "构建", "打包", "发布", "上线",
+    "回滚", "灰度", "性能", "优化", "并发", "并行", "线程",
+    "进程", "内存", "磁盘", "存储", "备份", "恢复", "安全",
+    "加密", "解密", "权限", "认证", "授权", "登录", "注册",
+    "用户", "账号", "密码", "邮箱", "地址", "请求", "响应",
+    "参数", "返回", "异常", "错误", "调试", "修复", "重构",
+    "提交", "合并", "分支", "仓库", "克隆", "推送", "拉取",
+    "评审", "需求", "设计", "实现", "迭代", "敏捷", "运维",
+    "集群", "节点", "分片", "副本", "主从", "负载", "均衡",
+    "流量", "带宽", "延迟", "吞吐", "机房", "云端", "终端",
+    "命令", "命令行", "界面", "图形", "图像", "视频", "音频",
+    "文本", "文件", "目录", "路径", "格式", "协议", "报文",
+    "爬虫", "搜索", "引擎", "推荐", "排序", "分类", "聚类",
+    "回归", "预测", "评估", "指标", "精度", "召回", "损失",
+    "梯度", "优化器", "参数量", "预训练", "微调", "大模型",
+    "机器人", "自动", "自动化", "智能", "芯片", "显卡",
+    // -- everyday vocabulary
+    "东西", "事情", "事实", "感觉", "意思", "意见", "建议",
+    "计划", "目标", "结果", "原因", "影响", "变化", "发展",
+    "发现", "开始", "结束", "继续", "完成", "成功", "失败",
+    "重要", "主要", "特别", "一般", "简单", "复杂", "容易",
+    "困难", "方便", "认真", "努力", "帮助", "支持", "参加",
+    "决定", "选择", "准备", "介绍", "解释", "说明", "表示",
+    "提高", "增加", "减少", "改变", "提供", "使用", "利用",
+    "出现", "存在", "发生", "进行", "实现", "得到", "获得",
+    "早上", "上午", "中午", "下午", "晚上", "星期", "周末",
+    "小时", "分钟", "以前", "以后", "最近", "将来", "有时",
+    "经常", "总是", "马上", "立刻", "刚才", "后来", "然后",
+    "首先", "其次", "最后", "另外", "而且", "或者", "不过",
+    "只是", "真的", "当然", "可能", "一定", "必须", "不能",
+    "没有", "东南", "西北", "左边", "右边", "上面", "下面",
+    "里面", "外面", "中间", "旁边", "附近", "周围",
+    "父母", "孩子", "先生", "女士", "同事", "同学", "邻居",
+    "医生", "护士", "律师", "记者", "作家", "画家", "司机",
+    "饭店", "商店", "超市", "银行", "医院", "图书馆", "公园",
+    "机场", "车站", "地铁", "公交", "火车", "飞机", "汽车",
+    "天气", "下雨", "下雪", "刮风", "晴天", "阴天", "温度",
+    "春天", "夏天", "秋天", "冬天", "季节", "假期", "旅游",
+    "电影", "音乐", "运动", "足球", "篮球", "游泳", "跑步",
+    "读书", "写作", "画画", "唱歌", "跳舞", "游戏", "比赛",
+    "吃饭", "喝水", "睡觉", "起床", "休息", "健康", "身体",
+    // -- places / regions
+    "亚洲", "欧洲", "非洲", "美洲", "英国", "法国", "德国",
+    "俄国", "韩国", "印度", "加拿大", "澳大利亚", "新加坡",
+    "广州", "杭州", "成都", "南京", "武汉", "西安", "重庆",
+    "天津", "苏州", "厦门", "青岛", "大连", "澳门", "台湾")
 
   private def isCjk(c: Char): Boolean = c >= '一' && c <= '鿿'
 

@@ -89,6 +89,22 @@ class CjkSegmenterSpec extends SparkSpec {
       Seq("大数据", "云计算"))
   }
 
+  test("r9 breadth pass: realistic dev-corpus sentences segment into " +
+      "words, not characters") {
+    assert(CjkSegmenter.segmentRun("前端工程师使用微服务架构", dict) ==
+      Seq("前端", "工程师", "使用", "微服务", "架构"))
+    assert(CjkSegmenter.segmentRun("提交代码然后合并分支", dict) ==
+      Seq("提交", "代码", "然后", "合并", "分支"))
+    assert(CjkSegmenter.segmentRun("预训练大模型微调", dict) ==
+      Seq("预训练", "大模型", "微调"))
+    // word-level coverage on a realistic sentence: the two function
+    // characters (在/了) stay single, everything else is a word —
+    // 7 of 9 tokens (was 15 per-char tokens before the breadth pass)
+    val toks = CjkSegmenter.segmentRun("昨天下午我们在机房部署了负载均衡", dict)
+    val wordFrac = toks.count(_.length > 1).toDouble / toks.size
+    assert(wordFrac >= 0.75, s"got $toks")
+  }
+
   test("empty dictionary degrades exactly to per-character segmentation") {
     import spark.implicits._
     val df = Seq("機器学習 spark").toDF("text")
