@@ -990,6 +990,28 @@ object Llm {
       |  ('0x' || substr(md5('42:' || doc_id), 1, 8))::BIGINT % 1000000 < 900000 AS is_train
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q146 (r9): per-group EXACT-k deterministic sample
+    * ([[graft.ops.Sampling]]) — exactly 20 docs per source by
+    * portable hash rank: the eval-set-carving / domain-capping op
+    * `sample(fraction)` cannot express. Window and k-bounded-
+    * Aggregator strategies are spec-pinned identical; the oracle
+    * replays the hash, the ranking and the cut. */
+  def groupSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.viaWindow(Tables.documents(spark, dir),
+        "source", "doc_id", k = 20, seed = "s9")
+      .orderBy(col("source"), col("rn"))
+
+  private def groupSampleOracle: String =
+    """WITH h AS (SELECT source, doc_id,
+      |    ('0x' || substr(md5('s9:' || doc_id), 1, 8))::BIGINT AS hr
+      |  FROM documents),
+      |r AS (SELECT source, doc_id, hr,
+      |        row_number() OVER (PARTITION BY source
+      |                           ORDER BY hr, doc_id) AS rn
+      |      FROM h)
+      |SELECT source, doc_id, hr, rn FROM r WHERE rn <= 20
+      |ORDER BY source, rn""".stripMargin
+
   /** Stratified corpus rebalance: cap the dominant language (en) at
     * 30% keep-rate, keep the tail whole — deterministic portable-hash
     * sampling, so the exact surviving row set is oracle-replayable. */
@@ -1882,6 +1904,7 @@ object Llm {
     QueryDef("q73_doc_chunks", chunkedDocs, Some(chunkOracle)),
     QueryDef("q74_seq_packing", packedDocs, Some(packOracle)),
     QueryDef("q75_hash_split", hashSplit, Some(hashSplitOracle)),
+    QueryDef("q146_group_sample", groupSample, Some(groupSampleOracle)),
     QueryDef("q76_trigram_score", trigramScore, Some(trigramOracle)),
     QueryDef("q37_ann_brute_force", annBruteForce, Some(
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
