@@ -1417,6 +1417,73 @@ object Llm {
       |SELECT doc_id, rank_a, rank_b, rrf_u, rank FROM r WHERE rank <= 10
       |ORDER BY rank""".stripMargin
 
+  /** q147 (r9): text + VECTOR hybrid retrieval — q113's scaladoc
+    * claim ("an embedding ANN ranking plugs into the same rrfFuse
+    * without score calibration") made a verified fact. BM25 top-20
+    * for the query terms fuses with the embedding-cosine top-20 for
+    * the query document's vector (doc 0 — the fixture's doc_id ↔
+    * vec_id alignment), reciprocal-rank, integer math. The dense leg
+    * rides the q37 kernel (native codegen cosine, bit-exact vs
+    * DuckDB's list_cosine_similarity), so the whole fused product is
+    * hash-replayable. At scale the dense leg swaps to the IVF-PQ /
+    * LSH candidate paths unchanged — rank-based fusion never sees
+    * scores. */
+  def hybridTextVector(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val bm = graft.text.Bm25.search(docs, "doc_id", "text",
+      Seq("spark", "window", "merge"), topK = 20)
+    val ann = graft.llmops.Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") === 0), emb, k = 20)
+      .select(col("neighbor_id").cast("long").as("doc_id"),
+        col("rn").cast("long").as("rank"))
+    graft.text.HybridSearch.rrfFuse(bm, ann, k = 60, topK = 10)
+      .orderBy(col("rank"))
+  }
+
+  private def hybridTextVectorOracle: String =
+    """WITH base AS (SELECT doc_id,
+      |    CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(lower(coalesce(text,''))), '\s+')
+      |    END AS toks FROM documents),
+      |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM base),
+      |stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+      |       FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+      |       WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+      |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      |contrib AS (SELECT t.doc_id,
+      |    round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+      |      * t.tf * 2.2
+      |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl * s.n_docs / s.sum_dl))
+      |      * 1000000)::BIGINT AS s_u
+      |  FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id)
+      |  CROSS JOIN stats s),
+      |bmsc AS (SELECT doc_id, sum(s_u)::BIGINT AS score_u FROM contrib GROUP BY 1),
+      |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score_u DESC, doc_id)
+      |          AS rank FROM bmsc),
+      |bmtop AS (SELECT doc_id, rank FROM bmr WHERE rank <= 20),
+      |annq AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      |anns AS (SELECT vec_id::BIGINT AS doc_id,
+      |           list_cosine_similarity(qv, embedding::DOUBLE[]) AS cos
+      |         FROM embeddings CROSS JOIN annq WHERE vec_id != 0),
+      |annr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id)
+      |           AS rank FROM anns),
+      |anntop AS (SELECT doc_id, rank FROM annr WHERE rank <= 20),
+      |f AS (SELECT doc_id,
+      |        coalesce(a.rank, 0)::BIGINT AS rank_a,
+      |        coalesce(b.rank, 0)::BIGINT AS rank_b
+      |      FROM bmtop a FULL OUTER JOIN anntop b USING (doc_id)),
+      |g AS (SELECT doc_id, rank_a, rank_b,
+      |        ((CASE WHEN rank_a > 0 THEN 1000000 // (60 + rank_a) ELSE 0 END) +
+      |         (CASE WHEN rank_b > 0 THEN 1000000 // (60 + rank_b) ELSE 0 END)
+      |        )::BIGINT AS rrf_u FROM f),
+      |r AS (SELECT doc_id, rank_a, rank_b, rrf_u,
+      |        row_number() OVER (ORDER BY rrf_u DESC, doc_id)::BIGINT AS rank
+      |      FROM g)
+      |SELECT doc_id, rank_a, rank_b, rrf_u, rank FROM r WHERE rank <= 10
+      |ORDER BY rank""".stripMargin
+
   /** Hashing-trick featurization (portable md5 buckets — the whole
     * fixed-width featurizer is oracle-replayed). */
   def featureHash(spark: SparkSession, dir: String): DataFrame =
@@ -1887,6 +1954,8 @@ object Llm {
     QueryDef("q83_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     QueryDef("q84_bm25_search", bm25Search, Some(bm25Oracle)),
     QueryDef("q113_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
+    QueryDef("q147_hybrid_text_vector", hybridTextVector,
+      Some(hybridTextVectorOracle)),
     QueryDef("q115_pq_adc_topk", pqAdcTopK, Some(pqAdcOracle)),
     QueryDef("q116_incremental_admit", incrementalAdmitGate,
       Some(incrementalAdmitOracle)),
