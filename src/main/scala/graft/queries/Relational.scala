@@ -918,6 +918,18 @@ object Relational {
       |GROUP BY ROLLUP(r_name, n_name)
       |ORDER BY gid, r_name, n_name""".stripMargin
 
+  /** q148: the q07 per-key window top-k as shared SQL text (CAST on
+    * row_number: Spark emits INT where DuckDB emits BIGINT). */
+  private val sqlWindowTopkText: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |       CAST(rn AS BIGINT) AS rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
   /** q145: the q92 CUBE as shared SQL text. */
   private val sqlCubeText: String =
     """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
@@ -1086,6 +1098,8 @@ object Relational {
       Some(sqlRollupText)),
     QueryDef("q145_sql_cube_revenue", sharedSql(sqlCubeText),
       Some(sqlCubeText)),
+    QueryDef("q148_sql_window_topk", sharedSql(sqlWindowTopkText),
+      Some(sqlWindowTopkText)),
     QueryDef("q81_pivot_status", pivotStatusCounts, Some(pivotOracle)),
     QueryDef("q82_unpivot_status", unpivotStatusCounts, Some(unpivotOracle)),
     QueryDef("q54_percentiles", percentiles, Some(
