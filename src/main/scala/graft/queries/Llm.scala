@@ -1109,9 +1109,20 @@ object Llm {
     * logic end to end, so the full training chain (pair counts →
     * deterministic argmax → run-parity greedy merge application)
     * replays hash-exactly from the unrolled-CTE oracle. */
+  /** One BPE training per (session, dir) — q119 and q119b read the
+    * two halves of the same fitted artifact (merge table + segmented
+    * vocab), so the bounded-rounds training cost is paid once, not
+    * twice (r9; the localCheckpoint inside train keeps the memoized
+    * frames lineage-free). */
+  private def bpeTrained(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    graft.ml.ModelMemo.cached(spark, s"bpe:$dir") {
+      graft.text.Bpe.train(Tables.documents(spark, dir), "text",
+        maxWords = bpeMaxWords, rounds = bpeRounds)
+    }
+
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
-    graft.text.Bpe.train(Tables.documents(spark, dir), "text",
-        maxWords = bpeMaxWords, rounds = bpeRounds)._1
+    bpeTrained(spark, dir)._1
       .select(col("merge_rank").cast("long"), col("left_sym"),
         col("right_sym"), col("pair_count"))
       .orderBy(col("merge_rank"))
@@ -1121,8 +1132,7 @@ object Llm {
     * wrong merge application could still pick the right next pair;
     * it cannot also reproduce every segmentation). */
   def bpeSegmented(spark: SparkSession, dir: String): DataFrame =
-    graft.text.Bpe.train(Tables.documents(spark, dir), "text",
-        maxWords = bpeMaxWords, rounds = bpeRounds)._2
+    bpeTrained(spark, dir)._2
       .select(col("word"), col("cnt"), array_join(col("syms"), " ").as("segmented"))
       .orderBy(col("cnt").desc, col("word")).limit(50)
 
