@@ -930,6 +930,23 @@ object Relational {
       |WHERE rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin
 
+  /** q149: the TPC-H Q17 archetype — CORRELATED scalar subquery
+    * ("below 20% of this part's own average quantity"), the
+    * decorrelation shape Catalyst rewrites into an aggregate + join;
+    * both engines accept the identical text. Threshold determinism:
+    * l_quantity is integral in the fixture, so the distributed sum
+    * behind avg() is exact and 0.2·avg is bit-identical across
+    * engines — a strict < against it cannot flip on float noise. */
+  private val sqlCorrelatedAvgText: String =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |            AS BIGINT) AS revenue_c,
+      |       count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#1'
+      |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+      |                    FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
   /** q145: the q92 CUBE as shared SQL text. */
   private val sqlCubeText: String =
     """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
@@ -1100,6 +1117,8 @@ object Relational {
       Some(sqlCubeText)),
     QueryDef("q148_sql_window_topk", sharedSql(sqlWindowTopkText),
       Some(sqlWindowTopkText)),
+    QueryDef("q149_sql_correlated_avg", sharedSql(sqlCorrelatedAvgText),
+      Some(sqlCorrelatedAvgText)),
     QueryDef("q81_pivot_status", pivotStatusCounts, Some(pivotOracle)),
     QueryDef("q82_unpivot_status", unpivotStatusCounts, Some(unpivotOracle)),
     QueryDef("q54_percentiles", percentiles, Some(
