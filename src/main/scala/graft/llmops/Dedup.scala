@@ -386,6 +386,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** EXACT containment join (asymmetric near-dup, r9): ordered pairs
+    * (a, b), a ≠ b, with |sh(a) ∩ sh(b)| / |sh(a)| ≥ `threshold` —
+    * the admission rule that catches EXCERPTS. A short doc quoted
+    * inside a long one has Jaccard ≈ |A|/|B| (arbitrarily small) but
+    * containment 1.0, so the symmetric family (q35/q64/q132)
+    * structurally cannot flag it; dedup literature treats
+    * containment as its own operator for exactly this reason.
+    *
+    * Prefix filter, containment form: c(a→b) ≥ t means B covers
+    * ≥ ⌈t·|A|⌉ of A's shingles, so at most |A| − ⌈t·|A|⌉ are missing
+    * and A's |A| − ⌈t·|A|⌉ + 1 RAREST shingles (global rarest-first
+    * order, the q132 rule) must include one B covers. The left side
+    * therefore ships prefixes only; the right side is the FULL
+    * inverted index (asymmetric joins cannot prefix the indexed
+    * side — containment puts no floor on |B|). Candidates verify
+    * exactly; containment reports in integer ppm
+    * (inter·10⁶ DIV |A|), so the result is oracle-replayable with no
+    * float boundary.
+    *
+    * Scale: left prefixes live in the rare-shingle tail (head
+    * shingles never leave the left side); the right index is the q41
+    * posting shape. Output: (id_a, id_b, n_a, inter,
+    * containment_ppm). */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val sh = shingleSets(docs, idCol, textCol, shingleK)
+    val inst = sh.select(col("id"), explode(col("sh")).as("t"))
+    val freq = inst.groupBy(col("t")).agg(count(lit(1)).as("f"))
+    val wRank = Window.partitionBy(col("id")).orderBy(col("f"), col("t"))
+    val prefixes = inst.join(freq, Seq("t"))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("id").as("id_a"), col("t"))
+    val candidates = prefixes
+      .join(inst.select(col("id").as("id_b"), col("t")), Seq("t"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_a", size(col("sh_a")).cast("long"))
+      .withColumn("containment_ppm", expr("inter * 1000000 DIV n_a"))
+      .filter(col("containment_ppm") >= math.round(threshold * 1000000))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("inter"),
+        col("containment_ppm"))
+  }
+
   // ---- SimHash -----------------------------------------------------
 
   /** 64-bit SimHash over normalized tokens (Charikar 2002): sum ±1 per

@@ -1299,6 +1299,42 @@ object Llm {
       |SELECT id_a, id_b, round(raw, 6) AS jaccard
       |FROM j WHERE raw >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
+  /** q150 (r9): EXACT containment join
+    * ([[Dedup.containmentJoin]]) — the asymmetric near-dup rule
+    * (|A∩B|/|A| ≥ 0.8 over 3-shingles) that flags excerpts the
+    * symmetric Jaccard family cannot. The oracle is the FULL
+    * brute-force ordered-pair join, so any pruning bug in the
+    * containment-form prefix filter breaks the hash (the q132
+    * construction). */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentJoin(Tables.documents(spark, dir), "doc_id", "text",
+        shingleK = 3, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def containmentOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(coalesce(text, '')),
+      |                     '\s+'), x -> x <> '') AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS t
+      |  FROM (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i
+      |        FROM base WHERE len(l) >= 3)
+      |  UNION
+      |  SELECT doc_id, array_to_string(l, ' ') AS t
+      |  FROM base WHERE len(l) < 3),
+      |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |            count(*)::BIGINT AS inter
+      |          FROM sh a JOIN sh b ON a.t = b.t AND a.doc_id != b.doc_id
+      |          GROUP BY 1, 2),
+      |j AS (SELECT id_a, id_b, sa.n AS n_a, inter,
+      |        (inter * 1000000 // sa.n)::BIGINT AS containment_ppm
+      |      FROM pairs JOIN sz sa ON id_a = sa.doc_id)
+      |SELECT id_a, id_b, n_a, inter, containment_ppm
+      |FROM j WHERE containment_ppm >= 800000 ORDER BY id_a, id_b""".stripMargin
+
   /** q137 (r8): token-budgeted data recipe
     * ([[Quality.budgetedSelection]]) — every source admits its
     * longest docs (n_chars as the quality signal, doc_id tie-break)
@@ -1959,6 +1995,8 @@ object Llm {
     QueryDef("q126_bigram_ppl", bigramPpl, Some(bigramPplOracle)),
     QueryDef("q132_prefix_jaccard_join", prefixJaccardJoin,
       Some(prefixJaccardOracle)),
+    QueryDef("q150_containment_join", containmentPairs,
+      Some(containmentOracle)),
     QueryDef("q137_budgeted_recipe", budgetedRecipe,
       Some(budgetedRecipeOracle)),
     QueryDef("q83_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),

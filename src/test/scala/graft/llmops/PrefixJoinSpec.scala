@@ -54,4 +54,39 @@ class PrefixJoinSpec extends SparkSpec {
     val got = Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, 0.5).count()
     assert(got == 0)
   }
+
+  test("containment join flags an excerpt the symmetric join cannot") {
+    // doc 1 is doc 2's opening sentence; doc 2 is 5x longer.
+    // Jaccard ~ |A|/|B| stays far under 0.5, containment(1->2) = 1.0
+    val excerpt = "the quick brown fox jumps over the lazy dog"
+    val long = excerpt + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val docs = Seq((1L, excerpt), (2L, long), (3L, "unrelated text entirely here"))
+      .toDF("doc_id", "text")
+    val sym = Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, 0.5)
+    assert(sym.isEmpty, "symmetric Jaccard must miss the excerpt")
+    val got = Dedup.containmentJoin(docs, "doc_id", "text", 3, 0.8)
+      .select($"id_a", $"id_b", $"containment_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    // ordered pairs: only excerpt -> container qualifies (1.0);
+    // container -> excerpt has containment |A∩B|/|container| << 0.8
+    assert(got == Set((1L, 2L, 1000000L)))
+  }
+
+  test("containment join equals the brute-force definition on a fixture slice") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .filter($"doc_id" < 120)
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val brute = sh.select($"id".as("id_a"), $"sh".as("sh_a"))
+      .crossJoin(sh.select($"id".as("id_b"), $"sh".as("sh_b")))
+      .filter($"id_a" =!= $"id_b")
+      .select($"id_a", $"id_b",
+        (size(array_intersect($"sh_a", $"sh_b")).cast("long") * 1000000L /
+          size($"sh_a").cast("long")).cast("long").as("ppm"))
+      .filter($"ppm" >= 800000L)
+      .as[(Long, Long, Long)].collect().toSet
+    val got = Dedup.containmentJoin(docs, "doc_id", "text", 3, 0.8)
+      .select($"id_a", $"id_b", $"containment_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute)
+  }
 }
