@@ -171,7 +171,14 @@ object ScaleProbe {
         docs, "source", "doc_id",
         tokenExpr = size(filter(split(lower(col("text")), "\\s+"),
           t => length(t) > 0)).cast("long"),
-        qualityExpr = col("n_chars"), budgetPerSource = 800L)))
+        qualityExpr = col("n_chars"), budgetPerSource = 800L)),
+      // r9 additions: sampling is one window shuffle on the group;
+      // containment's left side ships rare-tail prefixes only (the
+      // q132 family), right side is the posting index
+      "q146_group_sample" -> (() => graft.ops.Sampling.viaWindow(
+        docs, "source", "doc_id", 20, "s9")),
+      "q150_containment" -> (() => Dedup.containmentJoin(
+        docs, "doc_id", "text", shingleK = 3, threshold = 0.8)))
 
     def time(mk: () => DataFrame): Double = {
       val ts = (1 to 2).map { _ =>
