@@ -328,8 +328,14 @@ object EventStreams {
     * in correct order). Emissions are lookahead-provisional: the
     * still-buffered suffix folds onto a copy, so the latest Update-
     * mode row per user always equals the batch result over events
-    * seen so far, and columns only ever decrease (min-over-emissions
-    * = final).
+    * seen so far. Without a horizon, columns also only ever decrease
+    * (min-over-emissions = final); WITH `maxSpanSec` that shortcut
+    * does not hold — an earlier first-step event arriving later
+    * re-anchors the horizon and can retract a provisionally-
+    * qualified later step, so horizon consumers must take the
+    * latest row per user. Finalized (watermark-folded) decisions
+    * are never retracted either way: the watermark guarantees the
+    * fold sees a complete event-time prefix.
     *
     * Bounded state, replacing the ordered variant's contract note:
     * 3 longs + frontier per user, plus a buffer of only the step

@@ -131,4 +131,50 @@ class FunnelStreamingSpec extends SparkSpec {
     assert(got(3L) == ((us(20), None, None)),
       "an event below the fold frontier must drop, not rewrite history")
   }
+
+  test("unordered funnel honors the conversion horizon like batch (q129)") {
+    val sf = "/root/testdata/sf0.001"
+    val horizonSec = 72L * 3600
+    val batch = graft.ops.Funnel.stepTimes(
+        graft.sources.Tables.events(spark, sf),
+        "user_id", "event_type", "ts", steps, maxSpanSec = Some(horizonSec))
+      .select($"user_id", unix_micros($"t_1"), unix_micros($"t_2"),
+        unix_micros($"t_3"))
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val all = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .as[(Long, String, Long)].collect()
+    val shuffled = new scala.util.Random(13).shuffle(all.toSeq)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val events = ms.toDF().toDF("user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+    val q = EventStreams.funnelStreamingUnordered(events, steps,
+        delay = "3650 days", maxSpanSec = Some(horizonSec)).toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("funnel_horizon_stream").start()
+    // ONE wave, fully shuffled: with a horizon, provisional emissions
+    // are not monotone (an earlier view arriving later re-anchors the
+    // horizon and can retract a provisional t2/t3 — see the scaladoc),
+    // so the consumable contract is latest-row-per-user; a single
+    // batch makes the only emission the latest while still exercising
+    // arbitrary intra-batch disorder through the buffer fold.
+    ms.addData(shuffled)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel_horizon_stream")
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == batch)
+    // the horizon binds somewhere on the fixture, or this proves nothing
+    val unbounded = graft.ops.Funnel.stepTimes(
+        graft.sources.Tables.events(spark, sf),
+        "user_id", "event_type", "ts", steps)
+      .select($"user_id", unix_micros($"t_1"), unix_micros($"t_2"),
+        unix_micros($"t_3"))
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(batch != unbounded, "horizon must change at least one user")
+  }
 }
