@@ -57,6 +57,55 @@ object ZOrder {
       .withColumn("zv", zValue(col("ub"), col("hb"), bits))
   }
 
+  /** QUANTILE (equal-frequency) binning — the skew-proof sibling of
+    * [[bucketedEvents]] (r9). Equal-WIDTH bins waste the curve on a
+    * power-law dimension: one hot user's rows flood a single bucket,
+    * so files covering it span the whole other dimension and every
+    * bucket boundary sits where no data lives. Rank-based bins give
+    * every bucket the same ROW count — the hot key spreads over many
+    * buckets of its own while cold keys get narrow buckets, so point
+    * queries on cold keys prune far more files ([[ZOrderSpec]]
+    * measures the planted-zipf win).
+    *
+    * Determinism: bucket = (rank − 1)·2^bits DIV total with rank over
+    * (value, event_id) — pure integer math a SQL oracle replays. The
+    * rank windows are global (the oracle-vehicle shape, as
+    * [[layoutStats]]'s file window); the cluster path replaces them
+    * with approx_percentile edge tables (mergeable sketch, broadcast
+    * CASE lookup) exactly as q54 ↔ q54b twin exact and sketch
+    * percentiles. */
+  def quantileBucketedEvents(events: DataFrame, bits: Int): DataFrame = {
+    val n = 1L << bits
+    val raw = events.select(col("event_id"), col("user_id").as("u"),
+      expr("ts_ns DIV 3600000000000").as("hr"))
+    val wU = Window.orderBy(col("u"), col("event_id"))
+    val wH = Window.orderBy(col("hr"), col("event_id"))
+    val total = raw.agg(count(lit(1)).as("tot"))
+    raw
+      .withColumn("ru", row_number().over(wU).cast("long"))
+      .withColumn("rh", row_number().over(wH).cast("long"))
+      .crossJoin(broadcast(total))
+      .select(col("event_id"),
+        expr(s"(ru - 1) * $n DIV tot").as("ub"),
+        expr(s"(rh - 1) * $n DIV tot").as("hb"))
+      .withColumn("zv", zValue(col("ub"), col("hb"), bits))
+  }
+
+  /** Cut a bucketed frame's z total order into `rowsPerFile` files and
+    * report each file's min/max envelope (the footer stats a reader
+    * prunes on). */
+  private def fileEnvelopes(bucketed: DataFrame,
+      rowsPerFile: Int): DataFrame =
+    bucketed
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("zv"), col("event_id"))) - 1)
+      .withColumn("file_id", expr(s"rn DIV $rowsPerFile"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ub")).as("min_ub"), max(col("ub")).as("max_ub"),
+        min(col("hb")).as("min_hb"), max(col("hb")).as("max_hb"))
+      .orderBy(col("file_id"))
+
   /** Per-file min/max envelope of a z-ordered layout of `events` over
     * (user bucket, hour bucket): rows are sorted by z (ties on
     * event_id), cut into `rowsPerFile` files, and each file reports
@@ -68,13 +117,10 @@ object ZOrder {
     */
   def layoutStats(events: DataFrame, rowsPerFile: Int = 512,
       bits: Int = 8): DataFrame =
-    bucketedEvents(events, bits)
-      .withColumn("rn",
-        row_number().over(Window.orderBy(col("zv"), col("event_id"))) - 1)
-      .withColumn("file_id", expr(s"rn DIV $rowsPerFile"))
-      .groupBy(col("file_id"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("ub")).as("min_ub"), max(col("ub")).as("max_ub"),
-        min(col("hb")).as("min_hb"), max(col("hb")).as("max_hb"))
-      .orderBy(col("file_id"))
+    fileEnvelopes(bucketedEvents(events, bits), rowsPerFile)
+
+  /** [[layoutStats]] over the quantile-binned buckets. */
+  def layoutStatsQuantile(events: DataFrame, rowsPerFile: Int = 512,
+      bits: Int = 8): DataFrame =
+    fileEnvelopes(quantileBucketedEvents(events, bits), rowsPerFile)
 }

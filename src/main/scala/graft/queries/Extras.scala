@@ -49,6 +49,42 @@ object Extras {
        |SELECT file_id, n_rows, min_ub, max_ub, min_hb, max_hb
        |FROM files ORDER BY file_id""".stripMargin
 
+  /** q151 (r9): QUANTILE-binned z-order layout
+    * ([[graft.ops.ZOrder.layoutStatsQuantile]]) — equal-frequency
+    * buckets via (rank−1)·256 DIV total per dimension, the skew-proof
+    * sibling of q112's equal-width binning; same file-envelope
+    * output, both the ranks and the interleave replayed bit-for-bit
+    * by the oracle. */
+  def zorderQuantileLayout(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ZOrder.layoutStatsQuantile(Tables.events(spark, dir),
+      rowsPerFile = 512, bits = 8)
+
+  private def zorderQuantileOracle: String = {
+    val terms = (0 until 8).map(j =>
+      s"(((ub >> $j) & 1) << ${2 * j}) + (((hb >> $j) & 1) << ${2 * j + 1})")
+      .mkString(" + ")
+    s"""WITH raw AS (SELECT event_id, user_id AS u,
+       |              epoch_ns(ts) // 3600000000000 AS hr FROM events),
+       |t AS (SELECT count(*) AS tot FROM raw),
+       |rk AS (SELECT event_id,
+       |         row_number() OVER (ORDER BY u, event_id) AS ru,
+       |         row_number() OVER (ORDER BY hr, event_id) AS rh
+       |       FROM raw),
+       |e AS (SELECT event_id,
+       |        (ru - 1) * 256 // tot AS ub,
+       |        (rh - 1) * 256 // tot AS hb
+       |      FROM rk CROSS JOIN t),
+       |z AS (SELECT event_id, ub, hb, $terms AS zv FROM e),
+       |r AS (SELECT ub, hb,
+       |        row_number() OVER (ORDER BY zv, event_id) - 1 AS rn FROM z),
+       |files AS (SELECT rn // 512 AS file_id, count(*) AS n_rows,
+       |            min(ub) AS min_ub, max(ub) AS max_ub,
+       |            min(hb) AS min_hb, max(hb) AS max_hb
+       |          FROM r GROUP BY 1)
+       |SELECT file_id, n_rows, min_ub, max_ub, min_hb, max_hb
+       |FROM files ORDER BY file_id""".stripMargin
+  }
+
   /** q140 (r8): the OPTIMIZE pipeline — [[graft.ops.Compaction.planBins]]
     * over the z-order files of q112 (rows as the size proxy, 2048-row
     * target): contiguous-in-z merges, so each output file's envelope is
@@ -1090,6 +1126,8 @@ object Extras {
         |SELECT doc_id, version, text FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin)),
     QueryDef("q112_zorder_layout", zorderLayout, Some(zorderOracle)),
+    QueryDef("q151_zorder_quantile", zorderQuantileLayout,
+      Some(zorderQuantileOracle)),
     QueryDef("q120_cdc_changelog", cdcChangelog, Some(cdcChangelogOracle)),
     QueryDef("q121_scd2_history", scd2History, Some(scd2Oracle)),
     QueryDef("q122_funnel_steps", funnelSteps, Some(funnelStepsOracle)),

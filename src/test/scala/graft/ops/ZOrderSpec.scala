@@ -69,4 +69,46 @@ class ZOrderSpec extends SparkSpec {
     val avgUserSpan = spans.map(_._1).sum.toDouble / spans.length
     assert(avgUserSpan < 154, s"avg user span $avgUserSpan not clustered")
   }
+
+  test("quantile binning beats equal-width on a planted skewed dimension") {
+    // RANGE skew, the classic equal-width failure: one outlier id at
+    // 10^9 stretches the observed domain so every normal user
+    // (ids 1..200) collapses into user-bucket 0 — the z-curve
+    // degenerates to hour-order for all of them and a cold-user
+    // point query scans nearly every file. Equal-frequency bins by
+    // RANK, which cannot see the outlier's magnitude: normal users
+    // spread across the bucket space and their point queries prune.
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 4096).map { i =>
+      val u = if (i % 43 == 0) 1000000000L else 1L + rnd.nextInt(200).toLong
+      (i.toLong, u, i.toLong * 3600000000000L) // one event per hour step
+    }
+    val events = rows.toDF("event_id", "user_id", "ts_ns")
+    def scanned(stats: Array[org.apache.spark.sql.Row],
+        bucketOf: Long => Long, user: Long): Int = {
+      val b = bucketOf(user)
+      stats.count(r => r.getLong(2) <= b && b <= r.getLong(3))
+    }
+    val ew = ZOrder.layoutStats(events, rowsPerFile = 128, bits = 8).collect()
+    val qn = ZOrder.layoutStatsQuantile(events, rowsPerFile = 128, bits = 8)
+      .collect()
+    // bucket of a given user under each scheme, read off the data
+    val ewB = ZOrder.bucketedEvents(events, 8)
+      .join(events.select($"event_id", $"user_id"), "event_id")
+      .groupBy($"user_id").agg(min($"ub").as("b")).as[(Long, Long)]
+      .collect().toMap
+    val qnB = ZOrder.quantileBucketedEvents(events, 8)
+      .join(events.select($"event_id", $"user_id"), "event_id")
+      .groupBy($"user_id").agg(min($"ub").as("b")).as[(Long, Long)]
+      .collect().toMap
+    val coldUsers = (1L to 200L).filter(ewB.contains)
+    val ewScan = coldUsers.map(u => scanned(ew, ewB, u)).sum.toDouble
+    val qnScan = coldUsers.map(u => scanned(qn, qnB, u)).sum.toDouble
+    // equal-width puts every normal user in bucket 0 (whole-corpus
+    // scan); quantile must cut the summed scan at least in half
+    assert(qnScan * 2 < ewScan,
+      s"quantile layout must prune cold-user queries: $qnScan vs $ewScan")
+    assert(coldUsers.forall(u => ewB(u) == 0L),
+      "planting check: the outlier must collapse equal-width binning")
+  }
 }
