@@ -123,4 +123,29 @@ object ZOrder {
   def layoutStatsQuantile(events: DataFrame, rowsPerFile: Int = 512,
       bits: Int = 8): DataFrame =
     fileEnvelopes(quantileBucketedEvents(events, bits), rowsPerFile)
+
+  /** The 100 TB path for quantile binning: Spark's own
+    * QuantileDiscretizer (Greenwald–Khanna mergeable quantile sketch
+    * → broadcast Bucketizer splits) replaces the rank windows — edge
+    * fitting is one pass with bounded state, assignment is a map-side
+    * lookup, no global sort anywhere. [[quantileBucketedEvents]] is
+    * its oracle twin exactly as q54's exact percentiles twin q54b's
+    * sketch: same equal-frequency intent, the rank form replayable in
+    * SQL, this form the one a cluster runs. `ZOrderSpec` shows the
+    * sketch layout delivering the same planted-skew pruning win. */
+  def quantileBucketedEventsScale(events: DataFrame, bits: Int,
+      relativeError: Double = 0.001): DataFrame = {
+    import org.apache.spark.ml.feature.QuantileDiscretizer
+    val n = (1 << bits).toInt
+    val raw = events.select(col("event_id"),
+      col("user_id").cast("double").as("u"),
+      expr("ts_ns DIV 3600000000000").cast("double").as("hr"))
+    val disc = new QuantileDiscretizer()
+      .setInputCols(Array("u", "hr")).setOutputCols(Array("ub_d", "hb_d"))
+      .setNumBuckets(n).setRelativeError(relativeError)
+    disc.fit(raw).transform(raw)
+      .select(col("event_id"),
+        col("ub_d").cast("long").as("ub"), col("hb_d").cast("long").as("hb"))
+      .withColumn("zv", zValue(col("ub"), col("hb"), bits))
+  }
 }

@@ -110,5 +110,26 @@ class ZOrderSpec extends SparkSpec {
       s"quantile layout must prune cold-user queries: $qnScan vs $ewScan")
     assert(coldUsers.forall(u => ewB(u) == 0L),
       "planting check: the outlier must collapse equal-width binning")
+
+    // the SCALE path (QuantileDiscretizer sketch edges, no global
+    // window) must deliver the same pruning win on the same corpus
+    val sc = {
+      val b = ZOrder.quantileBucketedEventsScale(events, 8)
+      val stats = b.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("zv"), col("event_id"))) - 1)
+        .withColumn("file_id", expr("rn DIV 128"))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("ub").as("min_ub"), max("ub").as("max_ub"),
+          min("hb").as("min_hb"), max("hb").as("max_hb"))
+        .collect()
+      val bk = b.join(events.select($"event_id", $"user_id"), "event_id")
+        .groupBy($"user_id").agg(min($"ub").as("b")).as[(Long, Long)]
+        .collect().toMap
+      coldUsers.map(u => scanned(stats, bk, u)).sum.toDouble
+    }
+    assert(sc * 2 < ewScan,
+      s"sketch-edge quantile layout must also prune: $sc vs $ewScan")
   }
 }
