@@ -49,6 +49,53 @@ object Extras {
        |SELECT file_id, n_rows, min_ub, max_ub, min_hb, max_hb
        |FROM files ORDER BY file_id""".stripMargin
 
+  /** q152 (r9): A/B experiment readout ([[graft.ops.Experiment]]) —
+    * portable-hash unit assignment (the q75 kernel, so the oracle
+    * re-derives the whole experiment from raw events), distinct-unit
+    * exposure/conversion counts, integer-ppm conversion and lift,
+    * pooled two-proportion z in milli-units from identical IEEE op
+    * order in both engines, |z| ≥ 1.96 verdict. */
+  def abExperiment(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.abSummary(Tables.events(spark, dir),
+      "user_id", "event_type", "purchase", seed = "exp1",
+      // ≥15 purchase events: on this high-frequency fixture "any
+      // purchase ever" saturates to p = 1 (zero pooled sd); the
+      // threshold puts conversion mid-range so the statistic binds
+      minConvEvents = 15)
+
+  private def abExperimentOracle: String =
+    """WITH pu AS (SELECT user_id,
+      |         ('0x' || substr(md5('exp1:' || user_id), 1, 8))::BIGINT
+      |           % 1000000 < 500000 AS treated,
+      |         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+      |                            THEN 1 ELSE 0 END) >= 15
+      |              THEN 1 ELSE 0 END AS conv
+      |       FROM events GROUP BY 1, 2),
+      |c AS (SELECT
+      |        CAST(sum(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+      |        CAST(sum(CASE WHEN NOT treated THEN conv ELSE 0 END) AS BIGINT) AS conv_c,
+      |        CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+      |        CAST(sum(CASE WHEN treated THEN conv ELSE 0 END) AS BIGINT) AS conv_t
+      |      FROM pu),
+      |p AS (SELECT *,
+      |        (conv_c + conv_t)::DOUBLE / (n_c + n_t)::DOUBLE AS p_pool
+      |      FROM c),
+      |z AS (SELECT *,
+      |        CAST(floor(((conv_t::DOUBLE / n_t::DOUBLE)
+      |                    - (conv_c::DOUBLE / n_c::DOUBLE))
+      |          / sqrt(p_pool * (1.0 - p_pool)
+      |                 * (1.0 / n_c::DOUBLE + 1.0 / n_t::DOUBLE))
+      |          * 1000) AS BIGINT) AS z_milli
+      |      FROM p)
+      |SELECT n_c, conv_c, n_t, conv_t,
+      |  CAST(conv_c * 1000000 // n_c AS BIGINT) AS conv_ppm_c,
+      |  CAST(conv_t * 1000000 // n_t AS BIGINT) AS conv_ppm_t,
+      |  CAST((conv_t * n_c - conv_c * n_t) * 1000000
+      |       // (conv_c * n_t) AS BIGINT) AS lift_ppm,
+      |  z_milli,
+      |  abs(z_milli) >= 1960 AS significant
+      |FROM z""".stripMargin
+
   /** q151 (r9): QUANTILE-binned z-order layout
     * ([[graft.ops.ZOrder.layoutStatsQuantile]]) — equal-frequency
     * buckets via (rank−1)·256 DIV total per dimension, the skew-proof
@@ -1128,6 +1175,8 @@ object Extras {
     QueryDef("q112_zorder_layout", zorderLayout, Some(zorderOracle)),
     QueryDef("q151_zorder_quantile", zorderQuantileLayout,
       Some(zorderQuantileOracle)),
+    QueryDef("q152_ab_experiment", abExperiment,
+      Some(abExperimentOracle)),
     QueryDef("q120_cdc_changelog", cdcChangelog, Some(cdcChangelogOracle)),
     QueryDef("q121_scd2_history", scd2History, Some(scd2Oracle)),
     QueryDef("q122_funnel_steps", funnelSteps, Some(funnelStepsOracle)),

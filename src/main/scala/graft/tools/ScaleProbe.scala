@@ -178,7 +178,13 @@ object ScaleProbe {
       "q146_group_sample" -> (() => graft.ops.Sampling.viaWindow(
         docs, "source", "doc_id", 20, "s9")),
       "q150_containment" -> (() => Dedup.containmentJoin(
-        docs, "doc_id", "text", shingleK = 3, threshold = 0.8)))
+        docs, "doc_id", "text", shingleK = 3, threshold = 0.8)),
+      // the quantile z-order SCALE path (sketch edges + map-side
+      // assignment — the rank-window form is the oracle vehicle and
+      // deliberately not probed)
+      "q151s_zorder_qscale" -> (() => graft.ops.ZOrder
+        .quantileBucketedEventsScale(
+          ev.withColumn("ts_ns", expr("unix_micros(ts) * 1000")), 8)))
 
     def time(mk: () => DataFrame): Double = {
       val ts = (1 to 2).map { _ =>
