@@ -57,10 +57,12 @@ object Sampling {
     * whose per-group sort is trivially small there. */
   def viaAggregator(df: DataFrame, groupCol: String, idCol: String, k: Int,
       seed: String): DataFrame = {
+    // Integral only: TopK.viaAggregator casts the group key to long,
+    // which would silently truncate decimal groups and change the
+    // output schema vs viaWindow (ADVICE r9).
     require(Seq("long", "int", "bigint", "integer", "short", "smallint")
-        .contains(df.schema(groupCol).dataType.typeName)
-        || df.schema(groupCol).dataType.typeName.startsWith("decimal"),
-      s"viaAggregator needs a numeric group column, got " +
+        .contains(df.schema(groupCol).dataType.typeName),
+      s"viaAggregator needs an integral group column, got " +
         s"${df.schema(groupCol).dataType.typeName} — use viaWindow")
     val ranked = df.select(col(groupCol), col(idCol),
       sampleRank(col(idCol), seed).as("hr"))

@@ -93,7 +93,7 @@ object Extras {
       |  CAST((conv_t * n_c - conv_c * n_t) * 1000000
       |       // (conv_c * n_t) AS BIGINT) AS lift_ppm,
       |  z_milli,
-      |  abs(z_milli) >= 1960 AS significant
+      |  coalesce(abs(z_milli) >= 1960, false) AS significant
       |FROM z""".stripMargin
 
   /** q151 (r9): QUANTILE-binned z-order layout

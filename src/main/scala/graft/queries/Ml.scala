@@ -139,7 +139,15 @@ object Ml {
 
   /** On-disk home of the q43b/q63b vector dumps (the q25b convention:
     * the oracle SQL references these exact files via read_parquet, so
-    * both engines replay from one copy of the bytes). */
+    * both engines replay from one copy of the bytes).
+    *
+    * ONE-DIR-PER-SESSION assumption (ADVICE r9): the oracle SQL is a
+    * static string, so the dump path cannot be keyed by the fixture
+    * dir — running two different sf dirs through the same gate in one
+    * session would overwrite the dump between the Spark run and its
+    * oracle replay. The driver's Verify protocol runs exactly one sf
+    * dir per JVM, which is the contract all dump-and-replay gates
+    * (here, lrCvDumpDir, Reco.alsCvReplay, q25b) rely on. */
   private val w2vDumpDir =
     graft.fixtures.AlbedoFixtures.persistDir + "/w2v_vectors"
 

@@ -49,6 +49,12 @@ object BulkIndexSink {
       .option("maxRecordsPerFile", maxDocsPerFile)
       .text(path)
 
+  /** Accumulator-derived AT-LEAST-ONCE counters (ADVICE r9): a task
+    * retry or speculative duplicate re-POSTs its batches and re-adds
+    * to the accumulators, so these can exceed the true delivered
+    * counts. Safe under the sink's upsert-by-id contract (duplicates
+    * converge), but treat them as delivery-attempt telemetry, not
+    * exact delivery counts — use `df.count()` for the exact doc total. */
   case class PostStats(requests: Long, docs: Long, failedRequests: Long)
 
   /** LIVE `_bulk` POST — the network half of the connector edge

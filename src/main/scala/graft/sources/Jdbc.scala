@@ -42,12 +42,19 @@ object Jdbc {
       partCol: String, numPartitions: Int,
       bounds: Option[(Long, Long)] = None,
       props: Properties = new Properties()): DataFrame = {
-    val (lo, hi) = bounds.getOrElse {
+    val probed = bounds.orElse {
       val r = readTable(spark, url, table)
         .selectExpr(s"min($partCol)", s"max($partCol)").head()
-      (r.getLong(0), r.getLong(1))
+      // Empty source table → NULL min/max; fall back to a plain read
+      // (itself empty) instead of NPE-ing on getLong (ADVICE r9).
+      if (r.isNullAt(0) || r.isNullAt(1)) None
+      else Some((r.getLong(0), r.getLong(1)))
     }
-    spark.read.jdbc(url, table, partCol, lo, hi, numPartitions, props)
+    probed match {
+      case Some((lo, hi)) =>
+        spark.read.jdbc(url, table, partCol, lo, hi, numPartitions, props)
+      case None => readTable(spark, url, table, props)
+    }
   }
 
   /** The reference's rename layer: storage column names → the

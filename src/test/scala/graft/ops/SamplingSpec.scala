@@ -38,6 +38,15 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("decimal group columns are rejected on the aggregator path") {
+    // TopK.viaAggregator casts the group key to long — a decimal
+    // group would silently truncate and change schema (ADVICE r9)
+    val d = Seq((BigDecimal("1.5"), 1L)).toDF("grp", "id")
+    intercept[IllegalArgumentException] {
+      Sampling.viaAggregator(d, "grp", "id", 1, "x")
+    }
+  }
+
   test("sample is independent of physical layout") {
     val one = Sampling.viaWindow(rows.repartition(1), "grp", "id", 6, "lay")
       .as[(Long, Long, Long, Long)].collect().toSet

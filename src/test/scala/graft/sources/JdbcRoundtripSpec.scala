@@ -67,6 +67,16 @@ class JdbcRoundtripSpec extends SparkSpec {
       .select($"user_id").as[Long].head() == 7L)
   }
 
+  test("partitioned read of an EMPTY table returns empty, not NPE") {
+    // ADVICE r9: the default bounds probe gets NULL min/max on an
+    // empty source — must fall back to a plain (empty) read
+    Jdbc.writeTable(Seq.empty[(Long, String)].toDF("id", "v"),
+      url, "app_empty")
+    val got = Jdbc.readTablePartitioned(spark, url, "app_empty",
+      partCol = "id", numPartitions = 4)
+    assert(got.count() == 0)
+  }
+
   test("append mode accumulates; overwrite replaces") {
     val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     Jdbc.writeTable(df1, url, "app_modes")
