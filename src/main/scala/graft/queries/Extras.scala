@@ -690,6 +690,77 @@ object Extras {
       |    THEN ts END)) AS t3_us
       |FROM w2 GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q153 (r10, VERDICT r9 "Next round" #1): the OUT-OF-ORDER
+    * streaming funnel ([[EventStreams.funnelStreamingUnordered]])
+    * driven through a REAL shuffled multi-wave streaming run and
+    * hash-compared against q122's batch-funnel oracle — the operator's
+    * own contract (finalized watermark-folded state ≡ the batch
+    * fold over the same events) made driver-checkable, moving the
+    * last major r9 operator from spec-only to a green gate.
+    *
+    * Mechanics: the events fixture is collected (replay vehicle only
+    * — 10k rows at the gate's sf0.01, bounded and documented),
+    * seed-shuffled, and replayed through a MemoryStream in 4
+    * arbitrary waves with a watermark delay wider than the fixture's
+    * event-time span, so every event is in-contract whatever wave it
+    * lands in. Two sentinel flush events then advance the watermark
+    * past every real timestamp and fire the armed event-time
+    * timeouts, so the buffers DRAIN through the fold path — the gate
+    * exercises finalization, not just the lookahead. Per-user final
+    * rows come out as min-over-emissions (without a horizon every
+    * column is monotone non-increasing across Update emissions, so
+    * the min IS the finalized value — EventStreams scaladoc).
+    * Determinism does not depend on the shuffle seed: ANY arrival
+    * order inside the delay window folds to the batch answer, which
+    * is exactly what the oracle verifies. */
+  def funnelUnorderedStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val steps = Seq("view", "click", "purchase")
+    val all = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .as[(Long, String, Long)].collect()
+    val shuffled = new scala.util.Random(153).shuffle(all.toSeq)
+    val maxUs = all.iterator.map(_._3).max
+    val spanSec = (maxUs - all.iterator.map(_._3).min) / 1000000L
+    val delaySec = spanSec + 3600L
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val events = ms.toDF().toDF("user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+    val name = "q153_funnel_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.funnelStreamingUnordered(events, steps,
+        delay = s"$delaySec seconds").toDF()
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName(name).start()
+    shuffled.grouped((shuffled.size / 4).max(1)).foreach { wave =>
+      ms.addData(wave)
+      q.processAllAvailable()
+    }
+    // flush 1 lifts the watermark past every real event; flush 2's
+    // batch then runs WITH that watermark, firing the armed timeouts
+    // so every user's buffer folds into finalized state
+    val flushBase = maxUs + (delaySec + 3600L) * 1000000L
+    Seq(flushBase, flushBase + 3600L * 1000000L).foreach { f =>
+      ms.addData(Seq((-1L, "view", f)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    // one small row per user: pull local so the memory-sink view can
+    // be dropped here instead of accumulating per bench pass (q103
+    // pattern, ADVICE r6)
+    val out = spark.table(name)
+      .filter($"userId" =!= -1L)
+      .groupBy($"userId")
+      .agg(min($"t1Us").as("t1"), min($"t2Us").as("t2"),
+        min($"t3Us").as("t3"))
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    spark.catalog.dropTempView(name)
+    out.toDF("user_id", "t1_us", "t2_us", "t3_us").orderBy($"user_id")
+  }
+
   /** q130 (r8): batch interval-overlap join
     * ([[graft.ops.IntervalJoin.overlapJoin]]) — each user's purchase
     * windows (1 h) × error windows (30 min), bucket-decomposed into an
@@ -1182,6 +1253,8 @@ object Extras {
     QueryDef("q122_funnel_steps", funnelSteps, Some(funnelStepsOracle)),
     QueryDef("q122b_funnel_summary", funnelSummary, Some(funnelSummaryOracle)),
     QueryDef("q129_funnel_horizon", funnelHorizon, Some(funnelHorizonOracle)),
+    QueryDef("q153_funnel_unordered_stream", funnelUnorderedStream,
+      Some(funnelStepsOracle)),
     QueryDef("q130_interval_join", intervalOverlapJoin,
       Some(intervalOverlapOracle)),
     QueryDef("q131_hll_reaggregate", hllReaggregate,

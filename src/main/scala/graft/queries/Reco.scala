@@ -450,7 +450,41 @@ object Reco {
        |SELECT user_id, item_id, cnt, rn FROM r WHERE rn <= 3
        |ORDER BY user_id, rn""".stripMargin
 
+  /** q158 (r10, VERDICT r9 "Next round" #5): the per-user stratified
+    * split (#90, reference DatasetUtils.randomSplitByUser) oracled via
+    * its portable twin [[Splits.byUserPortable]] — the gate runs the
+    * operator (both returned frames), then reports each user's
+    * (n_train, n_test) stratification readout; the oracle replays the
+    * md5-bucket assignment row-for-row, so a single misassigned event
+    * breaks the hash. `byUser` itself stays sampleBy-seeded (the
+    * reference's exact shape, spec-covered); this twin is the
+    * deterministic/oracle-able assignment kernel. */
+  def stratifiedSplitCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"))
+    val (tr, te) = Splits.byUserPortable(ev, "event_id", 0.8, "split90")
+    val nTr = tr.groupBy("user_id").agg(count(lit(1)).as("n_train"))
+    val nTe = te.groupBy("user_id").agg(count(lit(1)).as("n_test"))
+    nTr.join(nTe, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"))
+      .orderBy(col("user_id"))
+  }
+
+  private val stratifiedSplitOracle: String =
+    """WITH a AS (SELECT user_id,
+      |    ('0x' || substr(md5('split90:' || event_id), 1, 8))::BIGINT
+      |      % 1000000 < 800000 AS tr
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+      |  CAST(sum(CASE WHEN tr THEN 0 ELSE 1 END) AS BIGINT) AS n_test
+      |FROM a GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q158_stratified_split", stratifiedSplitCounts,
+      Some(stratifiedSplitOracle)),
     QueryDef("q104_pagerank", pagerankItems, Some(pagerankOracle)),
     QueryDef("q104b_pagerank_personalized", pagerankPersonalized,
       Some(pagerankPersonalizedOracle)),

@@ -947,6 +947,77 @@ object Relational {
       |                    FROM lineitem l2
       |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
 
+  /** q154 (r10, VERDICT r9 "Next round" #4): the TPC-H Q4 archetype —
+    * correlated EXISTS (orders in a half-year window having at least
+    * one lineitem shipped more than 60 days after the order date;
+    * the fixture has no commit/receipt dates, so the "late" predicate
+    * is ship-vs-order). Catalyst decorrelates this into a left-semi
+    * join on l_orderkey — the plan a hand-written semi-join (q04)
+    * would produce, now reached from SQL text. */
+  private val sqlExistsLateText: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** q155: the TPC-H Q22 archetype — correlated NOT EXISTS (customers
+    * who never placed an urgent order; the fixture's every customer
+    * has SOME order, so the anti-join must discriminate on the inner
+    * predicate, not mere presence). Decorrelates to a left-anti join
+    * on o_custkey with the priority filter pushed below it. */
+  private val sqlNotExistsText: String =
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q156: the TPC-H Q20 archetype — NESTED IN subqueries (suppliers
+    * who shipped a big-quantity 'gear' part in 1996Q1: part-name list
+    * feeds a lineitem filter feeds the supplier membership test).
+    * Both IN levels decorrelate to semi-joins; the inner predicate
+    * keeps the result at 20 of 100 suppliers so a dropped filter
+    * breaks the hash. */
+  private val sqlNestedInText: String =
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part
+      |                      WHERE p_name LIKE '%gear%')
+      |    AND l_quantity >= 48
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01')
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** q157: aggregate window with a RANGE frame — per-customer rolling
+    * 3-month spend, the VALUE-based frame (peers by month index, gaps
+    * respected) that ROWS frames get wrong on sparse months. The
+    * month index is a portable integer (date_part year/month compose
+    * identically in both engines), so the numeric RANGE bound is
+    * dialect-shared where interval-typed bounds are not. */
+  private val sqlRangeFrameText: String =
+    """WITH m AS (
+      |  SELECT o_custkey,
+      |         CAST(date_part('year', o_orderdate) * 12
+      |              + date_part('month', o_orderdate) AS BIGINT) AS mo,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |              AS BIGINT) AS mo_cents
+      |  FROM orders
+      |  GROUP BY o_custkey, mo)
+      |SELECT o_custkey, mo, mo_cents,
+      |  CAST(sum(mo_cents) OVER (PARTITION BY o_custkey ORDER BY mo
+      |       RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS spend_3mo_c
+      |FROM m
+      |ORDER BY o_custkey, mo""".stripMargin
+
   /** q145: the q92 CUBE as shared SQL text. */
   private val sqlCubeText: String =
     """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
@@ -1117,6 +1188,14 @@ object Relational {
       Some(sqlCubeText)),
     QueryDef("q148_sql_window_topk", sharedSql(sqlWindowTopkText),
       Some(sqlWindowTopkText)),
+    QueryDef("q154_sql_exists_late", sharedSql(sqlExistsLateText),
+      Some(sqlExistsLateText)),
+    QueryDef("q155_sql_not_exists_urgent", sharedSql(sqlNotExistsText),
+      Some(sqlNotExistsText)),
+    QueryDef("q156_sql_nested_in", sharedSql(sqlNestedInText),
+      Some(sqlNestedInText)),
+    QueryDef("q157_sql_range_frame", sharedSql(sqlRangeFrameText),
+      Some(sqlRangeFrameText)),
     QueryDef("q149_sql_correlated_avg", sharedSql(sqlCorrelatedAvgText),
       Some(sqlCorrelatedAvgText)),
     QueryDef("q81_pivot_status", pivotStatusCounts, Some(pivotOracle)),

@@ -37,6 +37,22 @@ object Splits {
     (train, test)
   }
 
+  /** Portable twin of [[byUser]] (VERDICT r9 "Next round" #5 — the
+    * oracle/scale path for the reference's randomSplitByUser): the
+    * split assignment is the q75 md5 bucket of the row id against an
+    * integer cutoff. Per-user stratified in expectation exactly like
+    * `sampleBy` with a uniform fraction (every user's rows face the
+    * same keep-probability independently), but deterministic on any
+    * cluster layout, map-only (no driver key list, no sampleBy scan,
+    * no exceptAll shuffle — the test side is the complement FILTER,
+    * not a subtract), and replayable row-for-row by a SQL oracle. */
+  def byUserPortable(df: DataFrame, idCol: String, trainFrac: Double,
+      seed: String): (DataFrame, DataFrame) = {
+    val cut = math.round(trainFrac * 1000000)
+    val b = hashBucketPortable(col(idCol), seed)
+    (df.filter(b < cut), df.filter(b >= cut))
+  }
+
   /** Oracle-portable twin of [[byRowHash]]: bucket from the first 8 md5
     * hex chars of "seed:id" — any engine reproduces the assignment, so
     * the split itself is hash-exactly verifiable (q75). Same

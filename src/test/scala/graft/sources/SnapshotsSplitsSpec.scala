@@ -46,6 +46,20 @@ class SnapshotsSplitsSpec extends SparkSpec {
     assert(math.abs(nTrain.toDouble / n - 0.8) < 0.1)
   }
 
+  test("portable split: exact complement, deterministic, ~frac per user") {
+    val inter = graft.reco.Interactions.fromEvents(spark, sf0001).cache()
+    val (tr, te) = Splits.byUserPortable(inter, "item_id", 0.8, "s90")
+    val n = inter.count()
+    assert(tr.count() + te.count() == n)
+    assert(tr.intersect(te).count() == 0, "sides must be disjoint")
+    // same assignment on a different physical layout
+    val (tr2, _) = Splits.byUserPortable(inter.repartition(13),
+      "item_id", 0.8, "s90")
+    assert(tr.select("user_id", "item_id").except(
+      tr2.select("user_id", "item_id")).count() == 0)
+    assert(math.abs(tr.count().toDouble / n - 0.8) < 0.1)
+  }
+
   test("hash split: deterministic and partitioning-independent") {
     val inter = graft.reco.Interactions.fromEvents(spark, sf0001)
     val (t1, _) = Splits.byRowHash(inter, Seq("user_id", "item_id", "ts_ns"), 0.8)
