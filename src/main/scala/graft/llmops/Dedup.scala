@@ -353,38 +353,93 @@ object Dedup {
     * shingles finds every qualifying pair, and because prefixes hold
     * each doc's RAREST shingles, the join's per-key buckets are the
     * small tail of the frequency distribution — the head ("the quick
-    * brown") never enters the shuffle. Candidates then verify with
-    * the exact [[exactJaccard]] kernel, candidate-pairs-only.
+    * brown") never enters the shuffle. Candidates then verify exactly,
+    * candidate-pairs-only.
+    *
+    * r10 scale rework (the 100× probe found the verify stage at 452 s
+    * of a 500 s run — candidate pairs each shuffling two ~5 KB
+    * array<string> columns, a ~200 GB exchange):
+    *  - shingles carry through the plan as 64-bit `xxhash64`
+    *    identities after the one freq join: the rank/count windows,
+    *    the candidate join and the verify arrays all move longs, not
+    *    strings. The Jaccard on hashed sets equals the string-set
+    *    Jaccard unless two distinct co-candidate shingles collide in
+    *    64 bits (expected events < 1e-7 per run at any realistic
+    *    corpus; `PrefixJoinSpec` pins the fixtures collision-free).
+    *  - PPJoin POSITIONAL + LENGTH filters prune candidates before
+    *    the verify join, in exact integer arithmetic (threshold as
+    *    ppm, cross-multiplied — no float boundary): a matched prefix
+    *    position (rk_a, rk_b) bounds the overlap by
+    *    min(rk_a,rk_b) + min(n_a−rk_a, n_b−rk_b) because the global
+    *    rarest-first order is CONSISTENT across docs (common
+    *    elements before the match coincide on both sides); the pair
+    *    keeps only if the tightest bound still reaches
+    *    ⌈t/(1+t)·(n_a+n_b)⌉.
+    *  - union = n_a + n_b − inter (no array_union), sizes ride the
+    *    candidate rows from the prefix windows.
     *
     * Output: (id_a, id_b, jaccard) for id_a < id_b, jaccard ≥ t. */
   def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
-    // NOT cached: columnar-caching array<string> rows costs more than
-    // re-running the shingle kernel (bench-adjudicated: the cached
+    val T = math.round(threshold * 1000000L) // exact ppm threshold
+    // NOT cached: columnar-caching array rows costs more than
+    // re-running the shingle kernel (bench-adjudicated r8: the cached
     // variant ran 12→21 s at sf0.1 across three passes)
     val sh = shingleSets(docs, idCol, textCol, shingleK)
     val inst = sh.select(col("id"), explode(col("sh")).as("t"))
     val freq = inst.groupBy(col("t")).agg(count(lit(1)).as("f"))
-    val wRank = Window.partitionBy(col("id")).orderBy(col("f"), col("t"))
+    val wRank = Window.partitionBy(col("id")).orderBy(col("f"), col("tid"))
     // set size via a count window on the SAME id partitioning the rank
     // window already shuffled to — a size(sh) join would re-evaluate
     // the shingle-kernel lineage a second time inside this plan
-    // (bench-adjudicated slower, as was caching sh)
-    val prefixes = inst.join(freq, Seq("t"))
-      .withColumn("rk", row_number().over(wRank))
+    // (bench-adjudicated slower, as was caching sh). Strings drop
+    // here: everything downstream moves (id, tid, f) longs. Any
+    // consistent global order is complete for the prefix theorem, so
+    // hash tie-breaks are as valid as string tie-breaks.
+    val ranked = inst.join(freq, Seq("t"))
+      .select(col("id"), xxhash64(col("t")).as("tid"), col("f"))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
+    val prefixes = ranked
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("id"), col("t"))
+      .select(col("id"), col("tid"), col("rk"), col("n"))
     val candidates = prefixes.as("a")
       .join(prefixes.as("b"),
-        col("a.t") === col("b.t") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    exactJaccardOn(sh, candidates)
+        col("a.tid") === col("b.tid") && col("a.id") < col("b.id"))
+      // LENGTH filter: J(x,y) ≤ min/max, so T·max(n_a,n_b) ≤ 1e6·min
+      .filter(greatest(col("a.n"), col("b.n")) * T <=
+        least(col("a.n"), col("b.n")) * 1000000L)
+      // per-match positional overlap bound (see scaladoc)
+      .withColumn("ub",
+        least(col("a.rk"), col("b.rk")) +
+          least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(min(col("ub")).as("ub"))
+      // o ≥ t/(1+t)·(n_a+n_b)  ⇔  o·(1e6+T) ≥ T·(n_a+n_b), exact longs
+      .filter(col("ub") * (1000000L + T) >= lit(T) * (col("n_a") + col("n_b")))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+    val shh = hashedShingleSets(sh)
+    candidates
+      .join(shh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("inter") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** (id, sh: array<bigint>) — each doc's shingle set as 64-bit
+    * hashed identities, the narrow verify-side representation the
+    * prefix/containment joins shuffle instead of string arrays. */
+  private def hashedShingleSets(sh: DataFrame): DataFrame =
+    // map-side: per-element xxhash64 via transform (no shuffle; the
+    // interpreted higher-order cost is far below the exchange it
+    // replaces — the array never leaves the map task as strings)
+    sh.select(col("id"), transform(col("sh"), t => xxhash64(t)).as("sh"))
 
   /** EXACT containment join (asymmetric near-dup, r9): ordered pairs
     * (a, b), a ≠ b, with |sh(a) ∩ sh(b)| / |sh(a)| ≥ `threshold` —
@@ -412,27 +467,49 @@ object Dedup {
   def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val T = math.round(threshold * 1000000L)
     val sh = shingleSets(docs, idCol, textCol, shingleK)
     val inst = sh.select(col("id"), explode(col("sh")).as("t"))
     val freq = inst.groupBy(col("t")).agg(count(lit(1)).as("f"))
-    val wRank = Window.partitionBy(col("id")).orderBy(col("f"), col("t"))
-    val prefixes = inst.join(freq, Seq("t"))
-      .withColumn("rk", row_number().over(wRank))
+    val wRank = Window.partitionBy(col("id")).orderBy(col("f"), col("tid"))
+    // the r10 narrow-lane rework (see prefixFilterJoin): strings drop
+    // at the freq join; ranks, candidates and verify arrays all move
+    // 64-bit hashed identities. BOTH sides rank — the left to select
+    // its prefix, the right (full index) so the positional filter has
+    // rk_b; the right side still ships EVERY position (containment
+    // puts no floor on |B|, so the indexed side cannot prefix).
+    val ranked = inst.join(freq, Seq("t"))
+      .select(col("id"), xxhash64(col("t")).as("tid"), col("f"))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
+    val prefixes = ranked
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("id").as("id_a"), col("t"))
+      .select(col("id").as("id_a"), col("tid"),
+        col("rk").as("rk_a"), col("n").as("n_a"))
     val candidates = prefixes
-      .join(inst.select(col("id").as("id_b"), col("t")), Seq("t"))
+      .join(ranked.select(col("id").as("id_b"), col("tid"),
+        col("rk").as("rk_b"), col("n").as("n_b")), Seq("tid"))
       .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      // LENGTH filter: inter ≤ n_b and inter ≥ t·n_a ⇒ 1e6·n_b ≥ T·n_a
+      .filter(col("n_b") * 1000000L >= lit(T) * col("n_a"))
+      // positional bound on the shared-element count (consistent
+      // global order ⇒ common-before-the-match coincides on both
+      // sides): inter ≤ min(rk_a,rk_b) + min(n_a−rk_a, n_b−rk_b)
+      .withColumn("ub", least(col("rk_a"), col("rk_b")) +
+        least(col("n_a") - col("rk_a"), col("n_b") - col("rk_b")))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"))
+      .agg(min(col("ub")).as("ub"))
+      // inter ≥ ⌈t·n_a⌉  ⇔  ub·1e6 ≥ T·n_a, exact longs
+      .filter(col("ub") * 1000000L >= lit(T) * col("n_a"))
+      .select(col("id_a"), col("id_b"), col("n_a"))
+    val shh = hashedShingleSets(sh)
     candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(shh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("n_a", size(col("sh_a")).cast("long"))
       .withColumn("containment_ppm", expr("inter * 1000000 DIV n_a"))
-      .filter(col("containment_ppm") >= math.round(threshold * 1000000))
+      .filter(col("containment_ppm") >= T)
       .select(col("id_a"), col("id_b"), col("n_a"), col("inter"),
         col("containment_ppm"))
   }

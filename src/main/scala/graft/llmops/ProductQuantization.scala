@@ -75,8 +75,11 @@ object ProductQuantization {
 
   /** Integer Lloyd's over all `m` subspaces at once. Seeds are the
     * subvectors of evenly-id-spaced corpus rows (no RNG — determinism
-    * is what makes the downstream gate hash-exact); empty clusters
-    * carry their previous centroid. Each iteration collects the
+    * is what makes the downstream gate hash-exact); an empty cluster
+    * re-seeds at its subspace's farthest assigned point (deterministic
+    * k-means++-style carry — on a degenerate all-identical corpus the
+    * farthest point IS the duplicate, so the re-seed is a no-op move
+    * onto the data). Each iteration collects the
     * codebook to the driver — bounded by construction at m·k·(D/m) =
     * k·D longs (1 KiB here), the same documented-bounded pattern as
     * [[graft.ops.Materialize]] — so the next assignment joins a fresh
@@ -106,7 +109,8 @@ object ProductQuantization {
         .toSeq.sortBy(c => (c.sub, c.c))
 
       for (_ <- 1 to iters) {
-        val updated = assign(subv, centroidsDf(spark, cents))
+        val asg = assign(subv, centroidsDf(spark, cents))
+        val updated = asg
           .select(col("sub"), col("c"), posexplode(col("qv")).as(Seq("pos", "v")))
           .groupBy(col("sub"), col("c"), col("pos"))
           .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -119,8 +123,41 @@ object ProductQuantization {
           .map(r => (r.getInt(0), r.getInt(1)) ->
             r.getSeq[Long](2))
           .toMap
+        // Empty-cluster RE-SEED (r10, VERDICT r9 #3 — the k=64
+        // underfit fix): a slot no point chose re-seeds at its
+        // subspace's farthest-from-assigned-centroid point (the
+        // k-means++ carry move), instead of freezing forever on its
+        // stale seed. Deterministic: empty slots sort by code, donor
+        // points by (distance desc, id) — exact ints, no RNG. The
+        // donor pull is one bounded per-sub top-|empty| window over
+        // the assignment the mean-update already computed.
+        val emptyKeys = cents.map(c0 => (c0.sub, c0.c))
+          .filterNot(updated.contains)
+        val reseeded: Map[(Int, Int), Seq[Long]] =
+          if (emptyKeys.isEmpty) Map.empty
+          else {
+            val needBySub = emptyKeys.groupBy(_._1)
+              .map { case (s, ks) => s -> ks.map(_._2).sorted }
+            val maxNeed = needBySub.values.map(_.size).max
+            val w = Window.partitionBy(col("sub"))
+              .orderBy(col("dd").desc, col("id"))
+            val far = asg
+              .filter(col("sub").isin(needBySub.keys.toSeq: _*))
+              .withColumn("frn", row_number().over(w))
+              .filter(col("frn") <= maxNeed)
+              .select(col("sub"), col("frn"), col("qv"))
+              .collect()
+              .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2))
+              .toMap
+            needBySub.toSeq.flatMap { case (s, cs) =>
+              cs.zipWithIndex.flatMap { case (c, i) =>
+                far.get((s, i + 1)).map(v => (s, c) -> v)
+              }
+            }.toMap
+          }
         cents = cents.map(c0 =>
           updated.get((c0.sub, c0.c))
+            .orElse(reseeded.get((c0.sub, c0.c)))
             .map(v => Centroid(c0.sub, c0.c, v)).getOrElse(c0))
       }
       cents

@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   * measured curve lands in SCALE.md §r9 and PqSpec pins its band at
   * the operating point's observed value.
   * Usage: runMain graft.tools.PqRecallProbe [sfDir] [nQueries]
+  *
+  * r10: pass `clustered` as the first arg for the PLANTED-CLUSTER
+  * fixture (50 centers × 10 points, within-cluster cos ≈ 0.95 — the
+  * real-corpus regime where near-dup neighbors actually live, per the
+  * SCALE.md r9 note). The uniform fixture stays the honest worst
+  * case; this leg records what a user should expect on structured
+  * data.
   */
 object PqRecallProbe {
   def main(args: Array[String]): Unit = {
@@ -25,7 +32,21 @@ object PqRecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dim = 64
-    val emb = Tables.embeddings(spark, dir).cache()
+    val emb = (if (dir == "clustered") {
+      import spark.implicits._
+      // 50 planted gaussian centers, 10 points each; per-dim noise
+      // sigma=0.33 puts within-cluster cosine at 1/sqrt(1+sigma^2)
+      // ~ 0.95. Seeded — the curve is reproducible.
+      val rnd = new scala.util.Random(4242)
+      val sigma = 0.33
+      (0 until 50).flatMap { c =>
+        val center = Array.fill(dim)(rnd.nextGaussian())
+        (0 until 10).map { j =>
+          ((c * 10 + j).toLong,
+            center.map(x => (x + sigma * rnd.nextGaussian()).toFloat), c)
+        }
+      }.toDF("vec_id", "embedding", "label")
+    } else Tables.embeddings(spark, dir)).cache()
     val qPred = col("vec_id") < nq
 
     // exact quantized-L2 top-5 (ground truth; independent of m — the

@@ -29,6 +29,16 @@ object ScaleProbe {
       .master(s"local[$cpus]").appName("graft-scale-probe")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // r10 scale-leg knob: a FIXED 32-partition shuffle is exactly
+      // what cannot survive a 100× data growth (per-partition sort
+      // memory grows 100× → spill → super-linear wall time). The
+      // cluster-correct shape is a high initial partition count that
+      // AQE coalesces back down when partitions come out small —
+      // size-invariant without hurting the small scale. Default off
+      // (historical probe readings stay comparable); the 100× legs
+      // set it to ~16×cpus.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

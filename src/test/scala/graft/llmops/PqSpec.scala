@@ -151,16 +151,33 @@ class PqSpec extends SparkSpec {
     exactTop.unpersist()
   }
 
-  test("empty clusters carry the previous centroid (duplicate corpus)") {
+  test("empty clusters survive a degenerate all-duplicate corpus") {
     import spark.implicits._
     val dup = (0 until 10).map(i => (i.toLong,
       Array.fill(dim)(0.25f), 0)).toDF("vec_id", "embedding", "label")
     val cs = PQ.train(dup, m, dim, k = 4, iters = 2)
     assert(cs.size == m * 4)
-    // all points identical → all mass lands on code 0; codes 1..3 must
-    // still exist (carried), and code 0's centroid is the point itself
+    // all points identical → all mass lands on code 0; empty codes
+    // 1..3 re-seed at the farthest assigned point, which here IS the
+    // duplicate — every centroid converges onto the single point
     val q = math.floor(0.25f.toDouble * 1e6).toLong
-    assert(cs.filter(_.c == 0).forall(_.cvec.forall(_ == q)))
+    assert(cs.forall(_.cvec.forall(_ == q)))
+  }
+
+  test("empty-cluster re-seed captures outlier points (planted gap)") {
+    import spark.implicits._
+    // 9 points at the origin cluster + 1 far outlier; k=2 seeds by id
+    // stride (ids 0 and 5 — both in the dense blob), so code 1 goes
+    // empty on iteration 1 and must RE-SEED at the outlier instead of
+    // freezing on its stale seed
+    val pts = ((0 until 9).map(i => (i.toLong, Array.fill(dim)(0.1f), 0)) :+
+      ((9L, Array.fill(dim)(5.0f), 0))).toDF("vec_id", "embedding", "label")
+    val cs = PQ.train(pts, m, dim, k = 2, iters = 3)
+    val far = math.floor(5.0f.toDouble * 1e6).toLong
+    // every subspace must own one centroid ON the outlier
+    assert((0 until m).forall(s =>
+      cs.exists(c => c.sub == s && c.cvec.forall(_ == far))),
+      s"outlier not captured: ${cs.filter(_.sub == 0)}")
   }
 
   test("IVF-PQ distances agree with global ADC on shared pairs") {
