@@ -88,4 +88,24 @@ object ScaleCorpus {
       emb.select((col("vec_id") + lit(k * idShift)).as("vec_id"),
         v.as("embedding"), col("label"))
     }.reduce(_ unionByName _)
+
+  /** Planted-cluster embedding fixture (r10, VERDICT r9 #3): gaussian
+    * centers with per-dim noise sigma — within-cluster cosine
+    * concentrates at 1/√(1+sigma²) (≈ 0.95 at the 0.33 default), the
+    * regime where a corpus's real near-dups live. Seeded and
+    * deterministic; `label` is the planted cluster id, so recall
+    * probes can score cluster-mate precision directly. */
+  def plantedClusters(spark: org.apache.spark.sql.SparkSession,
+      nClusters: Int = 50, perCluster: Int = 10, dim: Int = 64,
+      sigma: Double = 0.33, seed: Long = 4242L): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until nClusters).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian())
+      (0 until perCluster).map { j =>
+        ((c * perCluster + j).toLong,
+          center.map(x => (x + sigma * rnd.nextGaussian()).toFloat), c)
+      }
+    }.toDF("vec_id", "embedding", "label")
+  }
 }

@@ -24,6 +24,7 @@ object PqRecallProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val nq = args.lift(1).map(_.toInt).getOrElse(32)
+    val iters = args.lift(2).map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -32,21 +33,9 @@ object PqRecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dim = 64
-    val emb = (if (dir == "clustered") {
-      import spark.implicits._
-      // 50 planted gaussian centers, 10 points each; per-dim noise
-      // sigma=0.33 puts within-cluster cosine at 1/sqrt(1+sigma^2)
-      // ~ 0.95. Seeded — the curve is reproducible.
-      val rnd = new scala.util.Random(4242)
-      val sigma = 0.33
-      (0 until 50).flatMap { c =>
-        val center = Array.fill(dim)(rnd.nextGaussian())
-        (0 until 10).map { j =>
-          ((c * 10 + j).toLong,
-            center.map(x => (x + sigma * rnd.nextGaussian()).toFloat), c)
-        }
-      }.toDF("vec_id", "embedding", "label")
-    } else Tables.embeddings(spark, dir)).cache()
+    val emb = (if (dir == "clustered")
+      graft.fixtures.ScaleCorpus.plantedClusters(spark)
+    else Tables.embeddings(spark, dir)).cache()
     val qPred = col("vec_id") < nq
 
     // exact quantized-L2 top-5 (ground truth; independent of m — the
@@ -82,11 +71,26 @@ object PqRecallProbe {
 
     println(f"[pq] fixture=$dir queries=$nq ground-truth pairs=${denom}%.0f")
     for ((m, k) <- Seq((4, 16), (8, 16), (8, 32), (8, 64), (16, 16))) {
-      val cents = PQ.train(emb, m, dim, k, iters = 3)
+      val cents = PQ.train(emb, m, dim, k, iters)
       import spark.implicits._
       val centDf = cents.toDF()
-      val r = recall(PQ.adcTopK(emb, centDf, k = 5, m, dim, qPred))
+      val adcTop = PQ.adcTopK(emb, centDf, k = 5, m, dim, qPred)
+      val r = recall(adcTop)
       println(f"[pq] ADC      m=$m%2d k=$k%2d            recall@5=$r%.3f")
+      if (dir == "clustered") {
+        // the near-dup question itself: are the retrieved top-5 the
+        // query's CLUSTER-MATES? (recall@5 vs exact L2 punishes
+        // within-cluster ordering noise the user never sees)
+        val lbl = emb.select(col("vec_id"), col("label"))
+        val mate = adcTop
+          .join(lbl.select(col("vec_id").as("query_id"),
+            col("label").as("ql")), Seq("query_id"))
+          .join(lbl.select(col("vec_id").as("neighbor_id"),
+            col("label").as("nl")), Seq("neighbor_id"))
+          .agg(avg((col("ql") === col("nl")).cast("double")))
+          .head().getDouble(0)
+        println(f"[pq] ADC      m=$m%2d k=$k%2d   cluster-mate@5=$mate%.3f")
+      }
       if (m == 8 && k == 16) {
         for (nProbe <- Seq(1, 2, 4, 8)) {
           val ri = recall(Similarity.ivfPqTopKPortable(

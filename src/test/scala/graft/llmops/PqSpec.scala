@@ -151,6 +151,60 @@ class PqSpec extends SparkSpec {
     exactTop.unpersist()
   }
 
+  /** The r10 planted-cluster operating point (SCALE.md §r10,
+    * VERDICT r9 #3): on data WITH structure — within-cluster
+    * cos ≈ 0.95, where a corpus's real near-dups live — the m=8/k=16
+    * code recalls 0.594 of the exact top-5 (vs 0.200 uniform), every
+    * retrieved neighbor is a true cluster-mate, and IVF-PQ at
+    * nProbe=1 already matches global ADC (the planted centers route
+    * perfectly). The fixture is seeded in-code, so these pins are
+    * deterministic, banded only for float-kernel drift. */
+  test("planted-cluster fixture: op-point recall, mate precision, routing") {
+    import spark.implicits._
+    val cl = graft.fixtures.ScaleCorpus.plantedClusters(spark).cache()
+    val nq = 32
+    val c = PQ.train(cl, m, dim, k, iters = 3).toDF()
+    val sv = PQ.subvectors(cl, m, dim)
+    val exactTop = sv.select(col("id").as("query_id"), col("sub"), col("qv"))
+      .filter(col("query_id") < nq)
+      .join(sv.select(col("id").as("neighbor_id"), col("sub"),
+        col("qv").as("nv")), Seq("sub"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dd", aggregate(
+        zip_with(col("qv"), col("nv"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (s, t) => s + t))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dd")).as("l2"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("l2"), col("neighbor_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val denom = exactTop.count().toDouble
+    def recall(top: org.apache.spark.sql.DataFrame): Double =
+      exactTop.join(top.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0)))).head().getLong(0) / denom
+    val adcTop = PQ.adcTopK(cl, c, k = 5, m, dim, col("vec_id") < nq)
+    val adc = recall(adcTop)
+    assert(adc >= 0.5, s"clustered op-point recall@5 $adc (measured 0.594)")
+    val lbl = cl.select(col("vec_id"), col("label"))
+    val mate = adcTop
+      .join(lbl.select(col("vec_id").as("query_id"), col("label").as("ql")),
+        Seq("query_id"))
+      .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("nl")),
+        Seq("neighbor_id"))
+      .agg(avg((col("ql") === col("nl")).cast("double"))).head().getDouble(0)
+    assert(mate >= 0.99, s"cluster-mate@5 $mate (measured 1.000)")
+    val ivf1 = recall(Similarity.ivfPqTopKPortable(cl, c, k = 5, m, dim,
+      nProbe = 1, queryPred = col("vec_id") < nq))
+    assert(ivf1 >= adc - 0.01,
+      s"clustered routing: nProbe=1 recall $ivf1 must match ADC $adc")
+    exactTop.unpersist(); cl.unpersist()
+  }
+
   test("empty clusters survive a degenerate all-duplicate corpus") {
     import spark.implicits._
     val dup = (0 until 10).map(i => (i.toLong,
