@@ -422,8 +422,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
     val shh = hashedShingleSets(sh)
     candidates
-      .join(shh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      // shuffle_hash, not sort-merge: the second join's SMJ would SORT
+      // the pair×array intermediate (the spill that caused the 100×
+      // knee); hashing builds on the small per-doc side and STREAMS
+      // the wide rows unsorted
+      .join(shh.hint("shuffle_hash")
+        .select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shh.hint("shuffle_hash")
+        .select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard", col("inter") /
@@ -504,8 +510,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_a"))
     val shh = hashedShingleSets(sh)
     candidates
-      .join(shh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      // shuffle_hash, not sort-merge: the second join's SMJ would SORT
+      // the pair×array intermediate (the spill that caused the 100×
+      // knee); hashing builds on the small per-doc side and STREAMS
+      // the wide rows unsorted
+      .join(shh.hint("shuffle_hash")
+        .select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shh.hint("shuffle_hash")
+        .select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("containment_ppm", expr("inter * 1000000 DIV n_a"))
