@@ -1018,6 +1018,42 @@ object Relational {
       |FROM m
       |ORDER BY o_custkey, mo""".stripMargin
 
+  /** q159: the TPC-H Q15 archetype — uncorrelated scalar subquery over
+    * an AGGREGATE-OF-AGGREGATE (the supplier whose quarterly revenue
+    * equals the max of all suppliers' revenues; the classic
+    * "top-by-equality" view shape). Revenue is exact integer cents, so
+    * the max-equality binds deterministically; ties would all emit. */
+  private val sqlAggEqualityText: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey AS s_key,
+      |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+      |             AS BIGINT)) AS BIGINT) AS total_c
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_c
+      |FROM supplier JOIN rev ON s_suppkey = s_key
+      |WHERE total_c = (SELECT max(total_c) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** q160: the TPC-H Q2 archetype — correlated MIN-equality subquery
+    * (each Brand#2 part's cheapest lineitems: rows whose price equals
+    * that part's own minimum). The equality compares a raw stored
+    * double against min() of the same stored doubles — no arithmetic,
+    * so it cannot drift between engines; ties all emit (95 rows on
+    * the sf0.01 fixture). Decorrelates to an aggregate + join like
+    * q149, but binding with equality instead of an inequality. */
+  private val sqlCorrelatedMinText: String =
+    """SELECT p_partkey, l_suppkey, l_orderkey, l_extendedprice
+      |FROM part
+      |JOIN lineitem ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#2'
+      |  AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+      |                         FROM lineitem l2
+      |                         WHERE l2.l_partkey = p_partkey)
+      |ORDER BY p_partkey, l_suppkey, l_orderkey""".stripMargin
+
   /** q145: the q92 CUBE as shared SQL text. */
   private val sqlCubeText: String =
     """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
@@ -1196,6 +1232,10 @@ object Relational {
       Some(sqlNestedInText)),
     QueryDef("q157_sql_range_frame", sharedSql(sqlRangeFrameText),
       Some(sqlRangeFrameText)),
+    QueryDef("q159_sql_agg_equality", sharedSql(sqlAggEqualityText),
+      Some(sqlAggEqualityText)),
+    QueryDef("q160_sql_correlated_min", sharedSql(sqlCorrelatedMinText),
+      Some(sqlCorrelatedMinText)),
     QueryDef("q149_sql_correlated_avg", sharedSql(sqlCorrelatedAvgText),
       Some(sqlCorrelatedAvgText)),
     QueryDef("q81_pivot_status", pivotStatusCounts, Some(pivotOracle)),
