@@ -738,8 +738,12 @@ object Extras {
     // stores per batch — and restore the session value after.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = EventStreams.funnelStreamingUnordered(events, steps,
+    // query handle held OUTSIDE the try so an exception during wave
+    // replay/processAllAvailable cannot leak a running streaming query
+    // or its memory-sink temp view (ADVICE r10)
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    val out = try {
+      q = EventStreams.funnelStreamingUnordered(events, steps,
           delay = s"$delaySec seconds").toDF()
         .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
         .format("memory").queryName(name).start()
@@ -755,19 +759,21 @@ object Extras {
         ms.addData(Seq((-1L, "view", f)))
         q.processAllAvailable()
       }
-      q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    // one small row per user: pull local so the memory-sink view can
-    // be dropped here instead of accumulating per bench pass (q103
-    // pattern, ADVICE r6)
-    val out = spark.table(name)
-      .filter($"userId" =!= -1L)
-      .groupBy($"userId")
-      .agg(min($"t1Us").as("t1"), min($"t2Us").as("t2"),
-        min($"t3Us").as("t3"))
-      .as[(Long, Option[Long], Option[Long], Option[Long])]
-      .collect().toSeq
-    spark.catalog.dropTempView(name)
+      // one small row per user: pull local so the memory-sink view can
+      // be dropped in the finally instead of accumulating per bench
+      // pass (q103 pattern, ADVICE r6)
+      spark.table(name)
+        .filter($"userId" =!= -1L)
+        .groupBy($"userId")
+        .agg(min($"t1Us").as("t1"), min($"t2Us").as("t2"),
+          min($"t3Us").as("t3"))
+        .as[(Long, Option[Long], Option[Long], Option[Long])]
+        .collect().toSeq
+    } finally {
+      if (q != null) q.stop()
+      if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     out.toDF("user_id", "t1_us", "t2_us", "t3_us").orderBy($"user_id")
   }
 

@@ -43,7 +43,9 @@ object Jdbc {
       bounds: Option[(Long, Long)] = None,
       props: Properties = new Properties()): DataFrame = {
     val probed = bounds.orElse {
-      val r = readTable(spark, url, table)
+      // forward props: a source requiring user/password/driver must
+      // authenticate the bounds probe too (ADVICE r10)
+      val r = readTable(spark, url, table, props)
         .selectExpr(s"min($partCol)", s"max($partCol)").head()
       // Empty source table → NULL min/max; fall back to a plain read
       // (itself empty) instead of NPE-ing on getLong (ADVICE r9).
