@@ -378,11 +378,28 @@ object Dedup {
     *  - union = n_a + n_b − inter (no array_union), sizes ride the
     *    candidate rows from the prefix windows.
     *
+    * `verifyBuckets` > 0 switches the verify stage to the BUCKETED
+    * plan ([[bucketedIntersections]], r11): candidate pairs route to
+    * a home bucket, each referenced doc's hashed-shingle array ships
+    * to each bucket AT MOST ONCE, and intersections compute inside
+    * the bucket — the pair×array row never crosses an exchange. At
+    * cluster scale this caps array bytes moved at
+    * Σ_doc |sh(doc)| · min(buckets, pairs(doc)) instead of
+    * 2 · pairs · |sh| — hot docs (the expensive ones) collapse to
+    * ≤ `verifyBuckets` copies. 0 keeps the r10 double shuffle-hash
+    * join (identical output; oracle-proven by the q161 gate).
+    *
     * Output: (id_a, id_b, jaccard) for id_a < id_b, jaccard ≥ t. */
   def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleK: Int = 3, threshold: Double = 0.5,
+      verifyBuckets: Int = 0): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
-    val T = math.round(threshold * 1000000L) // exact ppm threshold
+    // FLOOR, not round: T feeds necessary-condition candidate filters
+    // while the final verify compares the double `jaccard >= threshold`
+    // directly. Half-up rounding could make T/1e6 > threshold and prune
+    // a pair with true Jaccard in [threshold, T/1e6) — filters may only
+    // ever be looser than the verify (ADVICE r10).
+    val T = math.floor(threshold * 1e6).toLong
     // NOT cached: columnar-caching array rows costs more than
     // re-running the shingle kernel (bench-adjudicated r8: the cached
     // variant ran 12→21 s at sf0.1 across three passes)
@@ -402,7 +419,11 @@ object Dedup {
       .withColumn("rk", row_number().over(wRank).cast("long"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
     val prefixes = ranked
-      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      // prefix length via the SAME integer T: ⌈T·n/1e6⌉ ≤ ⌈t·n⌉ exactly
+      // in longs, so the kept prefix is never shorter than the theorem
+      // requires (a double ceil(t·n) can land one element short when
+      // t·n rounds up across an integer boundary)
+      .filter(expr(s"rk <= n - (($T * n + 999999) DIV 1000000) + 1"))
       .select(col("id"), col("tid"), col("rk"), col("n"))
     val candidates = prefixes.as("a")
       .join(prefixes.as("b"),
@@ -421,17 +442,20 @@ object Dedup {
       .filter(col("ub") * (1000000L + T) >= lit(T) * (col("n_a") + col("n_b")))
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
     val shh = hashedShingleSets(sh)
-    candidates
-      // shuffle_hash, not sort-merge: the second join's SMJ would SORT
-      // the pair×array intermediate (the spill that caused the 100×
-      // knee); hashing builds on the small per-doc side and STREAMS
-      // the wide rows unsorted
-      .join(shh.hint("shuffle_hash")
-        .select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shh.hint("shuffle_hash")
-        .select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+    val withInter =
+      if (verifyBuckets > 0) bucketedIntersections(shh, candidates, verifyBuckets)
+      else candidates
+        // shuffle_hash, not sort-merge: the second join's SMJ would SORT
+        // the pair×array intermediate (the spill that caused the 100×
+        // knee); hashing builds on the small per-doc side and STREAMS
+        // the wide rows unsorted
+        .join(shh.hint("shuffle_hash")
+          .select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(shh.hint("shuffle_hash")
+          .select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("inter",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+    withInter
       .withColumn("jaccard", col("inter") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -446,6 +470,75 @@ object Dedup {
     // interpreted higher-order cost is far below the exchange it
     // replaces — the array never leaves the map task as strings)
     sh.select(col("id"), transform(col("sh"), t => xxhash64(t)).as("sh"))
+
+  /** Bucketed candidate-pair verify (r11, the lever SCALE.md named
+    * after the r10 knee fix): |sh(a) ∩ sh(b)| per candidate pair with
+    * NO pair×array exchange. The r10 double shuffle-hash join still
+    * re-shuffles every pair row carrying one ~600-long array to reach
+    * the second join's key (the residual 1.18 local exponent at
+    * 10→100×); here the WIDE rows never move:
+    *
+    *  1. each pair homes at bucket xxhash64(id_a,id_b) mod nBuckets —
+    *     pair rows cross ONE exchange, narrow (5 longs);
+    *  2. distinct (bucket, doc) deliveries join the per-doc arrays and
+    *     shuffle them to the bucket — a doc's array ships to a bucket
+    *     AT MOST ONCE, so total array bytes moved is
+    *     Σ_doc |sh| · min(nBuckets, pairs(doc)) vs the join plan's
+    *     2 · pairs · |sh| (hot docs cap at nBuckets copies);
+    *  3. inside the bucket: build a LongMap doc→sorted array from the
+    *     deliveries (sortWithinPartitions(kind) puts them first),
+    *     stream pairs through a two-pointer merge intersection.
+    *
+    * Per-task memory = that bucket's delivered arrays — sized by
+    * nBuckets exactly like a shuffle-hash join's build side; raise
+    * nBuckets to shrink it. Used by [[prefixFilterJoin]] and
+    * [[containmentJoin]] when `verifyBuckets` > 0.
+    *
+    * In: shh (id, sh array<bigint>), candidates (id_a, id_b, n_a,
+    * n_b). Out: (id_a, id_b, n_a, n_b, inter). */
+  private def bucketedIntersections(shh: DataFrame, candidates: DataFrame,
+      nBuckets: Int): DataFrame = {
+    val spark = shh.sparkSession
+    import spark.implicits._
+    val withBkt = candidates.withColumn("bkt",
+      pmod(xxhash64(col("id_a"), col("id_b")), lit(nBuckets.toLong)).cast("int"))
+    val need = withBkt.select(col("bkt"), col("id_a").as("id"))
+      .unionByName(withBkt.select(col("bkt"), col("id_b").as("id")))
+      .distinct()
+    // arrays sort here (map-side, once per DELIVERY copy) so the
+    // per-pair intersection is a linear two-pointer merge
+    val docRows = need.join(shh, Seq("id"))
+      .select(col("bkt"), lit(0).as("kind"), col("id").as("a"),
+        lit(0L).as("b"), lit(0L).as("na"), lit(0L).as("nb"),
+        array_sort(col("sh")).as("sh"))
+    val pairRows = withBkt
+      .select(col("bkt"), lit(1).as("kind"), col("id_a").as("a"),
+        col("id_b").as("b"), col("n_a").as("na"), col("n_b").as("nb"),
+        lit(null).cast("array<bigint>").as("sh"))
+    docRows.unionByName(pairRows)
+      .repartition(nBuckets, col("bkt"))
+      .sortWithinPartitions(col("kind"))
+      .as[(Int, Int, Long, Long, Long, Long, Array[Long])]
+      .mapPartitions { it =>
+        // deliveries precede pairs (kind sort); two colliding buckets
+        // in one partition just overwrite identical arrays
+        val docs = new scala.collection.mutable.LongMap[Array[Long]]()
+        it.flatMap {
+          case (_, 0, id, _, _, _, sh) =>
+            docs.update(id, sh); Iterator.empty
+          case (_, _, a, b, na, nb, _) =>
+            val sa = docs(a); val sb = docs(b)
+            var i = 0; var j = 0; var inter = 0L
+            while (i < sa.length && j < sb.length) {
+              if (sa(i) < sb(j)) i += 1
+              else if (sa(i) > sb(j)) j += 1
+              else { inter += 1L; i += 1; j += 1 }
+            }
+            Iterator.single((a, b, na, nb, inter))
+        }
+      }
+      .toDF("id_a", "id_b", "n_a", "n_b", "inter")
+  }
 
   /** EXACT containment join (asymmetric near-dup, r9): ordered pairs
     * (a, b), a ≠ b, with |sh(a) ∩ sh(b)| / |sh(a)| ≥ `threshold` —
@@ -471,9 +564,13 @@ object Dedup {
     * posting shape. Output: (id_a, id_b, n_a, inter,
     * containment_ppm). */
   def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
+      shingleK: Int = 3, threshold: Double = 0.8,
+      verifyBuckets: Int = 0): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
-    val T = math.round(threshold * 1000000L)
+    // FLOOR for filter/verify consistency (ADVICE r10): here T is also
+    // the verify boundary (containment_ppm >= T), so floor keeps the
+    // candidate filters and the verify on the SAME integer threshold.
+    val T = math.floor(threshold * 1e6).toLong
     val sh = shingleSets(docs, idCol, textCol, shingleK)
     val inst = sh.select(col("id"), explode(col("sh")).as("t"))
     val freq = inst.groupBy(col("t")).agg(count(lit(1)).as("f"))
@@ -489,7 +586,11 @@ object Dedup {
       .withColumn("rk", row_number().over(wRank).cast("long"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
     val prefixes = ranked
-      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      // prefix length via the SAME integer T: ⌈T·n/1e6⌉ ≤ ⌈t·n⌉ exactly
+      // in longs, so the kept prefix is never shorter than the theorem
+      // requires (a double ceil(t·n) can land one element short when
+      // t·n rounds up across an integer boundary)
+      .filter(expr(s"rk <= n - (($T * n + 999999) DIV 1000000) + 1"))
       .select(col("id").as("id_a"), col("tid"),
         col("rk").as("rk_a"), col("n").as("n_a"))
     val candidates = prefixes
@@ -509,17 +610,24 @@ object Dedup {
       .filter(col("ub") * 1000000L >= lit(T) * col("n_a"))
       .select(col("id_a"), col("id_b"), col("n_a"))
     val shh = hashedShingleSets(sh)
-    candidates
-      // shuffle_hash, not sort-merge: the second join's SMJ would SORT
-      // the pair×array intermediate (the spill that caused the 100×
-      // knee); hashing builds on the small per-doc side and STREAMS
-      // the wide rows unsorted
-      .join(shh.hint("shuffle_hash")
-        .select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shh.hint("shuffle_hash")
-        .select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+    val withInter =
+      if (verifyBuckets > 0)
+        // containment candidates don't carry n_b (the indexed side
+        // has no length floor); the bucketed kernel just rides a 0
+        bucketedIntersections(shh,
+          candidates.withColumn("n_b", lit(0L)), verifyBuckets)
+      else candidates
+        // shuffle_hash, not sort-merge: the second join's SMJ would SORT
+        // the pair×array intermediate (the spill that caused the 100×
+        // knee); hashing builds on the small per-doc side and STREAMS
+        // the wide rows unsorted
+        .join(shh.hint("shuffle_hash")
+          .select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(shh.hint("shuffle_hash")
+          .select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("inter",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+    withInter
       .withColumn("containment_ppm", expr("inter * 1000000 DIV n_a"))
       .filter(col("containment_ppm") >= T)
       .select(col("id_a"), col("id_b"), col("n_a"), col("inter"),

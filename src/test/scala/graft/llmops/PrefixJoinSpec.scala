@@ -90,6 +90,44 @@ class PrefixJoinSpec extends SparkSpec {
     }
   }
 
+  test("bucketed verify equals the join verify on the planted corpus") {
+    // r11 scale path: verifyBuckets > 0 swaps the pair×array double
+    // join for the bucket-delivery kernel; output must be IDENTICAL
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " lambda"),
+      (3L, base.replace("delta", "DELTA") + " mu nu"),
+      (4L, "totally different words about cooking bread and mountain gardens today"),
+      (5L, "totally different words about cooking bread and mountain gardens tomorrow"),
+      (6L, "unrelated singleton content nothing shared here at all whatsoever")
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8); buckets <- Seq(1, 3, 16)) {
+      val got = Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, t,
+          verifyBuckets = buckets)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == bruteForce(docs, t), s"mismatch at t=$t buckets=$buckets")
+    }
+  }
+
+  test("bucketed verify matches on the sf0.001 fixture, both operators") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val prefDefault = Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val prefBucketed = Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, 0.5,
+        verifyBuckets = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(prefBucketed == prefDefault)
+    val contDefault = Dedup.containmentJoin(docs, "doc_id", "text", 3, 0.8)
+      .select($"id_a", $"id_b", $"n_a", $"inter", $"containment_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val contBucketed = Dedup.containmentJoin(docs, "doc_id", "text", 3, 0.8,
+        verifyBuckets = 8)
+      .select($"id_a", $"id_b", $"n_a", $"inter", $"containment_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(contBucketed == contDefault)
+  }
+
   test("containment join equals the brute-force definition on a fixture slice") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
       .filter($"doc_id" < 120)
