@@ -51,26 +51,52 @@ object Bench {
     graft.sources.Tables.lineitem(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
 
-    // Each pass yields (name, seconds, error). A failed gate's elapsed
-    // time is a fail-fast artifact, NOT a measurement — r7's driver run
-    // recorded 0.06 s "wins" for gates that threw (VERDICT r7 "What's
-    // wrong" #2, third recurrence of the r5 q62 lesson). Errors are
-    // carried into the JSON so a failure can never read as a speedup.
-    def onePass(): Seq[(String, Double, Option[String])] = SparkEntry.registry.map { q =>
-      val t0 = System.nanoTime()
-      val err: Option[String] =
-        try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+    // Exchange/spill telemetry (VERDICT r10 "Next round" #4): the q132
+    // class of knee — a wide intermediate that fits at 1× and spills at
+    // 100× — should be visible at 1× as shuffle VOLUME, without a 100×
+    // rerun. A task-metrics listener accumulates shuffle bytes written
+    // and memory+disk spill; each gate records the delta around its
+    // run. The listener bus is async, so a straggling task-end event
+    // can bleed into the next gate's delta — bytes are adjudication
+    // data, not a hash; the 30 ms settle keeps the bleed ≪1%.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
         }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries cache intermediates; dropping them between queries keeps
-      // each measurement self-contained (no cross-query GC pressure from
-      // dozens of leaked cache entries in one JVM)
-      spark.catalog.clearCache()
-      (q.name, dt, err)
-    }
+      }
+    })
+
+    // Each pass yields (name, seconds, error, shuffleMB, spillMB). A
+    // failed gate's elapsed time is a fail-fast artifact, NOT a
+    // measurement — r7's driver run recorded 0.06 s "wins" for gates
+    // that threw (VERDICT r7 "What's wrong" #2, third recurrence of the
+    // r5 q62 lesson). Errors are carried into the JSON so a failure can
+    // never read as a speedup.
+    def onePass(): Seq[(String, Double, Option[String], Double, Double)] =
+      SparkEntry.registry.map { q =>
+        val t0 = System.nanoTime()
+        val (s0, p0) = (shuffleBytes.get(), spillBytes.get())
+        val err: Option[String] =
+          try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(30) // let queued task-end events attribute here
+        val shufMb = (shuffleBytes.get() - s0) / 1048576.0
+        val spillMb = (spillBytes.get() - p0) / 1048576.0
+        // queries cache intermediates; dropping them between queries keeps
+        // each measurement self-contained (no cross-query GC pressure from
+        // dozens of leaked cache entries in one JVM)
+        spark.catalog.clearCache()
+        (q.name, dt, err, shufMb, spillMb)
+      }
 
     // machine load bracketing the run (VERDICT r8 "Next round" #3):
     // contention adjudications keep recurring (r7 #4, r8 #1) and were
@@ -90,18 +116,26 @@ object Bench {
     // gate is a failure signal, not a pass); a gate that failed EVERY
     // pass additionally reports -1.0 s and is excluded from totals, so
     // its fail-fast time can never enter a total.
-    val errors: Seq[(String, String)] = allPasses.head.flatMap { case (name, _, _) =>
+    val errors: Seq[(String, String)] = allPasses.head.flatMap { case (name, _, _, _, _) =>
       val perPass = allPasses.map(_.find(_._1 == name).get)
       val nFail = perPass.count(_._3.isDefined)
       if (nFail == 0) None
       else Some(name ->
         s"${perPass.flatMap(_._3).head} ($nFail/${perPass.size} passes failed)")
     }
-    val errored = allPasses.head.collect { case (name, _, _)
+    val errored = allPasses.head.collect { case (name, _, _, _, _)
       if allPasses.forall(_.find(_._1 == name).get._3.isDefined) => name }.toSet
-    val results: Seq[(String, Double)] = allPasses.head.map { case (name, _, _) =>
-      val ok = allPasses.flatMap(_.collect { case (`name`, t, None) => t })
+    val results: Seq[(String, Double)] = allPasses.head.map { case (name, _, _, _, _) =>
+      val ok = allPasses.flatMap(_.collect { case (`name`, t, None, _, _) => t })
       name -> (if (ok.nonEmpty) ok.min else -1.0)
+    }
+    // per-gate telemetry: max across passes (the conservative reading —
+    // pass-to-pass variation in bytes means AQE re-planned, worth seeing)
+    val shuffleMb: Seq[(String, Double)] = allPasses.head.map { case (name, _, _, _, _) =>
+      name -> allPasses.map(_.find(_._1 == name).get._4).max
+    }
+    val spillMb: Seq[(String, Double)] = allPasses.head.map { case (name, _, _, _, _) =>
+      name -> allPasses.map(_.find(_._1 == name).get._5).max
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
@@ -111,10 +145,14 @@ object Bench {
     // systematic cost (every pass slow) — r5's q44 doubling was
     // undiagnosable from the min. Ordered per pass like `queries`.
     val passesJson = allPasses.map { pass =>
-      pass.map { case (k, v, err) =>
+      pass.map { case (k, v, err, _, _) =>
         "\"" + k + f"""":${if (err.isDefined) -1.0 else v}%.3f"""
       }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")
+    val shufJson = shuffleMb.map { case (k, v) => "\"" + k + f"""":$v%.1f""" }
+      .mkString("{", ",", "}")
+    val spillJson = spillMb.map { case (k, v) => "\"" + k + f"""":$v%.1f""" }
+      .mkString("{", ",", "}")
     val errsJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replaceAll("[\\x00-\\x1f\"\\\\]", " ") + "\""
     }.mkString("{", ",", "}")
@@ -150,7 +188,7 @@ object Bench {
       "q54_percentiles", "q55_approx_distinct", "q56_pii_redaction")
     val r1Total = results.collect { case (k, v) if r1Set(k) && !errored(k) => v }.sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","errors":$errsJson,"queries":$qs,"pass_times":$passesJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","errors":$errsJson,"queries":$qs,"pass_times":$passesJson,"shuffle_mb":$shufJson,"spill_mb":$spillJson,"sf":"$sfDir"}"""
     val shortLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_errors":${errors.size},"sf":"$sfDir"}"""
     spark.stop()

@@ -55,6 +55,41 @@ object ScaleCorpus {
         text.as("text")) ++ carry.map(col)): _*)
     }.reduce(_ unionByName _)
 
+  /** documents ×factor for pipelines that FILTER on
+    * [[graft.llmops.TextAnalysis.langId]] (the q96 e2e admission
+    * probe): plain [[amplifyDocs]] suffixes every token, so marker
+    * words ("the", "der", …) stop matching and every copy collapses
+    * to lang "und" — the en-filter would then prune all non-base
+    * copies and the probe would measure CONSTANT post-filter work at
+    * any factor. Here the langId marker tokens (all four profiled
+    * languages, compared case-insensitively) pass through unsuffixed,
+    * preserving each doc's stopword-profile argmax per copy, while
+    * every content token still gets the per-copy suffix (copies stay
+    * non-duplicates: cross-copy shingle overlap is only the sparse
+    * marker skeleton, far under near-dup thresholds). The list
+    * mirrors langId's inline profiles — if those change, re-derive. */
+  def amplifyDocsLangId(docs: DataFrame, factor: Int,
+      idShift: Long = 10000000L): DataFrame = {
+    val keep = Seq(
+      "the", "and", "of", "to", "is", "with", "that", "for",      // en
+      "el", "la", "de", "que", "y", "los", "las", "una", "por",   // es
+      "der", "die", "das", "und", "ist", "nicht", "mit", "ein",   // de
+      "le", "les", "des", "est", "dans", "pour", "et"             // fr
+    ).distinct.toArray
+    (0 until factor).map { k =>
+      val text =
+        if (k == 0) col("text")
+        else array_join(
+          transform(
+            filter(split(col("text"), "\\s+"), t => length(t) > 0),
+            t => when(array_contains(lit(keep), lower(t)), t)
+              .otherwise(concat(t, lit(s"cp$k")))),
+          " ")
+      docs.select((col("doc_id") + lit(k * idShift)).as("doc_id"),
+        text.as("text"))
+    }.reduce(_ unionByName _)
+  }
+
   /** events ×factor: disjoint user/event-id copies over the IDENTICAL
     * timeline — N× users in the same window, which is how a larger
     * deployment actually grows. Per-user structure (sessions, funnels,
@@ -62,11 +97,11 @@ object ScaleCorpus {
     * copies, so keyed-window/join outputs scale ∝ factor by
     * construction and any super-linear probe reading is the engine's. */
   def amplifyEvents(events: DataFrame, factor: Int,
-      idShift: Long = 10000000L): DataFrame =
+      idShift: Long = 10000000L, carry: Seq[String] = Nil): DataFrame =
     (0 until factor).map { k =>
-      events.select((col("event_id") + lit(k * idShift)).as("event_id"),
+      events.select((Seq((col("event_id") + lit(k * idShift)).as("event_id"),
         (col("user_id") + lit(k * idShift)).as("user_id"),
-        col("event_type"), col("ts"))
+        col("event_type"), col("ts")) ++ carry.map(col)): _*)
     }.reduce(_ unionByName _)
 
   /** embeddings ×factor with per-copy orthogonal sign flips. */

@@ -341,8 +341,25 @@ object Dedup {
 
   /** EXACT similarity join via prefix filtering (AllPairs/PPJoin
     * family, Bayardo et al. WWW'07): all pairs with shingle-set
-    * Jaccard ≥ `threshold`, with NO approximation — the deterministic
-    * sibling of the MinHash-LSH candidate path.
+    * Jaccard ≥ `threshold`, with NO approximation beyond the 64-bit
+    * shingle identity — the deterministic sibling of the MinHash-LSH
+    * candidate path.
+    *
+    * COLLISION CONTRACT (the one caveat on "exact"): shingles travel
+    * as xxhash64 identities, so exactness is modulo 64-bit collisions
+    * among DISTINCT shingle strings. With V distinct shingles
+    * corpus-wide, P(any collision) ≈ V²/2⁶⁵ — under 3·10⁻⁶ even at
+    * V = 10⁹ (a 100 TB-scale vocabulary). If one occurs it can merge
+    * two shingle identities: a verify `inter` can over-count by the
+    * collided element (jaccard drifts one element high) and the
+    * rarest-first order can mis-rank the two collided shingles
+    * (never drops a TRUE pair below threshold+1-element slack; may
+    * admit a false pair at the boundary). `collisionGuard = true`
+    * buys certainty for untrusted corpora: one extra distinct-count
+    * pass that FAILS the job if any two distinct shingles collide
+    * (count ≠ countDistinct(xxhash64)), instead of silently
+    * answering. The gate fixtures are pinned collision-free by
+    * `PrefixJoinSpec`, making q132/q150/q161/q162 unconditional.
     *
     * Why it scales: order every doc's shingles by ascending GLOBAL
     * frequency (rarest first, shingle string as tie-break). For
@@ -392,7 +409,7 @@ object Dedup {
     * Output: (id_a, id_b, jaccard) for id_a < id_b, jaccard ≥ t. */
   def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.5,
-      verifyBuckets: Int = 0): DataFrame = {
+      verifyBuckets: Int = 0, collisionGuard: Boolean = false): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     // FLOOR, not round: T feeds necessary-condition candidate filters
     // while the final verify compares the double `jaccard >= threshold`
@@ -405,6 +422,7 @@ object Dedup {
     // variant ran 12→21 s at sf0.1 across three passes)
     val sh = shingleSets(docs, idCol, textCol, shingleK)
     val inst = sh.select(col("id"), explode(col("sh")).as("t"))
+    if (collisionGuard) assertHashesCollisionFree(inst)
     val freq = inst.groupBy(col("t")).agg(count(lit(1)).as("f"))
     val wRank = Window.partitionBy(col("id")).orderBy(col("f"), col("tid"))
     // set size via a count window on the SAME id partitioning the rank
@@ -470,6 +488,23 @@ object Dedup {
     // interpreted higher-order cost is far below the exchange it
     // replaces — the array never leaves the map task as strings)
     sh.select(col("id"), transform(col("sh"), t => xxhash64(t)).as("sh"))
+
+  /** The `collisionGuard` pass (eager by design — a guard that only
+    * logged lazily would not guard): fails the job if any two DISTINCT
+    * shingle strings share an xxhash64 identity anywhere in the
+    * corpus, the one event that voids the prefix-join family's
+    * exactness. One distinct + two-count aggregation over the
+    * instance rows — a keyed shuffle of (shingle) strings, linear,
+    * no joins. */
+  private def assertHashesCollisionFree(inst: DataFrame): Unit = {
+    val r = inst.select(col("t")).distinct()
+      .agg(count(lit(1)).as("n"), countDistinct(xxhash64(col("t"))).as("nh"))
+      .head()
+    if (r.getLong(0) != r.getLong(1)) throw new IllegalStateException(
+      s"prefix-join collision guard: ${r.getLong(0)} distinct shingles " +
+        s"map to ${r.getLong(1)} xxhash64 identities — a 64-bit " +
+        "collision voids the exactness contract on this corpus")
+  }
 
   /** Bucketed candidate-pair verify (r11, the lever SCALE.md named
     * after the r10 knee fix): |sh(a) ∩ sh(b)| per candidate pair with
@@ -542,7 +577,11 @@ object Dedup {
 
   /** EXACT containment join (asymmetric near-dup, r9): ordered pairs
     * (a, b), a ≠ b, with |sh(a) ∩ sh(b)| / |sh(a)| ≥ `threshold` —
-    * the admission rule that catches EXCERPTS. A short doc quoted
+    * exact under the same 64-bit COLLISION CONTRACT as
+    * [[prefixFilterJoin]] (P(any collision) ≈ V²/2⁶⁵ for V distinct
+    * shingles; `collisionGuard = true` fail-fasts on untrusted
+    * corpora instead of silently answering). The admission rule that
+    * catches EXCERPTS. A short doc quoted
     * inside a long one has Jaccard ≈ |A|/|B| (arbitrarily small) but
     * containment 1.0, so the symmetric family (q35/q64/q132)
     * structurally cannot flag it; dedup literature treats
@@ -565,7 +604,7 @@ object Dedup {
     * containment_ppm). */
   def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.8,
-      verifyBuckets: Int = 0): DataFrame = {
+      verifyBuckets: Int = 0, collisionGuard: Boolean = false): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     // FLOOR for filter/verify consistency (ADVICE r10): here T is also
     // the verify boundary (containment_ppm >= T), so floor keeps the
@@ -573,6 +612,7 @@ object Dedup {
     val T = math.floor(threshold * 1e6).toLong
     val sh = shingleSets(docs, idCol, textCol, shingleK)
     val inst = sh.select(col("id"), explode(col("sh")).as("t"))
+    if (collisionGuard) assertHashesCollisionFree(inst)
     val freq = inst.groupBy(col("t")).agg(count(lit(1)).as("f"))
     val wRank = Window.partitionBy(col("id")).orderBy(col("f"), col("tid"))
     // the r10 narrow-lane rework (see prefixFilterJoin): strings drop

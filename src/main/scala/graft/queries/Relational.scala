@@ -1054,6 +1054,32 @@ object Relational {
       |                         WHERE l2.l_partkey = p_partkey)
       |ORDER BY p_partkey, l_suppkey, l_orderkey""".stripMargin
 
+  /** q163 (r11): the TPC-H Q21 archetype — EXISTS and NOT EXISTS
+    * correlated against the SAME inner table (lineitem), the last
+    * classic subquery shape the q154–q157 family lacked. Suppliers
+    * counted per multi-supplier 'F' order where THEY shipped late
+    * (the q154 lateness rule — the fixture has no receipt/commit
+    * dates) and NO other supplier did. Spark decorrelates the two
+    * subqueries into a semi- and an anti-join over the same
+    * lineitem scan; the NOT EXISTS additionally carries the outer
+    * o_orderdate through a non-equality correlated predicate. */
+  private val sqlQ21WaitingText: String =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
   /** q145: the q92 CUBE as shared SQL text. */
   private val sqlCubeText: String =
     """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
@@ -1234,6 +1260,8 @@ object Relational {
       Some(sqlRangeFrameText)),
     QueryDef("q159_sql_agg_equality", sharedSql(sqlAggEqualityText),
       Some(sqlAggEqualityText)),
+    QueryDef("q163_sql_q21_waiting", sharedSql(sqlQ21WaitingText),
+      Some(sqlQ21WaitingText)),
     QueryDef("q160_sql_correlated_min", sharedSql(sqlCorrelatedMinText),
       Some(sqlCorrelatedMinText)),
     QueryDef("q149_sql_correlated_avg", sharedSql(sqlCorrelatedAvgText),

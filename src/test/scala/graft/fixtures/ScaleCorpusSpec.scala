@@ -88,4 +88,37 @@ class ScaleCorpusSpec extends SparkSpec {
         s"copy $k: self-cosines not concentrated: $cs")
     }
   }
+
+  test("amplifyDocsLangId: per-copy langId profile preserved, copies stay non-dups") {
+    // the q96 e2e probe filters on langId(text) == 'en'; the plain
+    // amplifier suffixes marker tokens and every copy collapses to
+    // 'und' (constant post-filter work at any factor). The langId
+    // amplifier must keep each copy's language verdict identical to
+    // its base doc while keeping cross-copy shingle overlap sparse.
+    val docs = Seq(
+      (1L, "The quick brown fox and the lazy dog of the farm is with that for sure"),
+      (2L, "el perro y la casa de que los ninos juegan por una tarde"),
+      (3L, "zzz qqq xxx www vvv uuu ttt sss rrr"))
+      .toDF("doc_id", "text")
+    val baseLang = docs
+      .select($"doc_id", graft.llmops.TextAnalysis.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(baseLang(1L) == "en" && baseLang(2L) == "es")
+    val amp = ScaleCorpus.amplifyDocsLangId(docs, 3, idShift = 100L)
+    val ampLang = amp
+      .select($"doc_id", graft.llmops.TextAnalysis.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(ampLang.size == 9)
+    for (k <- 0 to 2; id <- 1L to 3L)
+      assert(ampLang(id + 100 * k) == baseLang(id),
+        s"copy $k doc $id: ${ampLang(id + 100 * k)} != ${baseLang(id)}")
+    // copies are not near-dups of their base: shingle overlap is only
+    // the unsuffixed marker skeleton
+    val m = amp.as[(Long, String)].collect().toMap
+    val j = {
+      val a = shingles2(m(1L)); val b = shingles2(m(101L))
+      (a & b).size.toDouble / (a | b).size
+    }
+    assert(j < 0.25, s"cross-copy jaccard $j too high — copies are near-dups")
+  }
 }

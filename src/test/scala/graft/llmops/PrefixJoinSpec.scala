@@ -128,6 +128,25 @@ class PrefixJoinSpec extends SparkSpec {
     assert(contBucketed == contDefault)
   }
 
+  test("collisionGuard mode passes the clean fixture with identical output") {
+    // the documented fallback for untrusted corpora: one extra
+    // distinct-count pass that fail-fasts on any 64-bit shingle
+    // collision instead of silently answering; on a collision-free
+    // corpus it must be a pure no-op on the result
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val guarded = Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, 0.5,
+        collisionGuard = true)
+      .as[(Long, Long, Double)].collect().toSet
+    val plain = Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(guarded == plain)
+    val cGuarded = Dedup.containmentJoin(docs, "doc_id", "text", 3, 0.8,
+        collisionGuard = true)
+      .select($"id_a", $"id_b", $"containment_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cGuarded.nonEmpty)
+  }
+
   test("containment join equals the brute-force definition on a fixture slice") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
       .filter($"doc_id" < 120)

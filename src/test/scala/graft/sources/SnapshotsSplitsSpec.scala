@@ -60,6 +60,39 @@ class SnapshotsSplitsSpec extends SparkSpec {
     assert(math.abs(tr.count().toDouble / n - 0.8) < 0.1)
   }
 
+  test("portable split holds its fraction on a hot-user skewed fixture") {
+    // VERDICT r10 #7: q158's fixture users are uniform; plant a
+    // power-law corpus — ONE user owns 50% of all rows — and prove
+    // the md5-bucket assignment stays in-expectation PER STRATUM
+    // (the hot stratum gets no systematic drift from sharing one
+    // id-space with 100 calm users), stays a exact complement, and
+    // replays row-for-row against an INDEPENDENT md5 implementation
+    // (JDK MessageDigest — the spec-level analogue of the q158
+    // DuckDB oracle, on the fixture the driver cannot generate).
+    val rows = (1L to 10000L).map(i => (1L, i)) ++
+      (2L to 101L).flatMap(u => (1L to 100L).map(i => (u, u * 1000000L + i)))
+    val df = rows.toDF("user_id", "event_id")
+    val (tr, te) = Splits.byUserPortable(df, "event_id", 0.8, "skew90")
+    // hot stratum: binomial(10000, 0.8), sd ≈ 40 — a 5σ band; the
+    // seed is fixed so any failure here is deterministic drift
+    val hotTr = tr.filter($"user_id" === 1L).count()
+    assert(math.abs(hotTr - 8000L) <= 200, s"hot stratum n_train=$hotTr")
+    val calmTr = tr.filter($"user_id" =!= 1L).count()
+    assert(math.abs(calmTr - 8000L) <= 200, s"calm strata n_train=$calmTr")
+    assert(tr.count() + te.count() == rows.size.toLong)
+    assert(tr.intersect(te).isEmpty, "sides must be disjoint")
+    val gotTrain = tr.select($"event_id").as[Long].collect().toSet
+    val expTrain = rows.map(_._2).filter { id =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"skew90:$id".getBytes("UTF-8"))
+      val bucket = java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString, 16) % 1000000L
+      bucket < 800000L
+    }.toSet
+    assert(gotTrain == expTrain,
+      "Spark assignment must equal the independent md5 replay")
+  }
+
   test("hash split: deterministic and partitioning-independent") {
     val inter = graft.reco.Interactions.fromEvents(spark, sf0001)
     val (t1, _) = Splits.byRowHash(inter, Seq("user_id", "item_id", "ts_ns"), 0.8)

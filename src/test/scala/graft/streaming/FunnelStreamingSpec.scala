@@ -98,6 +98,67 @@ class FunnelStreamingSpec extends SparkSpec {
     assert(finalRows(spark.table("funnel_shuffled")) == batch)
   }
 
+  test("hostile delay/traffic ratio: hot-user buffer bound is enforced, answer exact") {
+    // VERDICT r10 #3: state is O(users × step events inside the delay
+    // window). One user emits 5000 step events under a delay wider
+    // than the whole span, so NOTHING ripens until the flush — the
+    // worst case the operator's contract names. maxBufferPerUser at
+    // exactly the hot user's event count must pass (pinning that the
+    // buffer never exceeds events-in-window); one unit below must
+    // fail the query with the explicit contract error, never truncate.
+    val base = 1000000000000000L
+    val hot = (0 until 5000).map { i =>
+      val ty = if (i % 3 == 0) "view" else if (i % 3 == 1) "click" else "purchase"
+      (1L, ty, base + i * 1000L)
+    }
+    val calm = Seq((2L, "view", base + 5L), (2L, "click", base + 10L),
+      (2L, "purchase", base + 20L), (3L, "view", base + 7L))
+    val all = hot ++ calm
+    val batch = graft.ops.Funnel.stepTimes(
+        all.toDF("user_id", "event_type", "us")
+          .withColumn("ts", timestamp_micros($"us")),
+        "user_id", "event_type", "ts", steps)
+      .select($"user_id", unix_micros($"t_1"), unix_micros($"t_2"),
+        unix_micros($"t_3"))
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+    val delaySec = 3650L * 86400L
+    def run(cap: Int): Map[Long, (Option[Long], Option[Long], Option[Long])] = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Long, String, Long)]
+      val events = ms.toDF().toDF("user_id", "event_type", "us")
+        .withColumn("ts", timestamp_micros($"us"))
+      val name = s"funnel_stress_$cap"
+      val q = EventStreams.funnelStreamingUnordered(events, steps,
+          delay = s"$delaySec seconds", maxBufferPerUser = Some(cap)).toDF()
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      try {
+        new scala.util.Random(11).shuffle(all).grouped(1500).foreach { w =>
+          ms.addData(w); q.processAllAvailable()
+        }
+        val flushBase = base + 5000000L + (delaySec + 3600L) * 1000000L
+        Seq(flushBase, flushBase + 3600000000L).foreach { f =>
+          ms.addData(Seq((-1L, "view", f))); q.processAllAvailable()
+        }
+        finalRows(spark.table(name)).filter(_._1 != -1L)
+      } finally {
+        q.stop()
+        if (spark.catalog.tableExists(name)) spark.catalog.dropTempView(name)
+      }
+    }
+
+    assert(run(5000) == batch,
+      "cap = exact events-in-window must pass and equal batch")
+    val ex = intercept[Exception] { run(999) }
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("|")
+    assert(chain.contains("step events inside the watermark delay"),
+      s"expected the contract error, got: $chain")
+  }
+
   test("unordered funnel: in-delay disorder merges, beyond-watermark drops") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(Long, String, Long)]
