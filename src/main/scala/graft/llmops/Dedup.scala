@@ -552,24 +552,29 @@ object Dedup {
         lit(null).cast("array<bigint>").as("sh"))
     docRows.unionByName(pairRows)
       .repartition(nBuckets, col("bkt"))
-      .sortWithinPartitions(col("kind"))
       .as[(Int, Int, Long, Long, Long, Long, Array[Long])]
       .mapPartitions { it =>
-        // deliveries precede pairs (kind sort); two colliding buckets
-        // in one partition just overwrite identical arrays
+        // single unsorted pass: docs land in the map as they stream,
+        // pairs buffer (5 longs each — the r11 A/B attributed the
+        // first cut's partition-wide kind-sort as pure overhead) and
+        // verify once the partition is exhausted. Two colliding
+        // buckets in one partition just overwrite identical arrays.
         val docs = new scala.collection.mutable.LongMap[Array[Long]]()
-        it.flatMap {
-          case (_, 0, id, _, _, _, sh) =>
-            docs.update(id, sh); Iterator.empty
-          case (_, _, a, b, na, nb, _) =>
-            val sa = docs(a); val sb = docs(b)
-            var i = 0; var j = 0; var inter = 0L
-            while (i < sa.length && j < sb.length) {
-              if (sa(i) < sb(j)) i += 1
-              else if (sa(i) > sb(j)) j += 1
-              else { inter += 1L; i += 1; j += 1 }
-            }
-            Iterator.single((a, b, na, nb, inter))
+        val pending = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long)]
+        it.foreach {
+          case (_, 0, id, _, _, _, sh) => docs.update(id, sh)
+          case (_, _, a, b, na, nb, _) => pending += ((a, b, na, nb))
+        }
+        pending.iterator.map { case (a, b, na, nb) =>
+          val sa = docs(a); val sb = docs(b)
+          var i = 0; var j = 0; var inter = 0L
+          while (i < sa.length && j < sb.length) {
+            if (sa(i) < sb(j)) i += 1
+            else if (sa(i) > sb(j)) j += 1
+            else { inter += 1L; i += 1; j += 1 }
+          }
+          (a, b, na, nb, inter)
         }
       }
       .toDF("id_a", "id_b", "n_a", "n_b", "inter")
