@@ -433,7 +433,16 @@ object Similarity {
     val pairs = lshNearDupPairsPortable(vectors, threshold, nPlanes, dim,
         nTables, idCol, vecCol)
       .select(col("id_a"), col("id_b"))
-    val labels = graft.ops.ConnectedComponents.hashMin(pairs, "id_a", "id_b")
+    // large-star/small-star, NOT hashMin (r11): the r10 dedup-family
+    // reasoning ("LSH dup clusters are near-cliques, 2-4 rounds") does
+    // not transfer to SEMANTIC graphs — similarity chains A~B~C with
+    // cosine drift make the component diameter grow with the corpus,
+    // and the 100× probe leg hit hashMin's 25-round cap (3 labels
+    // still changing). The alternating-star form converges in
+    // O(log² n) rounds on any shape with the same per-round join
+    // class; labeling contract identical (q105 oracle unchanged).
+    val labels = graft.ops.ConnectedComponents.largeStarSmallStar(
+      pairs, "id_a", "id_b")
     vectors.select(col(idCol).cast("long").as("vec_id"))
       .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),
