@@ -56,13 +56,18 @@ object QualityParity {
       concat_ws(" ", col("repo_name"), col("repo_language"),
         col("repo_description"), col("repo_topics")).as("text"))
 
-  /** Observed-value bands (fixture corpus, seed 42, 3dp rounding). */
+  /** Observed-value bands (fixture corpus, seed 42, 3dp rounding).
+    * r11 (VERDICT r10 #8): widths HALVED and re-centered on the
+    * observed values after 10 rounds of bit-stable readings (the 3dp
+    * metrics have not moved since each gate landed; r11 re-confirmed
+    * on byte-identical double verify runs). Margins recorded in
+    * BASELINE.md "Fixture parity bands". */
   private val bands: Map[String, (Double, Double)] = Map(
-    "als" -> (0.04, 0.12), // observed 0.078
-    "content" -> (0.08, 0.18), // observed 0.130
-    "curation" -> (0.01, 0.07), // observed 0.033
-    "popularity" -> (0.005, 0.06), // observed 0.022
-    "usercf" -> (0.07, 0.18)) // observed 0.121 (r8)
+    "als" -> (0.058, 0.098), // observed 0.078 (was 0.04-0.12)
+    "content" -> (0.105, 0.155), // observed 0.130 (was 0.08-0.18)
+    "curation" -> (0.018, 0.048), // observed 0.033 (was 0.01-0.07)
+    "popularity" -> (0.008, 0.036), // observed 0.022 (was 0.005-0.06)
+    "usercf" -> (0.093, 0.149)) // observed 0.121 (was 0.07-0.18, r8)
 
   /** One row per CG recommender: (recommender, k, n_users, ndcg,
     * band_lo, band_hi, within_band). Rows-only gate: the ALS factor
