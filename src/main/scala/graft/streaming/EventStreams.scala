@@ -345,16 +345,21 @@ object EventStreams {
     * once the watermark passes it even if the user goes quiet.
     *
     * STATE-SIZE CONTRACT (r11, VERDICT r10 #3): the per-user buffer
-    * is exactly the user's step events newer than the fold frontier —
-    * at a hostile delay/traffic ratio (wide `delay`, hot user) that
-    * is delay × the user's step-event rate, and NO exact fold can
-    * prune below it (any buffered click may yet win depending on a
+    * is the user's NON-first-step events newer than the fold
+    * frontier, plus at most ONE first-step event — buffered views
+    * compress exactly to their minimum (the fold's k=0 branch is a
+    * pure min, so no other view can ever affect any qualification;
+    * proof in the compression comment below). At a hostile
+    * delay/traffic ratio (wide `delay`, hot user) that is delay ×
+    * the user's click/purchase rate, and no exact fold can prune
+    * below it (any buffered click may yet win depending on a
     * not-yet-ripe earlier view). `maxBufferPerUser` makes the bound
-    * an enforced contract: a user exceeding it FAILS the query with
-    * an explicit message (fail-fast, never silent truncation — a
-    * dropped buffer event would corrupt the fold undetectably).
-    * Size it at delay_seconds × max_per_user_step_rate; None audits
-    * nothing (the gate fixtures are bounded by construction). */
+    * an enforced contract on the COMPRESSED buffer: a user exceeding
+    * it FAILS the query with an explicit message (fail-fast, never
+    * silent truncation — a dropped buffer event would corrupt the
+    * fold undetectably). Size it at delay_seconds ×
+    * max_per_user_later_step_rate + 1; None audits nothing (the gate
+    * fixtures are bounded by construction). */
   def funnelStreamingUnordered(events: DataFrame, steps: Seq[String],
       delay: String = "10 minutes", maxSpanSec: Option[Long] = None,
       maxBufferPerUser: Option[Int] = None)
@@ -396,7 +401,20 @@ object EventStreams {
           val wmMs = state.getCurrentWatermarkMs()
           val wmUs = wmMs * 1000L
           val t = Array(st.t1, st.t2, st.t3)
-          val (ripe, young) = (st.buf ++ incoming).toArray.partition(_._1 <= wmUs)
+          val (ripe, youngRaw) = (st.buf ++ incoming).toArray.partition(_._1 <= wmUs)
+          // EXACT buffer compression (r11): among buffered FIRST-step
+          // events only the minimum timestamp can ever matter — the
+          // fold's k=0 branch is a pure min, so for any later-step
+          // event at position u the effective t1 is min(state t1,
+          // v_min | v_min ≤ u), with or without the other views; and
+          // v_min always ripens no later than any dropped view. Hot
+          // users' view floods collapse to ONE buffered row; later
+          // steps are NOT prunable (a late earlier view can still
+          // re-qualify any buffered click, so each may yet win).
+          val views = youngRaw.filter(_._2 == 0)
+          val young =
+            if (views.length > 1) youngRaw.filter(_._2 != 0) :+ views.minBy(_._1)
+            else youngRaw
           maxBufferPerUser.foreach { cap =>
             if (young.length > cap) throw new IllegalStateException(
               s"funnelStreamingUnordered: user $uid buffers ${young.length} " +

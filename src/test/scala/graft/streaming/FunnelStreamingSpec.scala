@@ -102,10 +102,12 @@ class FunnelStreamingSpec extends SparkSpec {
     // VERDICT r10 #3: state is O(users × step events inside the delay
     // window). One user emits 5000 step events under a delay wider
     // than the whole span, so NOTHING ripens until the flush — the
-    // worst case the operator's contract names. maxBufferPerUser at
-    // exactly the hot user's event count must pass (pinning that the
-    // buffer never exceeds events-in-window); one unit below must
-    // fail the query with the explicit contract error, never truncate.
+    // worst case the operator's contract names. The hot user's 1667
+    // views compress exactly to ONE buffered row (r11), so the stored
+    // bound is its 3333 clicks+purchases + 1 = 3334: the cap at
+    // exactly that must pass (pinning BOTH the events-in-window bound
+    // and the view compression); one unit below must fail the query
+    // with the explicit contract error, never truncate.
     val base = 1000000000000000L
     val hot = (0 until 5000).map { i =>
       val ty = if (i % 3 == 0) "view" else if (i % 3 == 1) "click" else "purchase"
@@ -149,9 +151,9 @@ class FunnelStreamingSpec extends SparkSpec {
       }
     }
 
-    assert(run(5000) == batch,
-      "cap = exact events-in-window must pass and equal batch")
-    val ex = intercept[Exception] { run(999) }
+    assert(run(3334) == batch,
+      "cap = compressed events-in-window must pass and equal batch")
+    val ex = intercept[Exception] { run(3333) }
     val chain = Iterator.iterate(ex: Throwable)(_.getCause)
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
       .mkString("|")
