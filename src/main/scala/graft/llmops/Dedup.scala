@@ -421,21 +421,24 @@ object Dedup {
     // re-running the shingle kernel (bench-adjudicated r8: the cached
     // variant ran 12→21 s at sf0.1 across three passes)
     val sh = shingleSets(docs, idCol, textCol, shingleK)
-    val inst = sh.select(col("id"), explode(col("sh")).as("t"))
+    // set size RIDES THROUGH the explode as a column (r11): sh is a
+    // distinct set so size(sh) == the per-id instance count, and
+    // carrying it kills the second Window pass the r10 form paid
+    // (count over partitionBy(id) — same exchange as the rank window
+    // but a separate sort-and-scan operator). A size(sh) JOIN would
+    // re-evaluate the shingle-kernel lineage instead
+    // (bench-adjudicated slower in r8, as was caching sh).
+    val inst = sh.select(col("id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("t"))
     if (collisionGuard) assertHashesCollisionFree(inst)
     val freq = inst.groupBy(col("t")).agg(count(lit(1)).as("f"))
     val wRank = Window.partitionBy(col("id")).orderBy(col("f"), col("tid"))
-    // set size via a count window on the SAME id partitioning the rank
-    // window already shuffled to — a size(sh) join would re-evaluate
-    // the shingle-kernel lineage a second time inside this plan
-    // (bench-adjudicated slower, as was caching sh). Strings drop
-    // here: everything downstream moves (id, tid, f) longs. Any
-    // consistent global order is complete for the prefix theorem, so
-    // hash tie-breaks are as valid as string tie-breaks.
+    // Strings drop here: everything downstream moves (id, tid, f)
+    // longs. Any consistent global order is complete for the prefix
+    // theorem, so hash tie-breaks are as valid as string tie-breaks.
     val ranked = inst.join(freq, Seq("t"))
-      .select(col("id"), xxhash64(col("t")).as("tid"), col("f"))
+      .select(col("id"), col("n"), xxhash64(col("t")).as("tid"), col("f"))
       .withColumn("rk", row_number().over(wRank).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
     val prefixes = ranked
       // prefix length via the SAME integer T: ⌈T·n/1e6⌉ ≤ ⌈t·n⌉ exactly
       // in longs, so the kept prefix is never shorter than the theorem
@@ -616,7 +619,9 @@ object Dedup {
     // candidate filters and the verify on the SAME integer threshold.
     val T = math.floor(threshold * 1e6).toLong
     val sh = shingleSets(docs, idCol, textCol, shingleK)
-    val inst = sh.select(col("id"), explode(col("sh")).as("t"))
+    // set size rides through the explode (r11, see prefixFilterJoin)
+    val inst = sh.select(col("id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("t"))
     if (collisionGuard) assertHashesCollisionFree(inst)
     val freq = inst.groupBy(col("t")).agg(count(lit(1)).as("f"))
     val wRank = Window.partitionBy(col("id")).orderBy(col("f"), col("tid"))
@@ -627,9 +632,8 @@ object Dedup {
     // rk_b; the right side still ships EVERY position (containment
     // puts no floor on |B|, so the indexed side cannot prefix).
     val ranked = inst.join(freq, Seq("t"))
-      .select(col("id"), xxhash64(col("t")).as("tid"), col("f"))
+      .select(col("id"), col("n"), xxhash64(col("t")).as("tid"), col("f"))
       .withColumn("rk", row_number().over(wRank).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
     val prefixes = ranked
       // prefix length via the SAME integer T: ⌈T·n/1e6⌉ ≤ ⌈t·n⌉ exactly
       // in longs, so the kept prefix is never shorter than the theorem
