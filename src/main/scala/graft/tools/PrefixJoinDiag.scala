@@ -47,17 +47,19 @@ object PrefixJoinDiag {
     val threshold = 0.5
     val sh = Dedup.shingleSets(docs, "doc_id", "text", 3)
     time("shingle_kernel")(sh)
-    val inst = sh.select(col("id"), explode(col("sh")).as("t"))
+    // mirrors the operator's r11 shape: set size rides through the
+    // explode, no second count window
+    val inst = sh.select(col("id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("t"))
     time("instance_explode")(inst)
     val freq = inst.groupBy(col("t")).agg(count(lit(1)).as("f"))
     time("global_freq")(freq)
     val wRank = Window.partitionBy(col("id")).orderBy(col("f"), col("t"))
     val prefixes = inst.join(freq, Seq("t"))
       .withColumn("rk", row_number().over(wRank))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("id"), col("t"))
-    time("prefixes(freq+2windows)")(prefixes)
+    time("prefixes(freq+1window)")(prefixes)
     // materialize prefixes so the candidate stage is timed alone
     prefixes.write.mode("overwrite").parquet(s"$root/prefixes")
     val pre = spark.read.parquet(s"$root/prefixes")
