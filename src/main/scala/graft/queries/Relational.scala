@@ -1080,6 +1080,46 @@ object Relational {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name""".stripMargin
 
+  /** q164 (r11): the TPC-H Q18 archetype — membership test against a
+    * GROUPED HAVING subquery (big-quantity orders: the IN-list is
+    * itself an aggregation result, not a filtered scan — a shape the
+    * q156 nested-IN gate does not cover). Decorrelates to a semi-join
+    * against the aggregated lineitem; threshold 250 keeps 204 of
+    * ~15k orders at sf0.01 so a HAVING slip breaks the hash. */
+  private val sqlQ18BigOrdersText: String =
+    """SELECT c_custkey, o_orderkey, o_orderdate,
+      | CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey
+      |                     HAVING sum(l_quantity) > 250)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q165 (r11): the TPC-H Q15 archetype — a named CTE aggregate
+    * consumed TWICE: once as a join input, once inside a scalar MAX
+    * subquery that selects the top row(s) by equality. Exercises CTE
+    * reuse + scalar-subquery-over-derived-aggregate, a shape none of
+    * q141–q163 has. Revenue in exact integer cents (the q144/q145
+    * rounding pattern) so the max-equality cannot drift between
+    * engines. */
+  private val sqlQ15TopSupplierText: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+      |                             * 100) AS BIGINT)) AS BIGINT)
+      |           AS total_revenue_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue_cents
+      |FROM supplier
+      |JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue_cents = (SELECT max(total_revenue_cents)
+      |                             FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
   /** q145: the q92 CUBE as shared SQL text. */
   private val sqlCubeText: String =
     """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
@@ -1262,6 +1302,10 @@ object Relational {
       Some(sqlAggEqualityText)),
     QueryDef("q163_sql_q21_waiting", sharedSql(sqlQ21WaitingText),
       Some(sqlQ21WaitingText)),
+    QueryDef("q164_sql_q18_big_orders", sharedSql(sqlQ18BigOrdersText),
+      Some(sqlQ18BigOrdersText)),
+    QueryDef("q165_sql_q15_top_supplier", sharedSql(sqlQ15TopSupplierText),
+      Some(sqlQ15TopSupplierText)),
     QueryDef("q160_sql_correlated_min", sharedSql(sqlCorrelatedMinText),
       Some(sqlCorrelatedMinText)),
     QueryDef("q149_sql_correlated_avg", sharedSql(sqlCorrelatedAvgText),
