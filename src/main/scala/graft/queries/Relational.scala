@@ -1120,6 +1120,65 @@ object Relational {
       |                             FROM revenue)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** q166 (r11): the TPC-H Q13 archetype — customer order-count
+    * DISTRIBUTION via two stacked aggregations, the outer grouping on
+    * the inner one's aggregate. The LEFT OUTER join carries its
+    * filter INSIDE the ON clause (pushing `o_orderpriority <>
+    * '1-URGENT'` to WHERE would silently drop zero-order customers —
+    * the classic Q13 trap), so the c_count=0 bucket survives and a
+    * planner that folds the predicate incorrectly breaks the hash.
+    * ORDER BY (custdist DESC, c_count DESC) is total because c_count
+    * is the outer group key. */
+  private val sqlQ13CustdistText: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** q167 (r11): the TPC-H Q16 archetype — count(DISTINCT) under a
+    * non-correlated NOT IN subquery plus mixed scalar predicates
+    * (inequality, NOT LIKE, IN-list). The fixture has no partsupp, so
+    * lineitem is the part↔supplier relation (Q16's semantics, the
+    * albedo fixture's tables); "complaint" suppliers are the 6 with
+    * negative s_acctbal. NOT IN over a non-nullable key decorrelates
+    * to a null-aware anti join — a join flavor no other shared-text
+    * gate reaches. 82 groups at sf0.01. */
+  private val sqlQ16SupplierCntText: String =
+    """SELECT p_brand, p_type, p_size,
+      |       count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#45'
+      |  AND p_type NOT LIKE 'MEDIUM%'
+      |  AND p_size IN (1, 4, 7)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** q168 (r11): the TPC-H Q22 archetype — an UNCORRELATED scalar
+    * AVG subquery gating the outer scan (every other scalar-subquery
+    * gate correlates: q149/q159/q160/q165), composed with a windowed
+    * correlated NOT EXISTS (dormant = no order since 1998; the
+    * fixture's customers ALL have lifetime orders, so plain Q22
+    * NOT EXISTS would be empty). Balance totals in exact integer
+    * cents; nationkey stands in for Q22's phone country code. */
+  private val sqlQ22DormantRichText: String =
+    """SELECT cntrycode, count(*) AS numcust,
+      |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |         AS totacctbal_cents
+      |FROM (SELECT c_nationkey AS cntrycode, c_acctbal, c_custkey
+      |      FROM customer
+      |      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+      |                         WHERE c_acctbal > 0.0)) c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin
+
   /** q145: the q92 CUBE as shared SQL text. */
   private val sqlCubeText: String =
     """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
@@ -1306,6 +1365,12 @@ object Relational {
       Some(sqlQ18BigOrdersText)),
     QueryDef("q165_sql_q15_top_supplier", sharedSql(sqlQ15TopSupplierText),
       Some(sqlQ15TopSupplierText)),
+    QueryDef("q166_sql_q13_custdist", sharedSql(sqlQ13CustdistText),
+      Some(sqlQ13CustdistText)),
+    QueryDef("q167_sql_q16_supplier_cnt", sharedSql(sqlQ16SupplierCntText),
+      Some(sqlQ16SupplierCntText)),
+    QueryDef("q168_sql_q22_dormant_rich", sharedSql(sqlQ22DormantRichText),
+      Some(sqlQ22DormantRichText)),
     QueryDef("q160_sql_correlated_min", sharedSql(sqlCorrelatedMinText),
       Some(sqlCorrelatedMinText)),
     QueryDef("q149_sql_correlated_avg", sharedSql(sqlCorrelatedAvgText),
