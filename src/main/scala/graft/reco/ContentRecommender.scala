@@ -55,15 +55,33 @@ object ContentRecommender {
     * Score = partial dot over shared prefix terms (weights normalized by
     * the FULL-vector norm) — an underestimate of cosine that preserves
     * ranking quality while cutting join volume ~30× on dense-vocab
-    * corpora. The 100 TB path for all-pairs content similarity. */
+    * corpora. The 100 TB path for all-pairs content similarity.
+    *
+    * POSTING CAP (r11, found by the q41 100× probe): prefix selection
+    * alone does NOT bound the per-TERM posting list — on a dense
+    * vocabulary every doc can elect the same few terms, and candidate
+    * volume Σ_t cnt_t² grows quadratically with the corpus (measured:
+    * 145M candidate pairs at 10× sf0.1, 1.45B at 100×, OOM at the
+    * default driver heap). `postingCap` truncates each term's posting
+    * to its `postingCap` highest-weight entries (a champion list —
+    * the standard impact-ordered index truncation from IR), bounding
+    * candidate volume by Σ min(cnt_t, cap)² ≤ m·cap·n — LINEAR in
+    * corpus size by construction. EXACT whenever every posting fits
+    * the cap (max observed posting at sf0.1 is 1164 < 2048, so every
+    * driver gate is bit-identical); past the cap the dropped entries
+    * are each term's LOWEST-weight tail — the smallest possible score
+    * contributions — so top-k ranking degrades last. Deterministic
+    * truncation order: (w desc, id). `postingCap = 0` disables. */
   def similarDocsPrefix(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, m: Int = 4, weights: Option[DataFrame] = None): DataFrame = {
+      k: Int, m: Int = 4, weights: Option[DataFrame] = None,
+      postingCap: Int = 2048): DataFrame = {
     val w = weights.getOrElse(tfidfWeights(docs, idCol, textCol))
     val prefW = Window.partitionBy(col("id"))
       .orderBy(col("w").desc, col("term"))
-    val prefix = w.withColumn("pr", row_number().over(prefW))
+    val uncapped = w.withColumn("pr", row_number().over(prefW))
       .filter(col("pr") <= m)
       .select(col("id"), col("term"), col("w"))
+    val prefix = championList(uncapped, postingCap)
       .cache() // consumed twice (both join sides) — avoid recompute
     val a = prefix.select(col("term"), col("id").as("id_a"), col("w").as("w_a"))
     val b = prefix.select(col("term"), col("id").as("id_b"), col("w").as("w_b"))
@@ -78,21 +96,40 @@ object ContentRecommender {
       .select(col("id_a"), col("id_b"), col("score"), col("rn"))
   }
 
+  /** Champion-list truncation: keep each term's `cap` highest-weight
+    * posting entries ((w desc, id) deterministic order); `cap <= 0`
+    * passes the index through untouched. One extra keyed window pass
+    * over the prefix index — O(prefix entries), never O(pairs). */
+  private def championList(prefix: DataFrame, cap: Int): DataFrame =
+    if (cap <= 0) prefix
+    else {
+      val postW = Window.partitionBy(col("term"))
+        .orderBy(col("w").desc, col("id"))
+      prefix.withColumn("pc", row_number().over(postW))
+        .filter(col("pc") <= cap)
+        .select(col("id"), col("term"), col("w"))
+    }
+
   /** Prefix-filtered pairwise similarities with the a-side restricted
     * to a set of query docs (no per-pair top-k cut — callers aggregate).
     * At scale this is the serving shape: the query side is the small
     * working set (each user's recent items), semi-joined into the
     * prefix index BEFORE the term join, so the fan-out is
-    * O(query-postings), not O(corpus-postings²). */
+    * O(query-postings), not O(corpus-postings²). The candidate side
+    * still meets whole postings, so the champion cap applies here too:
+    * per-query fan-out ≤ m·postingCap (exact below the cap, same
+    * contract as [[similarDocsPrefix]]). */
   def similaritiesForQueries(docs: DataFrame, queryIds: DataFrame,
       idCol: String, textCol: String, m: Int = 4,
-      weights: Option[DataFrame] = None): DataFrame = {
+      weights: Option[DataFrame] = None,
+      postingCap: Int = 2048): DataFrame = {
     val w = weights.getOrElse(tfidfWeights(docs, idCol, textCol))
     val prefW = Window.partitionBy(col("id"))
       .orderBy(col("w").desc, col("term"))
-    val prefix = w.withColumn("pr", row_number().over(prefW))
+    val uncapped = w.withColumn("pr", row_number().over(prefW))
       .filter(col("pr") <= m)
       .select(col("id"), col("term"), col("w"))
+    val prefix = championList(uncapped, postingCap)
       .cache()
     val a = prefix
       .join(queryIds.select(col(queryIds.columns.head).as("id")), Seq("id"), "left_semi")

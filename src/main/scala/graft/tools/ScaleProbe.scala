@@ -133,6 +133,27 @@ object ScaleProbe {
       // r8 late-session additions: funnel/interval are per-user-keyed
       // (work ∝ users), prefix join's candidates live in the rare
       // shingle tail, IVM's delta path is ∝ change volume
+      // r11 addition: the last unprobed top-5 gate — the Bayardo
+      // prefix-filtered TF-IDF similarity join ("the published 100 TB
+      // construction"). amplifyDocs gives each copy a disjoint
+      // vocabulary, so this models corpus growth by NEW content:
+      // vocab ×factor, posting lengths flat. Watch the copy-suffixed
+      // stopwords ("thecp1"): they dodge the stopword list, carry big
+      // tf, and can capture top-m prefix slots with posting lists
+      // ~n_base long — if the exponent spikes, that term-frequency
+      // skew is the first suspect (maxDfFrac is corpus-relative and
+      // stops pruning them once copies dilute df below 0.8·n).
+      // default path (cap 2048 — does NOT bind on this corpus: per-copy
+      // postings peak ~1164, so this leg measures the uncapped volume,
+      // 145M pairs at 10× / 1.45B at 100×; needs SPARK_DRIVER_MEM≥48g
+      // at 100× on local[32])
+      "q41_tfidf_prefix_join" -> (() => graft.reco.ContentRecommender
+        .similarDocsPrefix(docs, "doc_id", "text", k = 10, m = 4)),
+      // CONTRAST leg: champion cap at 256 — the knob a 100 TB corpus
+      // with hot postings would run; bounds candidate volume ≤ m·cap·n
+      "q41_tfidf_cap256" -> (() => graft.reco.ContentRecommender
+        .similarDocsPrefix(docs, "doc_id", "text", k = 10, m = 4,
+          postingCap = 256)),
       "q122_funnel" -> (() => graft.ops.Funnel.stepTimes(ev,
         "user_id", "event_type", "ts", Seq("view", "click", "purchase"))),
       "q130_interval_join" -> (() => {

@@ -22,6 +22,32 @@ class ContentRecommenderSpec extends SparkSpec {
     assert(!sims.contains(4L))
   }
 
+  test("posting cap: default never binds on small postings (exactness)") {
+    val full = ContentRecommender
+      .similarDocsPrefix(toy, "doc_id", "text", k = 2, postingCap = 0)
+      .select("id_a", "id_b", "score", "rn").as[(Long, Long, Double, Int)]
+      .collect().toSet
+    val capped = ContentRecommender
+      .similarDocsPrefix(toy, "doc_id", "text", k = 2) // default cap 2048
+      .select("id_a", "id_b", "score", "rn").as[(Long, Long, Double, Int)]
+      .collect().toSet
+    assert(capped == full)
+  }
+
+  test("posting cap: cap=1 keeps only each term's top-weight entry") {
+    // every posting shrinks to length 1 → a term can join a pair only
+    // if the two docs are each other's sole champion for DIFFERENT
+    // terms — on this toy corpus (docs 1,2 share 4 of 5 terms and tie
+    // on weights; id tiebreak gives doc 1 every shared-term slot) no
+    // term retains both docs, so no candidate pair survives.
+    val capped = ContentRecommender
+      .similarDocsPrefix(toy, "doc_id", "text", k = 2, postingCap = 1)
+    assert(capped.count() == 0L)
+    val uncapped = ContentRecommender
+      .similarDocsPrefix(toy, "doc_id", "text", k = 2, postingCap = 0)
+    assert(uncapped.count() > 0L) // the cap, not the corpus, emptied it
+  }
+
   test("tfidf weights are L2-normalized per doc") {
     val norms = ContentRecommender.tfidfWeights(toy, "doc_id", "text")
       .groupBy($"id")
