@@ -99,7 +99,23 @@ object ContentRecommender {
   /** Champion-list truncation: keep each term's `cap` highest-weight
     * posting entries ((w desc, id) deterministic order); `cap <= 0`
     * passes the index through untouched. One extra keyed window pass
-    * over the prefix index — O(prefix entries), never O(pairs). */
+    * over the prefix index — O(prefix entries), never O(pairs).
+    *
+    * PARTITIONING TRADE-OFF (r11, measured both ways at 1× and 100×):
+    * the term-window leaves the index hash(term)-partitioned, so the
+    * downstream pair aggregation groupBy(id_a, id_b) and the top-k
+    * window get their own exchanges of the PAIR volume. Restoring
+    * hash(id) with a trailing repartition makes both run
+    * exchange-free — and that wins at gate scale (q41 −1.1 s at
+    * sf0.1, pure stage overhead there) — but at 100× it is an
+    * ANTI-optimization: "exchange-free" means the 1.45B-row pair
+    * aggregation inherits the index's partition count (32) with no
+    * AQE re-split, concentrating per-partition agg state (this exact
+    * shape is what OOM'd the pre-cap plan at the default heap, and
+    * it ran 507 s vs 212 s at 48g). The exchanged plan re-spreads
+    * the pair volume over AQE-sized partitions — the cluster-correct
+    * shape — so we deliberately do NOT repartition here and accept
+    * the small fixed cost at tiny scales. */
   private def championList(prefix: DataFrame, cap: Int): DataFrame =
     if (cap <= 0) prefix
     else {
