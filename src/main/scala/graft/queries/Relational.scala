@@ -1179,6 +1179,73 @@ object Relational {
       |GROUP BY cntrycode
       |ORDER BY cntrycode""".stripMargin
 
+  /** q169 (r11): the TPC-H Q12 archetype — conditional CASE counting
+    * (two complementary sum(CASE) columns in one pass) over a
+    * fact-fact join with a date-arithmetic predicate. The fixture has
+    * no shipmode/commitdate, so the split is priority (URGENT+HIGH vs
+    * rest) and "late" is q154's ship-vs-order+30d. */
+  private val sqlQ12PriorityCountsText: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** q170 (r11): the TPC-H Q14 archetype — a RATIO of a conditional
+    * sum to the unconditional sum in the same aggregation (promo
+    * revenue share; the fixture's p_type really has a PROMO class).
+    * Round(…, 4) on the percentage absorbs cross-engine double-sum
+    * ordering, the q141 precedent. */
+  private val sqlQ14PromoShareText: String =
+    """SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+      |             THEN l_extendedprice * (1.0 - l_discount)
+      |             ELSE 0.0 END)
+      |        / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_pct,
+      |       count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin
+
+  /** q171 (r11): the TPC-H Q11 archetype — HAVING against a FRACTION
+    * of an uncorrelated global scalar computed over the SAME table
+    * (per-part revenue share above 1/2000 of total). Both sides in
+    * exact integer cents; the fraction compare is double over
+    * sub-2^53 integers, exact in both engines. Keeps 971 of ~2000
+    * parts at sf0.01, so a slipped threshold moves the hash. */
+  private val sqlQ11ValueShareText: String =
+    """SELECT l_partkey,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+      |                AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM lineitem
+      |GROUP BY l_partkey
+      |HAVING CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+      |                     AS BIGINT)) AS BIGINT)
+      |     > (SELECT CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+      |                                   * 100) AS BIGINT)) AS BIGINT)
+      |        FROM lineitem) / 2000.0
+      |ORDER BY value_cents DESC, l_partkey""".stripMargin
+
+  /** q172 (r11): the TPC-H Q19 archetype — a DISJUNCTION of
+    * conjunctive predicate triples spanning both join sides (brand ×
+    * size range × quantity range), the classic pushdown/CNF-conversion
+    * stressor: the planner must still push the join key and the
+    * common p/l prefixes through the OR. One aggregate row. */
+  private val sqlQ19DisjunctiveText: String =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+      |                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |       count(*) AS n_items
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   /** q145: the q92 CUBE as shared SQL text. */
   private val sqlCubeText: String =
     """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
@@ -1371,6 +1438,14 @@ object Relational {
       Some(sqlQ16SupplierCntText)),
     QueryDef("q168_sql_q22_dormant_rich", sharedSql(sqlQ22DormantRichText),
       Some(sqlQ22DormantRichText)),
+    QueryDef("q169_sql_q12_priority_counts",
+      sharedSql(sqlQ12PriorityCountsText), Some(sqlQ12PriorityCountsText)),
+    QueryDef("q170_sql_q14_promo_share", sharedSql(sqlQ14PromoShareText),
+      Some(sqlQ14PromoShareText)),
+    QueryDef("q171_sql_q11_value_share", sharedSql(sqlQ11ValueShareText),
+      Some(sqlQ11ValueShareText)),
+    QueryDef("q172_sql_q19_disjunctive", sharedSql(sqlQ19DisjunctiveText),
+      Some(sqlQ19DisjunctiveText)),
     QueryDef("q160_sql_correlated_min", sharedSql(sqlCorrelatedMinText),
       Some(sqlCorrelatedMinText)),
     QueryDef("q149_sql_correlated_avg", sharedSql(sqlCorrelatedAvgText),
