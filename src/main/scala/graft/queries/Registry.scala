@@ -18,7 +18,11 @@ import graft.QueryDef
   * ≤ 200 s (~1 s/gate at the r9 registry size of 167). New gates net
   * against retirements — when a rows-only vehicle is fully pinned by
   * a golden/replay twin, retire it (the q42/q45/q46/q70 precedent)
-  * rather than letting the bench decay from signal into ceremony. */
+  * rather than letting the bench decay from signal into ceremony.
+  * STATUS r11 end: 187 gates / 197.9 s quiet — the budget is spent.
+  * From r12 on, additions REQUIRE a retirement or an equal measured
+  * speedup; first candidates are q161/q162 (the bucketed-verify
+  * alternative, ~7 s, kept one round as the rejection's evidence). */
 object Registry {
   def all: Seq[QueryDef] =
     Relational.defs ++ Reco.defs ++ Llm.defs ++ Ml.defs ++ Extras.defs ++
