@@ -154,6 +154,17 @@ object ScaleProbe {
       "q41_tfidf_cap256" -> (() => graft.reco.ContentRecommender
         .similarDocsPrefix(docs, "doc_id", "text", k = 10, m = 4,
           postingCap = 256)),
+      // the q61 SERVING shape: a FIXED query working set against the
+      // growing corpus — the semi-join restricts the a-side before the
+      // term join and the champion cap bounds the b-side posting each
+      // query term meets (per-query fan-out ≤ m·cap), so the leg
+      // should be index-build-dominated (linear), not pair-dominated
+      "q61_serving_queries" -> (() => {
+        val queryIds = docs.select(col("doc_id"))
+          .filter(col("doc_id") < 20)
+        graft.reco.ContentRecommender.similaritiesForQueries(
+          docs, queryIds, "doc_id", "text", m = 4)
+      }),
       "q122_funnel" -> (() => graft.ops.Funnel.stepTimes(ev,
         "user_id", "event_type", "ts", Seq("view", "click", "purchase"))),
       "q130_interval_join" -> (() => {
