@@ -57,8 +57,12 @@ object Bench {
     // rerun. A task-metrics listener accumulates shuffle bytes written
     // and memory+disk spill; each gate records the delta around its
     // run. The listener bus is async, so a straggling task-end event
-    // can bleed into the next gate's delta — bytes are adjudication
-    // data, not a hash; the 30 ms settle keeps the bleed ≪1%.
+    // can bleed into the next gate's delta — the bus is DRAINED
+    // (waitUntilEmpty) after each gate so attribution is exact, not
+    // sleep-raced (ADVICE r11; the former 30 ms settle misattributed
+    // under load). Failed gates' partial-task bytes still attribute to
+    // the failed gate — acceptable: errors are carried in the JSON, so
+    // a failed gate's telemetry can never read as a clean measurement.
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
     val spillBytes = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -88,7 +92,10 @@ object Bench {
             Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
           }
         val dt = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(30) // let queued task-end events attribute here
+        // exact drain; the timeout-exception fallback keeps the bench
+        // alive if a listener wedges (never observed — belt only)
+        try org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
+        catch { case _: Throwable => Thread.sleep(30) }
         val shufMb = (shuffleBytes.get() - s0) / 1048576.0
         val spillMb = (spillBytes.get() - p0) / 1048576.0
         // queries cache intermediates; dropping them between queries keeps

@@ -527,10 +527,23 @@ object Dedup {
     *     deliveries (sortWithinPartitions(kind) puts them first),
     *     stream pairs through a two-pointer merge intersection.
     *
-    * Per-task memory = that bucket's delivered arrays — sized by
-    * nBuckets exactly like a shuffle-hash join's build side; raise
-    * nBuckets to shrink it. Used by [[prefixFilterJoin]] and
-    * [[containmentJoin]] when `verifyBuckets` > 0.
+    * Per-task memory (ADVICE r11 — BOTH terms, not just the arrays):
+    *   1. the bucket's delivered arrays: Σ_{docs in bucket} 8 B·|sh|;
+    *   2. the bucket's PENDING PAIRS: pairs stream in interleaved with
+    *      doc deliveries, so every pair of the partition buffers until
+    *      the input is exhausted — 32 B × pairs/nBuckets (4 packed
+    *      longs in a primitive builder; the boxed-tuple first cut was
+    *      ~80 B and dominated the arrays at the measured 1.45B-pair
+    *      regime with verifyBuckets=32).
+    * Both terms scale as 1/nBuckets — raise nBuckets to bound the task,
+    * exactly like a shuffle-hash join's build side (at 1.45B pairs,
+    * nBuckets=1024 holds the pending term at ~45 MB/task). A
+    * kind-ordered stream (docs strictly before pairs via secondary
+    * sort) would eliminate term 2 entirely, but the r11 A/B measured
+    * the partition-wide sort as pure overhead at every operating
+    * point — the packed buffer + nBuckets sizing is the cheaper
+    * contract. Used by [[prefixFilterJoin]] and [[containmentJoin]]
+    * when `verifyBuckets` > 0.
     *
     * In: shh (id, sh array<bigint>), candidates (id_a, id_b, n_a,
     * n_b). Out: (id_a, id_b, n_a, n_b, inter). */
@@ -558,18 +571,26 @@ object Dedup {
       .as[(Int, Int, Long, Long, Long, Long, Array[Long])]
       .mapPartitions { it =>
         // single unsorted pass: docs land in the map as they stream,
-        // pairs buffer (5 longs each — the r11 A/B attributed the
-        // first cut's partition-wide kind-sort as pure overhead) and
-        // verify once the partition is exhausted. Two colliding
-        // buckets in one partition just overwrite identical arrays.
+        // pairs buffer packed 4-longs-per-pair in a primitive builder
+        // (32 B/pair — see the memory contract above; the r11 A/B
+        // attributed the first cut's partition-wide kind-sort as pure
+        // overhead, and the boxed-tuple buffer was the ADVICE r11
+        // OOM term) and verify once the partition is exhausted. Two
+        // colliding buckets in one partition just overwrite identical
+        // arrays.
         val docs = new scala.collection.mutable.LongMap[Array[Long]]()
-        val pending = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Long, Long, Long)]
+        val pending = scala.collection.mutable.ArrayBuilder.make[Long]
+        var nPending = 0L
         it.foreach {
           case (_, 0, id, _, _, _, sh) => docs.update(id, sh)
-          case (_, _, a, b, na, nb, _) => pending += ((a, b, na, nb))
+          case (_, _, a, b, na, nb, _) =>
+            pending += a; pending += b; pending += na; pending += nb
+            nPending += 1L
         }
-        pending.iterator.map { case (a, b, na, nb) =>
+        val packed = pending.result()
+        (0L until nPending).iterator.map { p =>
+          val o = (p * 4L).toInt
+          val a = packed(o); val b = packed(o + 1)
           val sa = docs(a); val sb = docs(b)
           var i = 0; var j = 0; var inter = 0L
           while (i < sa.length && j < sb.length) {
@@ -577,7 +598,7 @@ object Dedup {
             else if (sa(i) > sb(j)) j += 1
             else { inter += 1L; i += 1; j += 1 }
           }
-          (a, b, na, nb, inter)
+          (a, b, packed(o + 2), packed(o + 3), inter)
         }
       }
       .toDF("id_a", "id_b", "n_a", "n_b", "inter")

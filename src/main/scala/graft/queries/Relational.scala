@@ -1164,15 +1164,23 @@ object Relational {
     * correlated NOT EXISTS (dormant = no order since 1998; the
     * fixture's customers ALL have lifetime orders, so plain Q22
     * NOT EXISTS would be empty). Balance totals in exact integer
-    * cents; nationkey stands in for Q22's phone country code. */
+    * cents; nationkey stands in for Q22's phone country code.
+    * The gating compare ALSO runs in integer cents (ADVICE r11): a
+    * raw-double avg depends on engine summation order, so a balance
+    * within float noise of it could flip between engines — the
+    * q165/q171 cents discipline applies to the scalar too (sum of
+    * sub-2^53 bigint cents is exact in both engines; the single
+    * divide-by-count and the bigint>double compare are then
+    * order-independent). */
   private val sqlQ22DormantRichText: String =
     """SELECT cntrycode, count(*) AS numcust,
       |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
       |         AS totacctbal_cents
       |FROM (SELECT c_nationkey AS cntrycode, c_acctbal, c_custkey
       |      FROM customer
-      |      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-      |                         WHERE c_acctbal > 0.0)) c
+      |      WHERE CAST(round(c_acctbal * 100) AS BIGINT) >
+      |            (SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT))
+      |             FROM customer WHERE c_acctbal > 0.0)) c
       |WHERE NOT EXISTS (SELECT 1 FROM orders
       |                  WHERE o_custkey = c_custkey
       |                    AND o_orderdate >= TIMESTAMP '1998-01-01')

@@ -71,18 +71,21 @@ object ContentRecommender {
     * driver gate is bit-identical); past the cap the dropped entries
     * are each term's LOWEST-weight tail — the smallest possible score
     * contributions — so top-k ranking degrades last. Deterministic
-    * truncation order: (w desc, id). `postingCap = 0` disables. */
+    * truncation order: (w desc, id). `postingCap = 0` disables.
+    *
+    * EXACTNESS IS NEVER SILENT (ADVICE r11): by default the call
+    * FAILS with an explicit error if any term's posting actually
+    * exceeds the cap — a data-dependent contract must not degrade to
+    * approximate without the caller's consent. At scale, opt in with
+    * `allowCapTruncation = true` (accepting the ranking-preserving
+    * champion-list approximation) or pass `postingCap = 0` for the
+    * exact-but-quadratic-candidate join. The guard costs one count()
+    * over the already-cached prefix index, never over pairs. */
   def similarDocsPrefix(docs: DataFrame, idCol: String, textCol: String,
       k: Int, m: Int = 4, weights: Option[DataFrame] = None,
-      postingCap: Int = 2048): DataFrame = {
+      postingCap: Int = 2048, allowCapTruncation: Boolean = false): DataFrame = {
     val w = weights.getOrElse(tfidfWeights(docs, idCol, textCol))
-    val prefW = Window.partitionBy(col("id"))
-      .orderBy(col("w").desc, col("term"))
-    val uncapped = w.withColumn("pr", row_number().over(prefW))
-      .filter(col("pr") <= m)
-      .select(col("id"), col("term"), col("w"))
-    val prefix = championList(uncapped, postingCap)
-      .cache() // consumed twice (both join sides) — avoid recompute
+    val prefix = cappedPrefixIndex(w, m, postingCap, allowCapTruncation)
     val a = prefix.select(col("term"), col("id").as("id_a"), col("w").as("w_a"))
     val b = prefix.select(col("term"), col("id").as("id_b"), col("w").as("w_b"))
     val win = Window.partitionBy(col("id_a"))
@@ -96,10 +99,23 @@ object ContentRecommender {
       .select(col("id_a"), col("id_b"), col("score"), col("rn"))
   }
 
-  /** Champion-list truncation: keep each term's `cap` highest-weight
-    * posting entries ((w desc, id) deterministic order); `cap <= 0`
-    * passes the index through untouched. One extra keyed window pass
-    * over the prefix index — O(prefix entries), never O(pairs).
+  /** Top-m prefix selection + champion-list truncation, returned
+    * CACHED (every caller consumes it at least twice). The cap keeps
+    * each term's `cap` highest-weight posting entries ((w desc, id)
+    * deterministic order); `cap <= 0` passes the index through
+    * untouched. One extra keyed window pass over the prefix index —
+    * O(prefix entries), never O(pairs).
+    *
+    * NON-SILENT CAP CONTRACT (ADVICE r11): the window keeps ONE
+    * sentinel row past the cap (pc == cap+1); its presence in the
+    * cached index is the proof that truncation would bind. Unless the
+    * caller passed `allowCapTruncation = true`, a cache-scan count of
+    * sentinel rows runs eagerly and throws when any posting exceeds
+    * the cap — so existing callers can never receive approximate
+    * results without an explicit opt-in. The guard touches only the
+    * cached index (the materialization was about to happen anyway for
+    * the self-join); when it passes, the retained rows are exactly
+    * the pre-guard plan's rows, so green gates stay bit-identical.
     *
     * PARTITIONING TRADE-OFF (r11, measured both ways at 1× and 100×):
     * the term-window leaves the index hash(term)-partitioned, so the
@@ -116,15 +132,36 @@ object ContentRecommender {
     * the pair volume over AQE-sized partitions — the cluster-correct
     * shape — so we deliberately do NOT repartition here and accept
     * the small fixed cost at tiny scales. */
-  private def championList(prefix: DataFrame, cap: Int): DataFrame =
-    if (cap <= 0) prefix
+  private def cappedPrefixIndex(w: DataFrame, m: Int, cap: Int,
+      allowCapTruncation: Boolean): DataFrame = {
+    val prefW = Window.partitionBy(col("id"))
+      .orderBy(col("w").desc, col("term"))
+    val uncapped = w.withColumn("pr", row_number().over(prefW))
+      .filter(col("pr") <= m)
+      .select(col("id"), col("term"), col("w"))
+    if (cap <= 0) uncapped.cache()
     else {
       val postW = Window.partitionBy(col("term"))
         .orderBy(col("w").desc, col("id"))
-      prefix.withColumn("pc", row_number().over(postW))
-        .filter(col("pc") <= cap)
-        .select(col("id"), col("term"), col("w"))
+      val marked = uncapped.withColumn("pc", row_number().over(postW))
+        .filter(col("pc") <= cap + 1)
+        .cache()
+      if (!allowCapTruncation) {
+        val nOver = marked.filter(col("pc") === cap + 1).count()
+        if (nOver > 0) {
+          marked.unpersist()
+          throw new IllegalStateException(
+            s"prefix-index champion list: $nOver term posting(s) exceed " +
+              s"postingCap=$cap on this corpus — the result would be silently " +
+              "approximate. Pass allowCapTruncation=true to accept the " +
+              "ranking-preserving champion-list truncation (the 100 TB hot-" +
+              "posting contract), or postingCap=0 for the exact join (candidate " +
+              "volume is then quadratic in the hottest posting).")
+        }
+      }
+      marked.filter(col("pc") <= cap).select(col("id"), col("term"), col("w"))
     }
+  }
 
   /** Prefix-filtered pairwise similarities with the a-side restricted
     * to a set of query docs (no per-pair top-k cut — callers aggregate).
@@ -134,19 +171,14 @@ object ContentRecommender {
     * O(query-postings), not O(corpus-postings²). The candidate side
     * still meets whole postings, so the champion cap applies here too:
     * per-query fan-out ≤ m·postingCap (exact below the cap, same
-    * contract as [[similarDocsPrefix]]). */
+    * NON-SILENT contract as [[similarDocsPrefix]]: a binding cap
+    * throws unless `allowCapTruncation = true`). */
   def similaritiesForQueries(docs: DataFrame, queryIds: DataFrame,
       idCol: String, textCol: String, m: Int = 4,
       weights: Option[DataFrame] = None,
-      postingCap: Int = 2048): DataFrame = {
+      postingCap: Int = 2048, allowCapTruncation: Boolean = false): DataFrame = {
     val w = weights.getOrElse(tfidfWeights(docs, idCol, textCol))
-    val prefW = Window.partitionBy(col("id"))
-      .orderBy(col("w").desc, col("term"))
-    val uncapped = w.withColumn("pr", row_number().over(prefW))
-      .filter(col("pr") <= m)
-      .select(col("id"), col("term"), col("w"))
-    val prefix = championList(uncapped, postingCap)
-      .cache()
+    val prefix = cappedPrefixIndex(w, m, postingCap, allowCapTruncation)
     val a = prefix
       .join(queryIds.select(col(queryIds.columns.head).as("id")), Seq("id"), "left_semi")
       .select(col("term"), col("id").as("id_a"), col("w").as("w_a"))

@@ -28,7 +28,7 @@ object CapCostAb {
       val t0 = System.nanoTime()
       ContentRecommender
         .similarDocsPrefix(docs, "doc_id", "text", k = 5, m = 4,
-          postingCap = cap)
+          postingCap = cap, allowCapTruncation = true)
         .write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9

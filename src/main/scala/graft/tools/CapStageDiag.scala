@@ -51,7 +51,8 @@ object CapStageDiag {
     time("full_cap0")(ContentRecommender.similarDocsPrefix(
       docs, "doc_id", "text", k = 5, m = 4, postingCap = 0))
     time("full_cap2048")(ContentRecommender.similarDocsPrefix(
-      docs, "doc_id", "text", k = 5, m = 4, postingCap = 2048))
+      docs, "doc_id", "text", k = 5, m = 4, postingCap = 2048,
+      allowCapTruncation = true))
     spark.stop()
   }
 }

@@ -147,13 +147,17 @@ object ScaleProbe {
       // postings peak ~1164, so this leg measures the uncapped volume,
       // 145M pairs at 10× / 1.45B at 100×; needs SPARK_DRIVER_MEM≥48g
       // at 100× on local[32])
+      // allowCapTruncation on every probe leg: plans stay byte-identical
+      // to the r11 measurements (the strict guard's cache-scan count is
+      // a GATE contract, not a probe one)
       "q41_tfidf_prefix_join" -> (() => graft.reco.ContentRecommender
-        .similarDocsPrefix(docs, "doc_id", "text", k = 10, m = 4)),
+        .similarDocsPrefix(docs, "doc_id", "text", k = 10, m = 4,
+          allowCapTruncation = true)),
       // CONTRAST leg: champion cap at 256 — the knob a 100 TB corpus
       // with hot postings would run; bounds candidate volume ≤ m·cap·n
       "q41_tfidf_cap256" -> (() => graft.reco.ContentRecommender
         .similarDocsPrefix(docs, "doc_id", "text", k = 10, m = 4,
-          postingCap = 256)),
+          postingCap = 256, allowCapTruncation = true)),
       // the q61 SERVING shape: a FIXED query working set against the
       // growing corpus — the semi-join restricts the a-side before the
       // term join and the champion cap bounds the b-side posting each
@@ -163,7 +167,8 @@ object ScaleProbe {
         val queryIds = docs.select(col("doc_id"))
           .filter(col("doc_id") < 20)
         graft.reco.ContentRecommender.similaritiesForQueries(
-          docs, queryIds, "doc_id", "text", m = 4)
+          docs, queryIds, "doc_id", "text", m = 4,
+          allowCapTruncation = true)
       }),
       "q122_funnel" -> (() => graft.ops.Funnel.stepTimes(ev,
         "user_id", "event_type", "ts", Seq("view", "click", "purchase"))),

@@ -40,12 +40,42 @@ class ContentRecommenderSpec extends SparkSpec {
     // terms — on this toy corpus (docs 1,2 share 4 of 5 terms and tie
     // on weights; id tiebreak gives doc 1 every shared-term slot) no
     // term retains both docs, so no candidate pair survives.
+    // allowCapTruncation is the REQUIRED opt-in here — the cap binds.
     val capped = ContentRecommender
-      .similarDocsPrefix(toy, "doc_id", "text", k = 2, postingCap = 1)
+      .similarDocsPrefix(toy, "doc_id", "text", k = 2, postingCap = 1,
+        allowCapTruncation = true)
     assert(capped.count() == 0L)
     val uncapped = ContentRecommender
       .similarDocsPrefix(toy, "doc_id", "text", k = 2, postingCap = 0)
     assert(uncapped.count() > 0L) // the cap, not the corpus, emptied it
+  }
+
+  test("posting cap: a binding cap without the opt-in fails loudly") {
+    // ADVICE r11 (medium): approximation must never be silent. Docs 1,2
+    // share terms, so cap=1 truncates real postings — strict mode (the
+    // default) must throw instead of answering approximately.
+    val e = intercept[IllegalStateException] {
+      ContentRecommender
+        .similarDocsPrefix(toy, "doc_id", "text", k = 2, postingCap = 1)
+    }
+    assert(e.getMessage.contains("allowCapTruncation"))
+    // same contract on the serving path
+    val q = toy.select($"doc_id")
+    val e2 = intercept[IllegalStateException] {
+      ContentRecommender.similaritiesForQueries(
+        toy, q, "doc_id", "text", postingCap = 1)
+    }
+    assert(e2.getMessage.contains("postingCap=1"))
+    // and a NON-binding cap passes strict mode bit-identically
+    val strict = ContentRecommender
+      .similarDocsPrefix(toy, "doc_id", "text", k = 2) // default cap 2048
+      .select("id_a", "id_b", "score", "rn").as[(Long, Long, Double, Int)]
+      .collect().toSet
+    val exact = ContentRecommender
+      .similarDocsPrefix(toy, "doc_id", "text", k = 2, postingCap = 0)
+      .select("id_a", "id_b", "score", "rn").as[(Long, Long, Double, Int)]
+      .collect().toSet
+    assert(strict == exact)
   }
 
   test("tfidf weights are L2-normalized per doc") {
