@@ -767,14 +767,28 @@ object Dedup {
 
   /** SimHash near-dup pairs within a Hamming radius. Blocking is
     * pigeonhole-complete for the REQUESTED radius: the 64 bits are cut
-    * into `maxHamming + 1` contiguous blocks, so any pair within the
-    * radius has at least one block with zero differing bits and
-    * collides there (multi-index Hamming search, cf. HmSearch /
-    * Manku et al. WWW'07 §3). Candidate generation stays an equi-join
-    * on (block, key) — never a cross join. Scale note: larger radii ⇒
-    * narrower blocks ⇒ denser buckets; id-only rows go through the
-    * bucket join and payloads re-attach after pair-dedup, same as the
-    * MinHash path. */
+    * into `kBlocks` contiguous blocks and every `keyBlocks`-subset of
+    * blocks forms one index table whose key is the concatenation of
+    * the chosen blocks (multi-index Hamming search, Manku et al.
+    * WWW'07 §3 / HmSearch). A pair within Hamming `maxHamming`
+    * differs in at most `maxHamming` blocks, so at least
+    * `kBlocks − maxHamming` blocks agree — and any `keyBlocks ≤
+    * kBlocks − maxHamming` of those form a table the pair collides
+    * in. Candidate generation stays an equi-join on (table, key) —
+    * never a cross join.
+    *
+    * SCALE KNOB (r12, the r6 fixed-nPlanes lesson applied to
+    * SimHash): the default (kBlocks = maxHamming+1, keyBlocks = 1)
+    * is the minimal-table variant — 16-bit keys at radius 3, so
+    * random-pair candidate volume grows ~ n²·kBlocks/2¹⁶: a FIXED
+    * bucket space that saturates as the corpus grows, exactly like
+    * sign-LSH at fixed nPlanes. Raising (kBlocks, keyBlocks) widens
+    * the key (keyBlocks·64/kBlocks bits) at the cost of
+    * C(kBlocks, keyBlocks) tables per doc: (6,3) gives ~32-bit keys
+    * over 20 tables — 2¹⁶× sparser buckets for 5× the index rows,
+    * the right trade once n² / 2^keyBits dominates. Same recall
+    * (pigeonhole is exact either way, and the Hamming verify makes
+    * precision exact always). */
   /** @param maxBucketSize same adversarial-flood guard as
     *        [[minhashCandidates]]: an exact-dup flood shares every
     *        block bucket, making the block self-join quadratic in the
@@ -784,17 +798,35 @@ object Dedup {
     *        stage owns the flood's own pairs. None (default) preserves
     *        exact recall for the gates. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Option[Int] = None): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Option[Int] = None,
+      kBlocks: Int = 0, keyBlocks: Int = 1): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 31]")
-    val nBlocks = maxHamming + 1
+    val nBlocks = if (kBlocks <= 0) maxHamming + 1 else kBlocks
+    require(nBlocks <= 64, "kBlocks must be <= 64")
+    require(keyBlocks >= 1 && keyBlocks <= nBlocks - maxHamming,
+      s"keyBlocks must be in [1, kBlocks - maxHamming] = [1, ${nBlocks - maxHamming}] " +
+        "(pigeonhole: a radius-r pair is only guaranteed a fully-agreeing " +
+        "keyBlocks-subset when keyBlocks <= kBlocks - r)")
     // block widths: distribute 64 bits as evenly as possible
     val widths = Array.tabulate(nBlocks)(i => 64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     val sh = simhashes(docs, idCol, textCol).cache()
-    val blockStructs = array((0 until nBlocks).map { i =>
+    def blockExpr(i: Int): Column = {
       val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
-      struct(lit(i).as("q"),
-        shiftrightunsigned(col("sh"), offsets(i)).bitwiseAND(mask).as("qkey"))
+      shiftrightunsigned(col("sh"), offsets(i)).bitwiseAND(mask)
+    }
+    // one struct per table: table id + packed concatenation of the
+    // chosen blocks (total key bits = Σ chosen widths ≤ 64 whenever
+    // keyBlocks·⌈64/kBlocks⌉ ≤ 64 — true for every sane (k,t));
+    // combos enumerate at plan-build time, the explode is C(k,t) rows
+    val combos = (0 until nBlocks).combinations(keyBlocks).toSeq
+    require(combos.forall(c => c.map(widths(_)).sum <= 64),
+      s"packed key exceeds 64 bits for (kBlocks=$nBlocks, keyBlocks=$keyBlocks)")
+    val blockStructs = array(combos.zipWithIndex.map { case (c, ci) =>
+      val packed = c.foldLeft((lit(0L), 0)) { case ((acc, shift), bi) =>
+        (acc.bitwiseOR(shiftleft(blockExpr(bi), shift)), shift + widths(bi))
+      }._1
+      struct(lit(ci).as("q"), packed.as("qkey"))
     }: _*)
     val blocksAll = sh.select(col("id"), explode(blockStructs).as("qq"))
       .select(col("id"), col("qq.q").as("q"), col("qq.qkey").as("qkey"))

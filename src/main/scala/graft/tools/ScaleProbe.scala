@@ -203,6 +203,15 @@ object ScaleProbe {
       "q64_minhash_portable" -> (() => Dedup.minhashCandidatesPortable(
         docs, "doc_id", "text", shingleK = 2, numHashes = 32, bands = 8,
         threshold = 0.3)),
+      // r12: the simhash production kernel was never 100×-probed. The
+      // default (maxHamming+1, 1) blocking has FIXED 16-bit keys, so
+      // random-pair candidate volume grows ~ n²·4/2¹⁶ — the r6
+      // fixed-nPlanes shape. The Manku (6,3) contrast leg pays 20
+      // index rows/doc for ~32-bit keys (2¹⁶× sparser buckets).
+      "q65s_simhash_block16" -> (() => Dedup.simhashPairs(
+        docs, "doc_id", "text", maxHamming = 3)),
+      "q65s_simhash_manku63" -> (() => Dedup.simhashPairs(
+        docs, "doc_id", "text", maxHamming = 3, kBlocks = 6, keyBlocks = 3)),
       "q79_dup_clusters" -> (() => graft.ops.ConnectedComponents.hashMin(
         Dedup.minhashCandidatesPortable(docs, "doc_id", "text",
           shingleK = 2, numHashes = 32, bands = 8, threshold = 0.3),

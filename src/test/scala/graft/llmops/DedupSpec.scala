@@ -41,6 +41,26 @@ class DedupSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture must plant at least one true pair")
   }
 
+  test("simhash multi-block keys (Manku (6,3) and (6,2)) match brute force") {
+    // the r12 scale shape: wider keys over C(k,t) tables must return
+    // the IDENTICAL pair set (pigeonhole completeness + exact Hamming
+    // verify) — only the candidate volume changes
+    val expected = bruteForcePairs(perturbed, 3)
+    for ((k, t) <- Seq((6, 3), (6, 2), (8, 4))) {
+      val got = Dedup.simhashPairs(perturbed, "doc_id", "text",
+          maxHamming = 3, kBlocks = k, keyBlocks = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == expected,
+        s"(k=$k,t=$t): missing=${expected -- got} extra=${got -- expected}")
+    }
+    // the pigeonhole precondition is ENFORCED, not assumed
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(perturbed, "doc_id", "text",
+        maxHamming = 3, kBlocks = 4, keyBlocks = 2)
+    }
+    assert(e.getMessage.contains("keyBlocks"))
+  }
+
   test("simhash blocking is pigeonhole-complete at radius 8 (9 blocks)") {
     val expected = bruteForcePairs(perturbed, 8)
     val got = Dedup.simhashPairs(perturbed, "doc_id", "text", maxHamming = 8)
