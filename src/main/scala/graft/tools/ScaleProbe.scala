@@ -46,6 +46,15 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val root = java.nio.file.Files.createTempDirectory("scale-probe").toString
+    // selective staging (r12, for the 1000× legs): amplifying EVERY
+    // corpus at the probe factor is wasteful when PROBE_ONLY keeps a
+    // doc-only subset — SPARK_GRAFT_STAGE=docs,emb,ev,docslang limits
+    // which corpora amplify at `factor`; the rest stage at 1× (cheap,
+    // type-compatible; their gates are filtered out anyway).
+    val stageSel = sys.env.get("SPARK_GRAFT_STAGE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def stagedFactor(t: String): Int =
+      if (stageSel.forall(_.contains(t))) factor else 1
     val docCarry = Seq("lang", "source", "n_chars")
     val docsBase = Tables.documents(spark, sfDir)
       .select((Seq("doc_id", "text") ++ docCarry).map(col): _*)
@@ -60,22 +69,24 @@ object ScaleProbe {
     }
     val docs1 = stage("docs1", ScaleCorpus.amplifyDocs(docsBase, 1, carry = docCarry))
     val docsN = stage(s"docs$factor",
-      ScaleCorpus.amplifyDocs(docsBase, factor, carry = docCarry))
+      ScaleCorpus.amplifyDocs(docsBase, stagedFactor("docs"), carry = docCarry))
     val emb1 = stage("emb1", ScaleCorpus.amplifyEmbeddings(embBase, 1))
-    val embN = stage(s"emb$factor", ScaleCorpus.amplifyEmbeddings(embBase, factor))
+    val embN = stage(s"emb$factor",
+      ScaleCorpus.amplifyEmbeddings(embBase, stagedFactor("emb")))
     val evBase = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
         col("props"))
     val ev1 = stage("ev1",
       ScaleCorpus.amplifyEvents(evBase, 1, carry = Seq("props")))
     val evN = stage(s"ev$factor",
-      ScaleCorpus.amplifyEvents(evBase, factor, carry = Seq("props")))
+      ScaleCorpus.amplifyEvents(evBase, stagedFactor("ev"), carry = Seq("props")))
     // the q96 e2e probe needs the langId profile to SURVIVE the copy
     // suffixing (see amplifyDocsLangId) — separate staging, text only
     val docsLang1 = stage("docslang1",
       ScaleCorpus.amplifyDocsLangId(docsBase.select(col("doc_id"), col("text")), 1))
     val docsLangN = stage(s"docslang$factor",
-      ScaleCorpus.amplifyDocsLangId(docsBase.select(col("doc_id"), col("text")), factor))
+      ScaleCorpus.amplifyDocsLangId(docsBase.select(col("doc_id"), col("text")),
+        stagedFactor("docslang")))
     // the q99 eval side is a benchmark — constant size at every scale
     val evalDocs = docsBase.filter(col("doc_id") < 50).cache()
     evalDocs.count()
