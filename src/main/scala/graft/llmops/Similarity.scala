@@ -215,6 +215,57 @@ object Similarity {
   def autoPlanes(vectors: DataFrame, targetOccupancy: Long): Int =
     lshPlanesFor(vectors.count(), targetOccupancy)
 
+  /** The RECALL side of the occupancy discipline (r12): [[lshPlanesFor]]
+    * holds candidate volume linear by raising nPlanes with the corpus —
+    * which silently shrinks per-table collision probability p^nPlanes
+    * (p = 1 − θ/π for a pair at angle θ), so recall at FIXED nTables
+    * decays as the corpus grows (measured, tools/LshRecallProbe on the
+    * planted-cluster fixture: dup-grade cos≥0.9 recall 0.998 at 500
+    * vectors → 0.855 at 50k with 8 tables; the derived count — 12 —
+    * restores 0.943).
+    * This returns the table count that holds overall recall
+    * 1 − (1 − p^nPlanes)^nTables ≥ `targetRecall` for pairs at the
+    * DESIGN similarity `designCos` — the similarity you must not miss
+    * (dup-grade, typically 0.9), NOT the admission threshold: boundary
+    * pairs (cos ≈ threshold) are don't-cares, and sizing tables for
+    * them costs ~p^-nPlanes tables (hundreds) for no product value.
+    *
+    * The honest scaling law this makes explicit: under occupancy
+    * scaling, 2^nPlanes ∝ n, so required tables grow
+    * ∝ (n/occ)^log₂(1/p) — e.g. p(0.9) = 0.856 ⇒ tables ∝ n^0.22,
+    * and total verify cost n·tables ∝ n^1.22: sub-quadratic but
+    * super-linear. Sign-LSH near-dup with recall held is NOT free at
+    * scale; cheaper routes when tables get expensive are a higher
+    * design point (p → 1), multi-probe, or a PQ/SemDeDup prefilter.
+    *
+    * REGIME LIMIT (measured): BOUNDARY-grade pairs (cos ≈ the
+    * admission threshold) are unrecoverable at scale by table count —
+    * on the amplified sf fixture (all truth under cos 0.9) recall at
+    * 100× was 0.024 with 8 tables and 0.051 with 17 (R=0.9 at
+    * cos 0.4 would need ~920 tables at 13 planes). Near-dup MINING at
+    * a low threshold on a large corpus belongs to semanticDedup
+    * (q105) or a PQ prefilter, not sign-LSH — this guard exists to
+    * say so instead of silently under-recalling. */
+  def lshTablesFor(nPlanes: Int, designCos: Double,
+      targetRecall: Double = 0.9): Int = {
+    require(designCos > -1.0 && designCos < 1.0, "designCos in (-1, 1)")
+    require(targetRecall > 0.0 && targetRecall < 1.0, "targetRecall in (0, 1)")
+    require(nPlanes >= 1 && nPlanes < 62)
+    val p = 1.0 - math.acos(designCos) / math.Pi
+    val perTable = math.pow(p, nPlanes.toDouble)
+    // guard the degenerate regime (perTable ~ 0 would demand millions
+    // of tables): cap at a loud, clearly-diagnostic bound instead of
+    // returning a silently-useless astronomically large count
+    val raw = math.log1p(-targetRecall) / math.log1p(-perTable)
+    val t = math.ceil(raw).toInt.max(1)
+    require(t <= 4096,
+      f"lshTablesFor: holding recall $targetRecall%.2f at designCos=$designCos " +
+        f"needs $raw%.0f tables at nPlanes=$nPlanes — the operating point is " +
+        "outside sign-LSH's useful regime; raise the design similarity, use " +
+        "multi-probe, or prefilter (PQ/SemDeDup)")
+    t
+  }
+
   def lshTopKPortable(vectors: DataFrame, k: Int, nPlanes: Int, dim: Int,
       nTables: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
@@ -260,7 +311,11 @@ object Similarity {
     * ([[autoPlanes]] at [[NearDupOccupancy]] — what the gates and the
     * probe's default leg do since r7): the derived leg measures
     * ~linear. Recall lost to extra planes at larger corpora is
-    * recovered by raising nTables (overall 1-(1-p^nPlanes)^nTables). */
+    * recovered by raising nTables — size it with [[lshTablesFor]] at
+    * the DESIGN similarity (r12 measured, tools/LshRecallProbe:
+    * dup-grade recall 0.998 → 0.855 across 100× corpus growth at
+    * fixed 8 tables; the derived count restored 0.943 — and see the
+    * boundary-grade REGIME LIMIT on [[lshTablesFor]]). */
   def lshNearDupPairsPortable(vectors: DataFrame, threshold: Double,
       nPlanes: Int, dim: Int, nTables: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

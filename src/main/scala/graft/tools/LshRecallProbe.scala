@@ -1,0 +1,166 @@
+package graft.tools
+
+import graft.fixtures.ScaleCorpus
+import graft.llmops.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Recall-at-scale probe for sign-LSH near-dup pairs (r12): the speed
+  * probes established that occupancy-scaled nPlanes keeps candidate
+  * volume linear — this measures what that discipline does to RECALL
+  * at fixed nTables, and whether [[Similarity.lshTablesFor]]'s derived
+  * table count restores it.
+  *
+  * Ground truth without planting: `ScaleCorpus.amplifyEmbeddings`'s
+  * per-copy sign flips are isometries WITHIN a copy (signs cancel in
+  * same-copy dot products), so the 1× brute-force truth replicates
+  * exactly per copy, shifted by k·idShift; cross-copy cosines
+  * concentrate under the 0.4 threshold by construction. Truth at N× =
+  * N disjoint copies of the 1× truth — recall is computable exactly
+  * at any factor from one cheap 1× brute force (2000 vectors → 2M
+  * pairs).
+  *
+  * Legs: (a) 1× autoPlanes, 8 tables — the gate operating point;
+  * (b) N× autoPlanes, 8 tables — occupancy discipline alone;
+  * (c) N× autoPlanes, lshTablesFor(planes, designCos=0.9) tables —
+  * the recall-preserving point. Each leg reports overall recall,
+  * dup-grade (cos ≥ 0.9) recall, found-pair count, and wall time.
+  */
+object LshRecallProbe {
+  private val IdShift = 10000000L
+  private val Threshold = 0.4
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "100").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]").appName("graft-lsh-recall-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "512"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("lsh-recall").toString
+    val embBase = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val p = s"$root/$name"
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    val emb1 = stage("emb1", ScaleCorpus.amplifyEmbeddings(embBase, 1))
+    val embN = stage(s"emb$factor", ScaleCorpus.amplifyEmbeddings(embBase, factor))
+
+    // 1× brute-force truth, the operator's own rounded cosine
+    val base = emb1.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val truth = base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos", round(graft.functions.VectorFunctions
+        .cosineNative(col("a.v"), col("b.v")), 6))
+      .filter(col("cos") >= Threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+      .cache()
+    val nTruth = truth.count()
+    val nTruthDup = truth.filter(col("cos") >= 0.9).count()
+    System.err.println(s"[lshrecall] 1x truth pairs=$nTruth dup_grade=$nTruthDup")
+
+    /** Recall of `found` (id_a<id_b at any copy shift) against the
+      * replicated WITHIN-COPY truth, stratified by cosine band (the
+      * first run showed this fixture's truth is entirely
+      * boundary-grade, max cos < 0.9 — bands make the angle-recall
+      * relation visible). Cross-copy finds are genuine ≥threshold
+      * pairs created by the amplifier's sign-flip tails (verified
+      * cosine, not errors) — reported separately; they are OUTSIDE
+      * the within-copy denominator, so `recall` here is recall
+      * restricted to the replicated truth, exact by construction. */
+    def score(leg: String, found: DataFrame, copies: Int, secs: Double): Unit = {
+      val f = found.withColumn("k_a", (col("id_a") / IdShift).cast("long"))
+        .withColumn("k_b", (col("id_b") / IdShift).cast("long"))
+      val crossCopy = f.filter(col("k_a") =!= col("k_b")).count()
+      val sameBase = f.filter(col("k_a") === col("k_b"))
+        .select(pmod(col("id_a"), lit(IdShift)).as("id_a"),
+          pmod(col("id_b"), lit(IdShift)).as("id_b"))
+      val hit = sameBase.join(truth, Seq("id_a", "id_b")).cache()
+      val bands = Seq(("0.4-0.5", 0.4, 0.5), ("0.5-0.6", 0.5, 0.6),
+        ("0.6+", 0.6, 1.01))
+      val parts = bands.map { case (name, lo, hi) =>
+        val d = copies.toLong *
+          truth.filter(col("cos") >= lo && col("cos") < hi).count()
+        val h = hit.filter(col("cos") >= lo && col("cos") < hi).count()
+        if (d == 0) s"$name=n/a" else f"$name=${h.toDouble / d}%.3f"
+      }
+      val nHit = hit.count()
+      val denom = copies.toLong * nTruth
+      System.err.println(f"[lshrecall] $leg found=${f.count()}%,d " +
+        f"recall=${nHit.toDouble / denom}%.3f [${parts.mkString(" ")}] " +
+        f"cross_copy=$crossCopy t=$secs%.1f s")
+      hit.unpersist()
+    }
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val planes1 = Similarity.autoPlanes(emb1, Similarity.NearDupOccupancy)
+    val planesN = Similarity.autoPlanes(embN, Similarity.NearDupOccupancy)
+    val tablesDerived = Similarity.lshTablesFor(planesN, designCos = 0.9)
+    System.err.println(s"[lshrecall] planes1=$planes1 planesN=$planesN " +
+      s"tablesFor(designCos=0.9, recall=0.9)=$tablesDerived")
+
+    val (f1, t1) = timed(stage("found1", Similarity.lshNearDupPairsPortable(
+      emb1, Threshold, planes1, dim = 64, nTables = 8)))
+    score(s"1x planes=$planes1 tables=8", f1, 1, t1)
+
+    val (fN8, tN8) = timed(stage("foundN8", Similarity.lshNearDupPairsPortable(
+      embN, Threshold, planesN, dim = 64, nTables = 8)))
+    score(s"${factor}x planes=$planesN tables=8", fN8, factor, tN8)
+
+    val (fNd, tNd) = timed(stage("foundNd", Similarity.lshNearDupPairsPortable(
+      embN, Threshold, planesN, dim = 64, nTables = tablesDerived)))
+    score(s"${factor}x planes=$planesN tables=$tablesDerived", fNd, factor, tNd)
+
+    // ---- planted-cluster legs: lshTablesFor on its INTENDED regime —
+    // dup-grade pairs (within-cluster cos ≈ 0.95 at sigma 0.33), which
+    // the sf embeddings fixture lacks entirely (max truth cos < 0.9).
+    // Corpus grows by MORE clusters (cluster size fixed — real dup
+    // structure is local), so autoPlanes rises and per-pair recall at
+    // fixed tables decays; the derived table count should restore it.
+    for (nClusters <- Seq(50, 5000)) {
+      val planted = stage(s"planted$nClusters",
+        ScaleCorpus.plantedClusters(spark, nClusters = nClusters))
+      val pBase = planted.select(col("vec_id").as("id"), col("embedding").as("v"),
+        col("label"))
+      // dup-grade truth = cluster-mate pairs at operator-rounded
+      // cos >= 0.9 (a per-label self-join — cheap at any corpus size)
+      val pTruth = pBase.as("a").join(pBase.as("b"),
+          col("a.label") === col("b.label") && col("a.id") < col("b.id"))
+        .withColumn("cos", round(graft.functions.VectorFunctions
+          .cosineNative(col("a.v"), col("b.v")), 6))
+        .filter(col("cos") >= 0.9)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .cache()
+      val nPT = pTruth.count()
+      val planes = Similarity.autoPlanes(planted, Similarity.NearDupOccupancy)
+      val tDer = Similarity.lshTablesFor(planes, designCos = 0.9)
+      for (tables <- Seq(8, tDer).distinct) {
+        val (fp, tp) = timed(stage(s"plfound_${nClusters}_$tables",
+          Similarity.lshNearDupPairsPortable(planted, Threshold, planes,
+            dim = 64, nTables = tables)))
+        val nHit = fp.join(pTruth, Seq("id_a", "id_b")).count()
+        System.err.println(f"[lshrecall] planted n=${nClusters * 10}%,d " +
+          f"planes=$planes tables=$tables (derived=$tDer) " +
+          f"dup_truth=$nPT dup_recall=${nHit.toDouble / nPT}%.3f t=$tp%.1f s")
+      }
+      pTruth.unpersist()
+    }
+
+    spark.stop()
+  }
+}

@@ -142,4 +142,27 @@ class SimilaritySpec extends SparkSpec {
     // huge corpora don't overflow the shift math
     assert(Similarity.lshPlanesFor(Long.MaxValue, 8) == 60)
   }
+
+  test("lshTablesFor: minimal table count achieving the recall target") {
+    // r12 (the recall side of the occupancy discipline): the returned
+    // count achieves 1-(1-p^planes)^tables >= target and is minimal
+    def overall(planes: Int, cos: Double, tables: Int): Double = {
+      val p = 1.0 - math.acos(cos) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, planes.toDouble), tables.toDouble)
+    }
+    for (planes <- Seq(4, 6, 13); cos <- Seq(0.8, 0.9, 0.95);
+         target <- Seq(0.5, 0.9, 0.99)) {
+      val t = Similarity.lshTablesFor(planes, cos, target)
+      assert(overall(planes, cos, t) >= target, s"($planes,$cos,$target)->$t")
+      if (t > 1) assert(overall(planes, cos, t - 1) < target,
+        s"($planes,$cos,$target)->$t not minimal")
+    }
+    // tables grow with planes (the corpus-growth trade made explicit)
+    assert(Similarity.lshTablesFor(13, 0.9) > Similarity.lshTablesFor(6, 0.9))
+    // outside sign-LSH's useful regime -> loud failure, not 10^6 tables
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshTablesFor(40, 0.5, 0.9)
+    }
+    assert(e.getMessage.contains("useful regime"))
+  }
 }
