@@ -246,6 +246,21 @@ object Similarity {
     * a low threshold on a large corpus belongs to semanticDedup
     * (q105) or a PQ prefilter, not sign-LSH — this guard exists to
     * say so instead of silently under-recalling. */
+  /** The IVF twin of [[lshPlanesFor]] (r12): cells for THIS corpus at
+    * a per-cell occupancy target. Fixed nCells is the same
+    * fixed-bucket-space mistake as fixed nPlanes — candidate volume
+    * per self-top-k is n·nProbe·(n/nCells), quadratic by arithmetic
+    * once cells stop scaling — while occupancy-held cells keep it
+    * n·nProbe·occ, linear. Recall under cell scaling is measured by
+    * tools/IvfRecallProbe (nProbe is the recovery knob; unlike
+    * sign-LSH's table count it multiplies a BOUNDED per-query cost,
+    * so holding recall at scale is cheap here). */
+  def ivfCellsFor(corpusSize: Long, targetOccupancy: Long = 256): Int = {
+    require(corpusSize > 0 && targetOccupancy > 0)
+    // overflow-safe ceil: (n-1)/occ + 1 never exceeds Long range
+    ((corpusSize - 1) / targetOccupancy + 1).min(1000000L).toInt
+  }
+
   def lshTablesFor(nPlanes: Int, designCos: Double,
       targetRecall: Double = 0.9): Int = {
     require(designCos > -1.0 && designCos < 1.0, "designCos in (-1, 1)")

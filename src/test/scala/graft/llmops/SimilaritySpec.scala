@@ -165,4 +165,15 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("useful regime"))
   }
+
+  test("ivfCellsFor: occupancy-held cell count (IVF twin of lshPlanesFor)") {
+    // the q39 gate point IS the derived value at its corpus size
+    assert(Similarity.ivfCellsFor(2000) == 8)
+    assert(Similarity.ivfCellsFor(200000) == 782)
+    // ceil semantics and bounds
+    assert(Similarity.ivfCellsFor(1) == 1)
+    assert(Similarity.ivfCellsFor(256) == 1)
+    assert(Similarity.ivfCellsFor(257) == 2)
+    assert(Similarity.ivfCellsFor(Long.MaxValue) == 1000000)
+  }
 }
