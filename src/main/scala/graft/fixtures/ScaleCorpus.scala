@@ -104,6 +104,25 @@ object ScaleCorpus {
         col("event_type"), col("ts")) ++ carry.map(col)): _*)
     }.reduce(_ unionByName _)
 
+  /** Relational fact tables ×factor (r12, for the relational-core
+    * scale legs): every row appears `factor` times with its key
+    * columns shifted per copy — shift BOTH sides of a join by the
+    * same copy offset and the per-copy join fan-out / key
+    * distributions are preserved exactly while rows grow ×factor
+    * (the production shape: more transactions, same schema). Group-by
+    * columns are untouched, so aggregate group counts stay constant
+    * unless the group key IS a shifted key (then groups grow ×factor
+    * too — the wide-agg stressor). One explode node, not a
+    * factor-way union: plan size stays O(1) at any factor. */
+  def amplifyFacts(facts: DataFrame, keyCols: Seq[String], factor: Int,
+      idShift: Long = 1000000000L): DataFrame = {
+    val withK = facts.withColumn("__copy",
+      explode(sequence(lit(0L), lit(factor - 1L))))
+    keyCols.foldLeft(withK) { (d, c) =>
+      d.withColumn(c, col(c) + col("__copy") * idShift)
+    }.drop("__copy")
+  }
+
   /** embeddings ×factor with per-copy orthogonal sign flips. */
   def amplifyEmbeddings(emb: DataFrame, factor: Int, dim: Int = 64,
       idShift: Long = 10000000L): DataFrame =

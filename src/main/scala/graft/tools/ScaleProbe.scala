@@ -87,6 +87,18 @@ object ScaleProbe {
     val docsLangN = stage(s"docslang$factor",
       ScaleCorpus.amplifyDocsLangId(docsBase.select(col("doc_id"), col("text")),
         stagedFactor("docslang")))
+    // relational fact pair (r12): lineitem/orders with per-copy
+    // order-key shifts — join fan-out preserved, rows ×factor
+    val liBase = Tables.lineitem(spark, sfDir)
+    val ordBase = Tables.orders(spark, sfDir)
+    val li1 = stage("li1",
+      ScaleCorpus.amplifyFacts(liBase, Seq("l_orderkey"), 1))
+    val liN = stage(s"li$factor",
+      ScaleCorpus.amplifyFacts(liBase, Seq("l_orderkey"), stagedFactor("facts")))
+    val ord1 = stage("ord1",
+      ScaleCorpus.amplifyFacts(ordBase, Seq("o_orderkey"), 1))
+    val ordN = stage(s"ord$factor",
+      ScaleCorpus.amplifyFacts(ordBase, Seq("o_orderkey"), stagedFactor("facts")))
     // the q99 eval side is a benchmark — constant size at every scale
     val evalDocs = docsBase.filter(col("doc_id") < 50).cache()
     evalDocs.count()
@@ -100,7 +112,29 @@ object ScaleProbe {
     }
 
     def gates(docs: DataFrame, emb: DataFrame, ev: DataFrame,
-        docsLang: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+        docsLang: DataFrame, li: DataFrame, ord: DataFrame)
+        : Seq[(String, () => DataFrame)] = Seq(
+      // r12: the relational core's first MEASURED legs (SCALE.md's
+      // claims were narrative until now). q01f = the TPC-H Q1 shape:
+      // constant group count, so the shuffle is one row per group per
+      // map partition — measures scan + codegen-agg throughput. q03f
+      // = fact-fact join + WIDE agg (group key is the shifted order
+      // key: groups grow ×factor) + top-k — the shuffle-heavy shape.
+      "q01f_pricing_agg" -> (() => li
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          avg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("n"))),
+      "q03f_join_wide_topk" -> (() => li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)),
       // r11 additions (VERDICT r10 "Next round" #2): the never-probed
       // heavy composites. q96 chains five admission stages (each keyed
       // shuffle ∝ corpus); q105 is LSH pairs + hashMin CC (CC rounds
@@ -317,8 +351,8 @@ object ScaleProbe {
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def keep(n: String) = only.forall(_.exists(n.startsWith))
-    val g1 = gates(docs1, emb1, ev1, docsLang1).filter(p => keep(p._1))
-    val gN = gates(docsN, embN, evN, docsLangN).filter(p => keep(p._1))
+    val g1 = gates(docs1, emb1, ev1, docsLang1, li1, ord1).filter(p => keep(p._1))
+    val gN = gates(docsN, embN, evN, docsLangN, liN, ordN).filter(p => keep(p._1))
     var t1Lsh = 0.0
     val rows = g1.zip(gN).map { case ((name, mk1), (_, mkN)) =>
       val t1 = time(mk1)
