@@ -496,7 +496,11 @@ object Similarity {
     * candidate equi-join, keyed CC rounds, one window on cluster_id;
     * composition adds no new shuffle class. Deterministic end to end
     * (portable buckets, round-6 cosine, min-id labels) so the whole
-    * product is DuckDB-replayable. */
+    * product is DuckDB-replayable. Recall at scale: the pair stage is
+    * [[lshNearDupPairsPortable]], so the r12 measurements apply —
+    * size `nTables` with [[lshTablesFor]] at the design similarity
+    * when `nPlanes` is corpus-derived, or recall silently decays as
+    * the corpus grows. */
   def semanticDedup(vectors: DataFrame, threshold: Double, nPlanes: Int,
       dim: Int, nTables: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
