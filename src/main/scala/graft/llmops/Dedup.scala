@@ -419,7 +419,48 @@ object Dedup {
     val T = math.floor(threshold * 1e6).toLong
     // NOT cached: columnar-caching array rows costs more than
     // re-running the shingle kernel (bench-adjudicated r8: the cached
-    // variant ran 12→21 s at sf0.1 across three passes)
+    // variant ran 12→21 s at sf0.1 across three passes). Re-deriving
+    // the same uncached lineage inside the candidate helper is
+    // plan-identical.
+    val sh = shingleSets(docs, idCol, textCol, shingleK)
+    val candidates = prefixJaccardCandidates(docs, idCol, textCol,
+      shingleK, threshold, collisionGuard)
+    val shh = hashedShingleSets(sh)
+    val withInter =
+      if (verifyBuckets > 0) bucketedIntersections(shh, candidates, verifyBuckets)
+      else candidates
+        // shuffle_hash, not sort-merge: the second join's SMJ would SORT
+        // the pair×array intermediate (the spill that caused the 100×
+        // knee); hashing builds on the small per-doc side and STREAMS
+        // the wide rows unsorted
+        .join(shh.hint("shuffle_hash")
+          .select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(shh.hint("shuffle_hash")
+          .select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("inter",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+    withInter
+      .withColumn("jaccard", col("inter") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** The candidate stage of [[prefixFilterJoin]], extracted (r12) so
+    * scale diagnostics can measure candidate volume counts-only
+    * without materializing the verify exchange (the stage that needs
+    * ~540 GiB of shuffle at 1000× — tools/PrefixCandDiag). Returns the
+    * grouped, fully PPJoin-filtered candidates (id_a, id_b, n_a, n_b)
+    * when `grouped` (the operator's input to verify); `grouped = false`
+    * returns the RAW prefix-join matches before the pair aggregation —
+    * the row volume the groupBy exchange actually moves, which is the
+    * byte driver the telemetry sees. Diagnostics-only view; the
+    * operator always consumes the grouped form. */
+  private[graft] def prefixJaccardCandidates(docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, threshold: Double,
+      collisionGuard: Boolean = false, grouped: Boolean = true): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val T = math.floor(threshold * 1e6).toLong
     val sh = shingleSets(docs, idCol, textCol, shingleK)
     // set size RIDES THROUGH the explode as a column (r11): sh is a
     // distinct set so size(sh) == the per-id instance count, and
@@ -446,7 +487,7 @@ object Dedup {
       // t·n rounds up across an integer boundary)
       .filter(expr(s"rk <= n - (($T * n + 999999) DIV 1000000) + 1"))
       .select(col("id"), col("tid"), col("rk"), col("n"))
-    val candidates = prefixes.as("a")
+    val raw = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.tid") === col("b.tid") && col("a.id") < col("b.id"))
       // LENGTH filter: J(x,y) ≤ min/max, so T·max(n_a,n_b) ≤ 1e6·min
@@ -456,31 +497,16 @@ object Dedup {
       .withColumn("ub",
         least(col("a.rk"), col("b.rk")) +
           least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")))
+    if (!grouped)
+      raw.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"), col("ub"))
+    else raw
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(min(col("ub")).as("ub"))
       // o ≥ t/(1+t)·(n_a+n_b)  ⇔  o·(1e6+T) ≥ T·(n_a+n_b), exact longs
       .filter(col("ub") * (1000000L + T) >= lit(T) * (col("n_a") + col("n_b")))
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-    val shh = hashedShingleSets(sh)
-    val withInter =
-      if (verifyBuckets > 0) bucketedIntersections(shh, candidates, verifyBuckets)
-      else candidates
-        // shuffle_hash, not sort-merge: the second join's SMJ would SORT
-        // the pair×array intermediate (the spill that caused the 100×
-        // knee); hashing builds on the small per-doc side and STREAMS
-        // the wide rows unsorted
-        .join(shh.hint("shuffle_hash")
-          .select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-        .join(shh.hint("shuffle_hash")
-          .select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-        .withColumn("inter",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-    withInter
-      .withColumn("jaccard", col("inter") /
-        (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** (id, sh: array<bigint>) — each doc's shingle set as 64-bit

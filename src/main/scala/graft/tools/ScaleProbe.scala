@@ -230,6 +230,17 @@ object ScaleProbe {
       }),
       "q132_prefix_join" -> (() => Dedup.prefixFilterJoin(
         docs, "doc_id", "text", shingleK = 3, threshold = 0.5)),
+      // r12: the BUCKETED verify at the single-box disk limit. The
+      // join verify (default, r11 A/B winner at ≤100×) moves the
+      // pair×array intermediate once per pair (~1.5 TB raw at 1000× —
+      // it died on this machine's disk); the bucketed plan ships each
+      // doc's array ≤ verifyBuckets times and pairs as 5 narrow longs,
+      // so the SAME query fits. 256 buckets bound per-task heap at
+      // ~140 MB for the 1000× corpus (see bucketedIntersections'
+      // memory contract).
+      "q132v_bucketed256" -> (() => Dedup.prefixFilterJoin(
+        docs, "doc_id", "text", shingleK = 3, threshold = 0.5,
+        verifyBuckets = 256)),
       "q123_ivm" -> (() => {
         val o = docs.select(col("doc_id").as("k"),
           (length(col("text")) % 10).as("g"),
@@ -337,8 +348,13 @@ object ScaleProbe {
         .quantileBucketedEventsScale(
           ev.withColumn("ts_ns", expr("unix_micros(ts) * 1000")), 8)))
 
+    // best-of-N; SPARK_GRAFT_PROBE_PASSES=1 for the very long 1000×
+    // legs (a single pass of a 10-minute gate is still adjudication
+    // data — the contention term is ≪ the measured quantity there)
+    val probePasses = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "2")
+      .toInt.max(1)
     def time(mk: () => DataFrame): Double = {
-      val ts = (1 to 2).map { _ =>
+      val ts = (1 to probePasses).map { _ =>
         val t0 = System.nanoTime()
         mk().write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
