@@ -406,17 +406,21 @@ object Dedup {
     * ≤ `verifyBuckets` copies. 0 keeps the r10 double shuffle-hash
     * join (identical output; oracle-proven by the q161 gate).
     *
+    * `diskGuard` (default on, r13): fail-fast single-box disk check
+    * BEFORE any expensive stage — see [[assertTransientDiskBudget]];
+    * one scan-only agg, then an immediate explanatory error where the
+    * r12 probes burned >70 GB and died mid-verify.
+    *
     * Output: (id_a, id_b, jaccard) for id_a < id_b, jaccard ≥ t. */
   def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.5,
-      verifyBuckets: Int = 0, collisionGuard: Boolean = false): DataFrame = {
+      verifyBuckets: Int = 0, collisionGuard: Boolean = false,
+      diskGuard: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
-    // FLOOR, not round: T feeds necessary-condition candidate filters
-    // while the final verify compares the double `jaccard >= threshold`
-    // directly. Half-up rounding could make T/1e6 > threshold and prune
-    // a pair with true Jaccard in [threshold, T/1e6) — filters may only
-    // ever be looser than the verify (ADVICE r10).
-    val T = math.floor(threshold * 1e6).toLong
+    if (diskGuard) assertTransientDiskBudget(docs, textCol, "prefixFilterJoin")
+    // the integer ppm threshold T and every T-based candidate filter
+    // live in prefixJaccardCandidates (extracted r12); this method only
+    // verifies with the double `jaccard >= threshold` directly
     // NOT cached: columnar-caching array rows costs more than
     // re-running the shingle kernel (bench-adjudicated r8: the cached
     // variant ran 12→21 s at sf0.1 across three passes). Re-deriving
@@ -517,6 +521,76 @@ object Dedup {
     // interpreted higher-order cost is far below the exchange it
     // replaces — the array never leaves the map task as strings)
     sh.select(col("id"), transform(col("sh"), t => xxhash64(t)).as("sh"))
+
+  /** Measured aggregate-transient-shuffle constant for the exact
+    * similarity-join family (SCALE.md r12, attributed with two dead
+    * jobs): Spark keeps every stage's shuffle files until the job
+    * ends, and the family's multi-stage pipeline (freq join, rank
+    * window, candidate self-join + group, verify) sums to ~100× the
+    * raw text input in transient shuffle REGARDLESS of verify shape —
+    * the bucketed verify died on the same corpus as the join verify. */
+  private val TransientShuffleFactor = 100L
+
+  /** Fail-fast single-box disk-budget guard for the exact similarity-
+    * join family (r13, VERDICT r12 #4). The two r12 1000× deaths each
+    * burned >70 GB of shuffle spill and minutes of work before the OS
+    * killed the JVM; this turns that into an immediate, explanatory
+    * failure: one scan-only aggregation (no shuffle, no join — seconds
+    * even at the corpus size that kills the box) estimates the
+    * family's aggregate transient shuffle as
+    * `sum(length(text)) · TransientShuffleFactor` and throws if it
+    * exceeds the disk budget BEFORE any expensive stage launches.
+    *
+    * Budget = usable space on the first spark.local.dir (fallback
+    * SPARK_LOCAL_DIRS, then java.io.tmpdir) × the executor count —
+    * shuffle spill spreads across nodes on a real cluster, which is
+    * exactly why the measured ~100×-input constant is a per-node
+    * triviality there (~1.5 GB/node at the corpus that kills one box)
+    * and why this guard fires only in the single-box regime it
+    * protects. Override via the session conf
+    * `graft.exactJoin.diskBudgetBytes` (specs; deliberately-sized
+    * deployments), or disable with `diskGuard = false` at the call
+    * site.
+    *
+    * Deliberately INPUT-based, not candidate-based: the r12
+    * attribution measured candidate volume exactly linear four decades
+    * deep while BOTH verify shapes still died — the killer is
+    * accumulation across stages, so input volume is the honest
+    * predictor, and a candidates-derived lower estimate would
+    * green-light a job the box still cannot hold. For corpora whose
+    * candidate volume genuinely deviates, run the counts-only
+    * [[prefixJaccardCandidates]] diagnostic first and size the budget
+    * override deliberately. */
+  private def assertTransientDiskBudget(docs: DataFrame, textCol: String,
+      opName: String): Unit = {
+    val spark = docs.sparkSession
+    val row = docs.agg(
+      coalesce(sum(length(col(textCol)).cast("long")), lit(0L)),
+      count(lit(1))).head()
+    val inputBytes = row.getLong(0)
+    val estimate = inputBytes * TransientShuffleFactor
+    val budget = spark.conf.getOption("graft.exactJoin.diskBudgetBytes")
+      .map(_.toLong).getOrElse {
+      val localDir = spark.conf.getOption("spark.local.dir")
+        .orElse(sys.env.get("SPARK_LOCAL_DIRS").map(_.split(",").head))
+        .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+      val nodes = spark.sparkContext.getExecutorMemoryStatus.size.max(1)
+      new java.io.File(localDir).getUsableSpace * nodes.toLong
+    }
+    if (estimate > budget) throw new IllegalStateException(
+      f"$opName disk-budget guard: ~${inputBytes / 1e9}%.1f GB of text " +
+        f"implies ~${estimate / 1e9}%.0f GB of aggregate transient shuffle " +
+        f"(measured ~${TransientShuffleFactor}x input, SCALE.md r12) against " +
+        f"~${budget / 1e9}%.0f GB of local shuffle capacity — the exact " +
+        "similarity join is a CLUSTER operator at this corpus size (its " +
+        "candidate volume is measured-linear; the wall is single-box disk). " +
+        "Alternatives on one box: minhashCandidates / " +
+        "minhashCandidatesPortable (the approximate family member), a " +
+        "champion-capped similarity (ContentRecommender.similarDocsPrefix), " +
+        "or a higher threshold. To proceed anyway: diskGuard = false, or " +
+        "set graft.exactJoin.diskBudgetBytes to the capacity you actually " +
+        "have (e.g. per-node free x executor count on a sized cluster).")
+  }
 
   /** The `collisionGuard` pass (eager by design — a guard that only
     * logged lazily would not guard): fails the job if any two DISTINCT
@@ -659,8 +733,10 @@ object Dedup {
     * containment_ppm). */
   def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.8,
-      verifyBuckets: Int = 0, collisionGuard: Boolean = false): DataFrame = {
+      verifyBuckets: Int = 0, collisionGuard: Boolean = false,
+      diskGuard: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    if (diskGuard) assertTransientDiskBudget(docs, textCol, "containmentJoin")
     // FLOOR for filter/verify consistency (ADVICE r10): here T is also
     // the verify boundary (containment_ppm >= T), so floor keeps the
     // candidate filters and the verify on the SAME integer threshold.
@@ -791,6 +867,50 @@ object Dedup {
       }.toDF("id", "sh")
   }
 
+  /** The occupancy-preserving (kBlocks, keyBlocks) for a corpus — the
+    * [[graft.llmops.Similarity.lshPlanesFor]] discipline applied to
+    * SimHash blocking (r13, VERDICT r12 weak #1): the minimal
+    * (maxHamming+1, 1) blocking's key space is FIXED (4·2¹⁶ buckets at
+    * radius 3), so random-pair candidate volume grows ~ n²·k/2^keyBits
+    * — measured SATURATED at 5M docs (1.12B candidates, local growth
+    * exponent 1.42 and accelerating; SCALE.md r12). This picks the
+    * smallest `keyBlocks` (hence fewest C(kBlocks, keyBlocks) index
+    * tables) whose WORST table still holds expected bucket occupancy
+    * ≤ `targetOccupancy`, with kBlocks = maxHamming + keyBlocks (the
+    * table-count-minimal k for a given key width: more blocks only
+    * narrow each block).
+    *
+    * Pure-integer selection (the lshPlanesFor no-wobble rule): the
+    * conservative key width is the sum of the `keyBlocks` SMALLEST
+    * block widths, and the occupancy test is a shift-divide —
+    * `(n-1) >> keyBits < occ` — so the derivation is exact arithmetic
+    * any replay reproduces. Ladder at radius 3, occupancy 32:
+    * (4,1) ≤ 2.1M docs · 4 tables; (5,2) ≤ 1.07B · 10 tables;
+    * (6,3) ≤ 68B · 20 tables; (7,4) ≤ 2.2T · 35 tables. Table count
+    * grows far slower than the decade it buys — the derived config
+    * holds candidates linear where the fixed default is quadratic by
+    * arithmetic. */
+  def simhashBlocksFor(corpusSize: Long, maxHamming: Int,
+      targetOccupancy: Long = 32L): (Int, Int) = {
+    require(corpusSize > 0 && targetOccupancy > 0)
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 31]")
+    var t = 1
+    while (t <= 16) {
+      val k = maxHamming + t
+      val widths = Array.tabulate(k)(i => 64 / k + (if (i < 64 % k) 1 else 0))
+      val keyBits = widths.sorted.take(t).sum
+      if (keyBits >= 62 || (corpusSize - 1) >> keyBits < targetOccupancy)
+        return (k, t)
+      t += 1
+    }
+    throw new IllegalStateException(
+      s"simhashBlocksFor: no (kBlocks, keyBlocks) ladder point holds " +
+        s"occupancy $targetOccupancy at corpusSize=$corpusSize, " +
+        s"maxHamming=$maxHamming within 16 key blocks — the corpus is " +
+        "beyond the 64-bit simhash key space; shard the corpus or raise " +
+        "targetOccupancy deliberately")
+  }
+
   /** SimHash near-dup pairs within a Hamming radius. Blocking is
     * pigeonhole-complete for the REQUESTED radius: the 64 bits are cut
     * into `kBlocks` contiguous blocks and every `keyBlocks`-subset of
@@ -803,18 +923,22 @@ object Dedup {
     * in. Candidate generation stays an equi-join on (table, key) —
     * never a cross join.
     *
-    * SCALE KNOB (r12, the r6 fixed-nPlanes lesson applied to
-    * SimHash): the default (kBlocks = maxHamming+1, keyBlocks = 1)
-    * is the minimal-table variant — 16-bit keys at radius 3, so
-    * random-pair candidate volume grows ~ n²·kBlocks/2¹⁶: a FIXED
-    * bucket space that saturates as the corpus grows, exactly like
-    * sign-LSH at fixed nPlanes. Raising (kBlocks, keyBlocks) widens
-    * the key (keyBlocks·64/kBlocks bits) at the cost of
-    * C(kBlocks, keyBlocks) tables per doc: (6,3) gives ~32-bit keys
-    * over 20 tables — 2¹⁶× sparser buckets for 5× the index rows,
-    * the right trade once n² / 2^keyBits dominates. Same recall
-    * (pigeonhole is exact either way, and the Hamming verify makes
-    * precision exact always). */
+    * SCALE KNOB — DERIVED BY DEFAULT since r13 (the r6 fixed-nPlanes
+    * lesson, completed): with `kBlocks <= 0` the blocking comes from
+    * [[simhashBlocksFor]] on the LIVE corpus size (one count() on the
+    * already-cached simhash frame — it materializes a cache the joins
+    * reuse), so the key space scales with the corpus instead of
+    * saturating. At gate scale (≤ 2.1M docs, radius 3) the derivation
+    * returns (4, 1) — exactly the old minimal default, so existing
+    * gate outputs are bit-identical; at 5M docs it returns (5, 2),
+    * where the r12 candidate diag measured the fixed default already
+    * quadratic (1.12B candidates vs Manku-keyed tens of millions).
+    * Passing explicit `(kBlocks, keyBlocks)` pins the blocking
+    * (contrast probes, reproducing historical operating points);
+    * `keyBlocks` is ignored when kBlocks <= 0. Recall is identical at
+    * every ladder point (pigeonhole is exact either way, and the
+    * Hamming verify makes precision exact always); cost of a wider
+    * point is C(kBlocks, keyBlocks) index rows per doc. */
   /** @param maxBucketSize same adversarial-flood guard as
     *        [[minhashCandidates]]: an exact-dup flood shares every
     *        block bucket, making the block self-join quadratic in the
@@ -827,16 +951,18 @@ object Dedup {
       maxHamming: Int = 3, maxBucketSize: Option[Int] = None,
       kBlocks: Int = 0, keyBlocks: Int = 1): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 31]")
-    val nBlocks = if (kBlocks <= 0) maxHamming + 1 else kBlocks
+    val sh = simhashes(docs, idCol, textCol).cache()
+    val (nBlocks, nKeyBlocks) =
+      if (kBlocks <= 0) simhashBlocksFor(sh.count().max(1L), maxHamming)
+      else (kBlocks, keyBlocks)
     require(nBlocks <= 64, "kBlocks must be <= 64")
-    require(keyBlocks >= 1 && keyBlocks <= nBlocks - maxHamming,
+    require(nKeyBlocks >= 1 && nKeyBlocks <= nBlocks - maxHamming,
       s"keyBlocks must be in [1, kBlocks - maxHamming] = [1, ${nBlocks - maxHamming}] " +
         "(pigeonhole: a radius-r pair is only guaranteed a fully-agreeing " +
         "keyBlocks-subset when keyBlocks <= kBlocks - r)")
     // block widths: distribute 64 bits as evenly as possible
     val widths = Array.tabulate(nBlocks)(i => 64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    val sh = simhashes(docs, idCol, textCol).cache()
     def blockExpr(i: Int): Column = {
       val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
       shiftrightunsigned(col("sh"), offsets(i)).bitwiseAND(mask)
@@ -845,9 +971,9 @@ object Dedup {
     // chosen blocks (total key bits = Σ chosen widths ≤ 64 whenever
     // keyBlocks·⌈64/kBlocks⌉ ≤ 64 — true for every sane (k,t));
     // combos enumerate at plan-build time, the explode is C(k,t) rows
-    val combos = (0 until nBlocks).combinations(keyBlocks).toSeq
+    val combos = (0 until nBlocks).combinations(nKeyBlocks).toSeq
     require(combos.forall(c => c.map(widths(_)).sum <= 64),
-      s"packed key exceeds 64 bits for (kBlocks=$nBlocks, keyBlocks=$keyBlocks)")
+      s"packed key exceeds 64 bits for (kBlocks=$nBlocks, keyBlocks=$nKeyBlocks)")
     val blockStructs = array(combos.zipWithIndex.map { case (c, ci) =>
       val packed = c.foldLeft((lit(0L), 0)) { case ((acc, shift), bi) =>
         (acc.bitwiseOR(shiftleft(blockExpr(bi), shift)), shift + widths(bi))

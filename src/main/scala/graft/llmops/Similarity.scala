@@ -185,6 +185,13 @@ object Similarity {
   val NearDupOccupancy = 32L
   val TopKOccupancy = 8L
 
+  /** The near-dup family's DESIGN similarity — the cosine a duplicate
+    * pair actually lives at (planted-cluster dups measure ≈ 0.95;
+    * real near-dup corpora ≈ 0.9+), which [[lshTablesFor]] sizes the
+    * table count against. NOT the admission threshold: boundary pairs
+    * are don't-cares per the regime-limit contract on [[lshTablesFor]]. */
+  val NearDupDesignCos = 0.9
+
   /** The occupancy-preserving nPlanes for a corpus: smallest plane
     * count keeping expected per-bucket occupancy ≤ `targetOccupancy`
     * (bucket count is 2^nPlanes per table). This is the discipline the
@@ -214,6 +221,21 @@ object Similarity {
     * parquet, negligible next to the LSH pass it parameterizes. */
   def autoPlanes(vectors: DataFrame, targetOccupancy: Long): Int =
     lshPlanesFor(vectors.count(), targetOccupancy)
+
+  /** The IVF twin of [[lshPlanesFor]] (r12): cells for THIS corpus at
+    * a per-cell occupancy target. Fixed nCells is the same
+    * fixed-bucket-space mistake as fixed nPlanes — candidate volume
+    * per self-top-k is n·nProbe·(n/nCells), quadratic by arithmetic
+    * once cells stop scaling — while occupancy-held cells keep it
+    * n·nProbe·occ, linear. Recall under cell scaling is measured by
+    * tools/IvfRecallProbe (nProbe is the recovery knob; unlike
+    * sign-LSH's table count it multiplies a BOUNDED per-query cost,
+    * so holding recall at scale is cheap here). */
+  def ivfCellsFor(corpusSize: Long, targetOccupancy: Long = 256): Int = {
+    require(corpusSize > 0 && targetOccupancy > 0)
+    // overflow-safe ceil: (n-1)/occ + 1 never exceeds Long range
+    ((corpusSize - 1) / targetOccupancy + 1).min(1000000L).toInt
+  }
 
   /** The RECALL side of the occupancy discipline (r12): [[lshPlanesFor]]
     * holds candidate volume linear by raising nPlanes with the corpus —
@@ -246,21 +268,6 @@ object Similarity {
     * a low threshold on a large corpus belongs to semanticDedup
     * (q105) or a PQ prefilter, not sign-LSH — this guard exists to
     * say so instead of silently under-recalling. */
-  /** The IVF twin of [[lshPlanesFor]] (r12): cells for THIS corpus at
-    * a per-cell occupancy target. Fixed nCells is the same
-    * fixed-bucket-space mistake as fixed nPlanes — candidate volume
-    * per self-top-k is n·nProbe·(n/nCells), quadratic by arithmetic
-    * once cells stop scaling — while occupancy-held cells keep it
-    * n·nProbe·occ, linear. Recall under cell scaling is measured by
-    * tools/IvfRecallProbe (nProbe is the recovery knob; unlike
-    * sign-LSH's table count it multiplies a BOUNDED per-query cost,
-    * so holding recall at scale is cheap here). */
-  def ivfCellsFor(corpusSize: Long, targetOccupancy: Long = 256): Int = {
-    require(corpusSize > 0 && targetOccupancy > 0)
-    // overflow-safe ceil: (n-1)/occ + 1 never exceeds Long range
-    ((corpusSize - 1) / targetOccupancy + 1).min(1000000L).toInt
-  }
-
   def lshTablesFor(nPlanes: Int, designCos: Double,
       targetRecall: Double = 0.9): Int = {
     require(designCos > -1.0 && designCos < 1.0, "designCos in (-1, 1)")
@@ -326,16 +333,22 @@ object Similarity {
     * ([[autoPlanes]] at [[NearDupOccupancy]] — what the gates and the
     * probe's default leg do since r7): the derived leg measures
     * ~linear. Recall lost to extra planes at larger corpora is
-    * recovered by raising nTables — size it with [[lshTablesFor]] at
-    * the DESIGN similarity (r12 measured, tools/LshRecallProbe:
-    * dup-grade recall 0.998 → 0.855 across 100× corpus growth at
-    * fixed 8 tables; the derived count restored 0.943 — and see the
-    * boundary-grade REGIME LIMIT on [[lshTablesFor]]). */
+    * recovered by raising nTables — and since r13 the DEFAULT
+    * (`nTables = 0`) derives it: [[lshTablesFor]] at
+    * [[NearDupDesignCos]], so recall at the design similarity is held
+    * with no manual table choice. r12 measured why a fixed count is
+    * wrong: dup-grade recall 0.998 → 0.855 across 100× corpus growth
+    * at the old fixed 8 tables; the derived count restored 0.943 (and
+    * see the boundary-grade REGIME LIMIT on [[lshTablesFor]]). Pass
+    * `nTables > 0` to pin an explicit count (the recall gates pin
+    * their measured operating point this way). */
   def lshNearDupPairsPortable(vectors: DataFrame, threshold: Double,
-      nPlanes: Int, dim: Int, nTables: Int = 8,
+      nPlanes: Int, dim: Int, nTables: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val tables =
+      if (nTables > 0) nTables else lshTablesFor(nPlanes, NearDupDesignCos)
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val withB = portableBuckets(vectors, nPlanes, dim, nTables, idCol, vecCol)
+    val withB = portableBuckets(vectors, nPlanes, dim, tables, idCol, vecCol)
     val a = withB.select(col("tbl"), col("bucket"), col("id").as("id_a"))
     val b = withB.select(col("tbl"), col("bucket"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("tbl", "bucket"))
@@ -497,12 +510,13 @@ object Similarity {
     * composition adds no new shuffle class. Deterministic end to end
     * (portable buckets, round-6 cosine, min-id labels) so the whole
     * product is DuckDB-replayable. Recall at scale: the pair stage is
-    * [[lshNearDupPairsPortable]], so the r12 measurements apply —
-    * size `nTables` with [[lshTablesFor]] at the design similarity
-    * when `nPlanes` is corpus-derived, or recall silently decays as
-    * the corpus grows. */
+    * [[lshNearDupPairsPortable]], so the r12 measurements apply — and
+    * the default (`nTables = 0`, r13) inherits its derivation:
+    * [[lshTablesFor]] at [[NearDupDesignCos]] for the given `nPlanes`,
+    * so dup-grade recall no longer decays silently as a corpus-derived
+    * `nPlanes` grows. Pass `nTables > 0` to pin an explicit count. */
   def semanticDedup(vectors: DataFrame, threshold: Double, nPlanes: Int,
-      dim: Int, nTables: Int = 8, idCol: String = "vec_id",
+      dim: Int, nTables: Int = 0, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val pairs = lshNearDupPairsPortable(vectors, threshold, nPlanes, dim,
         nTables, idCol, vecCol)

@@ -440,31 +440,62 @@ object Llm {
     * corpus. Hash-exact DuckDB oracle (the q66 integer-bucket replay),
     * which is STRICTLY stronger than a recall band: every emitted pair
     * and its cosine must match bit-for-bit. Recall vs the all-pairs
-    * truth is measured by the companion gate q97c. */
+    * truth is measured by the companion gate q97c.
+    *
+    * BOTH parameters are corpus-derived since r13: nPlanes via
+    * [[graft.llmops.Similarity.autoPlanes]] (occupancy discipline) and
+    * nTables via the operator default
+    * ([[graft.llmops.Similarity.lshTablesFor]] at the design
+    * similarity — the r12-measured recall discipline); the oracle
+    * replays the table count through the same Scala-generated integer
+    * lookup ([[lshTablesCaseSql]]), so there is no float boundary to
+    * wobble across engines. */
   def embeddingNearDupsLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.lshNearDupPairsPortable(emb, threshold = 0.4,
         nPlanes = Similarity.autoPlanes(emb, Similarity.NearDupOccupancy),
-        dim = 64, nTables = 8)
+        dim = 64)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The engine's [[graft.llmops.Similarity.lshTablesFor]] derivation
+    * as a pure-integer SQL lookup over the (already SQL-derived) plane
+    * count: designCos/targetRecall are fixed at the near-dup family's
+    * design point, so the table count is a function of nPlanes alone —
+    * Scala evaluates it for every valid plane count at SQL-BUILD time
+    * and the oracle replays a CASE, never a float (the lshPlanesFor
+    * no-wobble discipline applied to the recall side). Plane counts
+    * past the 4096-table regime guard are simply absent: an operating
+    * point the ENGINE refuses to run needs no oracle row. */
+  private def lshTablesCaseSql: String = {
+    val entries = (1 until 62).iterator
+      .map(np => np -> scala.util.Try(
+        Similarity.lshTablesFor(np, Similarity.NearDupDesignCos)).toOption)
+      .takeWhile(_._2.isDefined)
+      .map { case (np, t) => s"WHEN $np THEN ${t.get}" }
+      .mkString(" ")
+    s"CASE (SELECT np FROM np) $entries END"
   }
 
   /** Shared CTE chain recomputing the portable sign-LSH near-dup
     * PAIR pipeline (quantize → buckets → candidate pairs → round-6
     * cosine) — q97b selects from `cs` directly; the q105 semantic-dedup
-    * oracle builds the cluster graph on top of it. */
+    * oracle builds the cluster graph on top of it. Both the plane
+    * count (np) and the table count (nt, r13) are derived inside the
+    * SQL, replaying the engine's autoPlanes + lshTablesFor defaults. */
   private def lshPairCtes: String =
     s"""e AS (SELECT vec_id, embedding FROM embeddings),
       |np AS (SELECT min(j) AS np FROM (SELECT unnest(range(1, 62)) AS j)
       |       WHERE ((SELECT count(*) FROM e) - 1) / (1::BIGINT << j)
       |               < ${Similarity.NearDupOccupancy}),
+      |nt AS (SELECT ($lshTablesCaseSql) AS nt),
       |q AS (SELECT vec_id, unnest(embedding) AS x,
       |        unnest(range(len(embedding))) AS d FROM e),
       |qd AS (SELECT vec_id, d, floor(x::DOUBLE * 1000)::BIGINT AS xq FROM q),
       |grid AS (SELECT t, j, d,
       |    CASE WHEN substr(md5(t || '_' || j || '_' || d), 1, 1)
       |           IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS s
-      |  FROM (SELECT unnest(range(8)) AS t),
+      |  FROM (SELECT unnest(range((SELECT nt FROM nt))) AS t),
       |       (SELECT unnest(range((SELECT np FROM np))) AS j),
       |       (SELECT unnest(range(64)) AS d)),
       |dots AS (SELECT vec_id, t, j, sum(xq * s) AS dot
@@ -496,9 +527,12 @@ object Llm {
     * uses. */
   def semanticDedupGate(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    // nPlanes corpus-derived; nTables inherits the operator's derived
+    // default (lshTablesFor at the design cos, r13) — the oracle's nt
+    // CTE replays the same integer lookup
     Similarity.semanticDedup(emb, threshold = 0.4,
         nPlanes = Similarity.autoPlanes(emb, Similarity.NearDupOccupancy),
-        dim = 64, nTables = 8)
+        dim = 64)
       .orderBy(col("vec_id"))
   }
 
@@ -525,7 +559,15 @@ object Llm {
     * itself is oracle-replayable — drift in the banding math fails the
     * hash compare, and a recall collapse additionally flips
     * `within_band`. Observed: 0.695 @ sf0.01, 0.775 @ sf0.1 (theory
-    * ≈ 1-(1-p⁴)⁸ = 0.75 at cos 0.4); floor pinned at 0.5. */
+    * ≈ 1-(1-p⁴)⁸ = 0.75 at cos 0.4); floor pinned at 0.5.
+    *
+    * nTables stays PINNED at 8 here (not the r13 derived default): the
+    * fixture's truth is entirely boundary-grade (max cos < 0.9 — the
+    * regime lshTablesFor's contract excludes by design), so this gate
+    * measures the banding math at a FIXED operating point whose band
+    * was calibrated against it; deriving tables at the design cos
+    * would resize the operating point for a recall the design-point
+    * law does not govern. */
   def embeddingNearDupRecall(spark: SparkSession, dir: String): DataFrame = {
     val truth = embeddingNearDups(spark, dir).select(col("id_a"), col("id_b"))
     val emb = Tables.embeddings(spark, dir)

@@ -222,10 +222,23 @@ object ContentRecommender {
   *
   * @param interactions (user_id, item_id, ts_ns, ...) implicit feedback
   * @param docs         item corpus; `idCol` must align with item_id
+  * @param postingCap   champion-list truncation for the underlying
+  *                     prefix index, surfaced at the class boundary
+  *                     (ADVICE r12): the index build inherits
+  *                     [[ContentRecommender.similaritiesForQueries]]'s
+  *                     NON-SILENT cap contract, so on a corpus with a
+  *                     term posting above the cap the default
+  *                     configuration THROWS rather than silently
+  *                     approximating — callers consent here, with
+  *                     `allowCapTruncation = true` (accept the
+  *                     ranking-preserving truncation: the 100 TB
+  *                     hot-posting shape) or `postingCap = 0` (exact
+  *                     join, quadratic in the hottest posting).
   */
 final class ContentUserRecommender(interactions: DataFrame, docs: DataFrame,
     idCol: String, textCol: String, recentK: Int = 3, prefixM: Int = 4,
-    weights: Option[DataFrame] = None)
+    weights: Option[DataFrame] = None,
+    postingCap: Int = 2048, allowCapTruncation: Boolean = false)
     extends Recommender {
   override val name = "content"
 
@@ -244,7 +257,7 @@ final class ContentUserRecommender(interactions: DataFrame, docs: DataFrame,
 
     val sims = ContentRecommender.similaritiesForQueries(
       docs, recent.select(col("item_id")).distinct(), idCol, textCol, prefixM,
-      weights)
+      weights, postingCap, allowCapTruncation)
 
     val seen = mine.select(col("user_id"), col("item_id")).distinct()
     val scored = recent

@@ -164,10 +164,12 @@ object ScaleProbe {
         TA.chunkDocs(survivors, "doc_id", "text",
           chunkChars = 200, overlapChars = 50)
       }),
+      // nTables derives via the operator default since r13
+      // (lshTablesFor at the design cos — the gate path)
       "q105_semantic_dedup" -> (() => Similarity.semanticDedup(
         emb, threshold = 0.4,
         nPlanes = Similarity.autoPlanes(emb, Similarity.NearDupOccupancy),
-        dim = 64, nTables = 8)),
+        dim = 64)),
       "q104_pagerank" -> (() => {
         val edges = ev.select(col("user_id").cast("long").as("src"),
             (get_json_object(col("props"), "$.k").cast("long") + 100000L)
@@ -260,24 +262,32 @@ object ScaleProbe {
         docs, "doc_id", "text", shingleK = 2, numHashes = 32, bands = 8,
         threshold = 0.3)),
       // r12: the simhash production kernel was never 100×-probed. The
-      // default (maxHamming+1, 1) blocking has FIXED 16-bit keys, so
+      // minimal (maxHamming+1, 1) blocking has FIXED 16-bit keys, so
       // random-pair candidate volume grows ~ n²·4/2¹⁶ — the r6
-      // fixed-nPlanes shape. The Manku (6,3) contrast leg pays 20
-      // index rows/doc for ~32-bit keys (2¹⁶× sparser buckets).
+      // fixed-nPlanes shape (measured SATURATED at 5M docs). The Manku
+      // (6,3) contrast leg pays 20 index rows/doc for ~32-bit keys
+      // (2¹⁶× sparser buckets). Since r13 the DEFAULT leg derives
+      // (kBlocks, keyBlocks) from the corpus via simhashBlocksFor —
+      // block16 is now an explicit contrast, no longer the default.
       "q65s_simhash_block16" -> (() => Dedup.simhashPairs(
-        docs, "doc_id", "text", maxHamming = 3)),
+        docs, "doc_id", "text", maxHamming = 3, kBlocks = 4, keyBlocks = 1)),
       "q65s_simhash_manku63" -> (() => Dedup.simhashPairs(
         docs, "doc_id", "text", maxHamming = 3, kBlocks = 6, keyBlocks = 3)),
+      "q65s_simhash_derived" -> (() => Dedup.simhashPairs(
+        docs, "doc_id", "text", maxHamming = 3)),
       "q79_dup_clusters" -> (() => graft.ops.ConnectedComponents.hashMin(
         Dedup.minhashCandidatesPortable(docs, "doc_id", "text",
           shingleK = 2, numHashes = 32, bands = 8, threshold = 0.3),
         "id_a", "id_b")),
       // the GATE's own derivation (autoPlanes at the near-dup occupancy
-      // target) — no manual nPlanes; this leg IS the default path now
+      // target; nTables via lshTablesFor since r13) — this leg IS the
+      // default path: as the corpus grows both planes AND tables rise,
+      // so the timed work includes the recall-holding table cost
+      // (n^1.22 by the lshTablesFor law, not the fixed-8 n^1.0)
       "q97b_lsh_near_dup_pairs" -> (() => Similarity.lshNearDupPairsPortable(
         emb, threshold = 0.4,
         nPlanes = Similarity.autoPlanes(emb, Similarity.NearDupOccupancy),
-        dim = 64, nTables = 8)),
+        dim = 64)),
       "q98_substring_dup_scan" -> (() => Dedup.substringDupScan(
         docs, "doc_id", "text")),
       "q99_decontaminate" -> (() => Dedup.decontaminate(
@@ -367,6 +377,34 @@ object ScaleProbe {
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def keep(n: String) = only.forall(_.exists(n.startsWith))
+    // FAIL FAST on 1×-staged corpora (ADVICE r12): with SPARK_GRAFT_STAGE
+    // excluding a corpus, its N-side frame stages at 1× under the
+    // Nx-named path — a gate reading it would compare 1× vs 1× and emit
+    // a ~1.0 exponent indistinguishable from genuine Nx adjudication
+    // data. Refuse to run any selected gate whose corpus tag was staged
+    // at 1× while factor > 1, instead of relying on the operator to
+    // keep PROBE_ONLY and STAGE consistent by hand.
+    val corpusTag: String => String = name =>
+      if (name.startsWith("q01f") || name.startsWith("q03f")) "facts"
+      else if (name.startsWith("q96")) "docslang"
+      else if (name.startsWith("q105") || name.startsWith("q97b") ||
+        name.startsWith("q115") || name.startsWith("q117")) "emb"
+      else if (name.startsWith("q104") || name.startsWith("q122") ||
+        name.startsWith("q130") || name.startsWith("q131") ||
+        name.startsWith("q151s")) "ev"
+      else "docs"
+    if (factor > 1 && stageSel.isDefined) {
+      val offending = gates(docs1, emb1, ev1, docsLang1, li1, ord1)
+        .map(_._1).filter(keep)
+        .filter(n => stagedFactor(corpusTag(n)) == 1)
+      if (offending.nonEmpty) throw new IllegalStateException(
+        s"ScaleProbe: factor=$factor but these selected gates read a " +
+          s"corpus SPARK_GRAFT_STAGE left at 1x — their ratios would be " +
+          s"fake ~1.0 rows: ${offending.mkString(", ")}. Narrow " +
+          "SPARK_GRAFT_PROBE_ONLY to the staged corpora's gates or add " +
+          "the missing tags to SPARK_GRAFT_STAGE " +
+          s"(tags: ${offending.map(corpusTag).distinct.mkString(", ")}).")
+    }
     val g1 = gates(docs1, emb1, ev1, docsLang1, li1, ord1).filter(p => keep(p._1))
     val gN = gates(docsN, embN, evN, docsLangN, liN, ordN).filter(p => keep(p._1))
     var t1Lsh = 0.0
@@ -384,6 +422,8 @@ object ScaleProbe {
     // super-linear BY CONSTRUCTION. The default leg above derives
     // planes via autoPlanes, so this measures what NOT scaling the
     // planes would cost (r6: exponent 1.41 fixed vs 0.21 derived).
+    // nTables stays pinned at 8 here — the r6-comparable operating
+    // point; this leg isolates the PLANES variable, not tables.
     // skipped when a PROBE_ONLY filter excluded the q97b base leg
     val contrastRows = if (t1Lsh > 0) {
       val frozenPlanes = Similarity.autoPlanes(emb1, Similarity.NearDupOccupancy)

@@ -120,6 +120,38 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhashBlocksFor: occupancy ladder derivation (r13)") {
+    // gate scale (and anything under ~2.1M docs at radius 3) derives
+    // the old minimal blocking — existing gate outputs bit-identical
+    assert(Dedup.simhashBlocksFor(500L, 3) == ((4, 1)))
+    assert(Dedup.simhashBlocksFor(5000L, 3) == ((4, 1)))
+    // exact integer boundary: 16-bit keys hold occupancy 32 up to
+    // n-1 < 32·2^16; one doc past it steps to (5,2) — 25-bit min key
+    assert(Dedup.simhashBlocksFor(2097152L, 3) == ((4, 1)))
+    assert(Dedup.simhashBlocksFor(2097153L, 3) == ((5, 2)))
+    // the r12-measured saturation point (5M docs) now derives (5,2) —
+    // the config the 1000x diag shows holds candidates linear
+    assert(Dedup.simhashBlocksFor(5000000L, 3) == ((5, 2)))
+    // next decade boundary: (5,2) holds to n-1 < 32·2^25
+    assert(Dedup.simhashBlocksFor(1L << 30, 3) == ((5, 2)))
+    assert(Dedup.simhashBlocksFor((1L << 30) + 1L, 3) == ((6, 3)))
+    // other radii keep the same rule (radius 8 gate scale = (9,1))
+    assert(Dedup.simhashBlocksFor(60L, 8) == ((9, 1)))
+    // huge corpora terminate with a wide point, not an overflow
+    val (bigK, bigT) = Dedup.simhashBlocksFor(1L << 50, 3)
+    assert(bigT >= 1 && bigK == bigT + 3)
+  }
+
+  test("simhashPairs derived default equals explicit (4,1) at gate scale") {
+    val viaDefault = Dedup.simhashPairs(perturbed, "doc_id", "text",
+        maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val viaExplicit = Dedup.simhashPairs(perturbed, "doc_id", "text",
+        maxHamming = 3, kBlocks = 4, keyBlocks = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaDefault == viaExplicit && viaDefault.nonEmpty)
+  }
+
   test("portable minhash surfaces the planted dup pairs, not unrelated") {
     val cands = Dedup.minhashCandidatesPortable(toy, "doc_id", "text",
       shingleK = 2, numHashes = 32, bands = 8, threshold = 0.5)

@@ -55,6 +55,38 @@ class PrefixJoinSpec extends SparkSpec {
     assert(got == 0)
   }
 
+  test("disk-budget guard fails fast before any expensive stage (r13)") {
+    // simulate the single-box 1000x regime (SCALE.md r12: >70 GB of
+    // spill, then an OS kill mid-verify) with a tiny conf-injected
+    // budget: the call must throw IMMEDIATELY from the scan-only
+    // estimate, naming the alternatives and the override
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota")
+    ).toDF("doc_id", "text")
+    spark.conf.set("graft.exactJoin.diskBudgetBytes", "10")
+    try {
+      val e = intercept[IllegalStateException] {
+        Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, 0.5)
+      }
+      assert(e.getMessage.contains("CLUSTER operator"))
+      assert(e.getMessage.contains("minhashCandidates"))
+      assert(e.getMessage.contains("graft.exactJoin.diskBudgetBytes"))
+      // same contract on the containment sibling
+      val e2 = intercept[IllegalStateException] {
+        Dedup.containmentJoin(docs, "doc_id", "text", 3, 0.8)
+      }
+      assert(e2.getMessage.contains("containmentJoin"))
+      // the explicit opt-out still runs the join under the tiny budget
+      val out = Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, 0.3,
+        diskGuard = false).count()
+      assert(out >= 1)
+    } finally spark.conf.unset("graft.exactJoin.diskBudgetBytes")
+    // with the real budget (this box), the gate-scale corpus passes
+    val ok = Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, 0.3).count()
+    assert(ok >= 1)
+  }
+
   test("containment join flags an excerpt the symmetric join cannot") {
     // doc 1 is doc 2's opening sentence; doc 2 is 5x longer.
     // Jaccard ~ |A|/|B| stays far under 0.5, containment(1->2) = 1.0

@@ -166,6 +166,25 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("useful regime"))
   }
 
+  test("near-dup nTables default derives via lshTablesFor (r13 wiring)") {
+    // the derived default (nTables = 0) must be bit-identical to an
+    // explicit call at the lshTablesFor count — the operator's default
+    // IS the r12-measured recall discipline, not a fixed table count
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).cache()
+    val planes = Similarity.autoPlanes(emb, Similarity.NearDupOccupancy)
+    val derived = Similarity.lshTablesFor(planes, Similarity.NearDupDesignCos)
+    assert(planes == 4 && derived == 3,
+      s"500-vector operating point moved: planes=$planes tables=$derived")
+    val viaDefault = Similarity.lshNearDupPairsPortable(emb,
+        threshold = 0.4, nPlanes = planes, dim = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaExplicit = Similarity.lshNearDupPairsPortable(emb,
+        threshold = 0.4, nPlanes = planes, dim = 64, nTables = derived)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaDefault == viaExplicit)
+    assert(viaDefault.nonEmpty)
+  }
+
   test("ivfCellsFor: occupancy-held cell count (IVF twin of lshPlanesFor)") {
     // the q39 gate point IS the derived value at its corpus size
     assert(Similarity.ivfCellsFor(2000) == 8)

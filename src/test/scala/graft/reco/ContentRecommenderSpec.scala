@@ -78,6 +78,32 @@ class ContentRecommenderSpec extends SparkSpec {
     assert(strict == exact)
   }
 
+  test("ContentUserRecommender surfaces the cap contract at the class " +
+      "boundary (ADVICE r12)") {
+    // interactions: one user who touched docs 1 and 3
+    val inter = Seq((10L, 1L, 1000L), (10L, 3L, 2000L))
+      .toDF("user_id", "item_id", "ts_ns")
+    val users = Seq(Tuple1(10L)).toDF("user_id")
+    // a binding cap with no opt-in must throw from recommendForUsers —
+    // callers now have a remedy AT THE CONSTRUCTOR, not only inside
+    // similaritiesForQueries
+    val strict = new ContentUserRecommender(inter, toy, "doc_id", "text",
+      postingCap = 1)
+    val e = intercept[IllegalStateException] {
+      strict.recommendForUsers(users, topK = 2).collect()
+    }
+    assert(e.getMessage.contains("allowCapTruncation"))
+    // the constructor opt-in unblocks the same corpus
+    val consented = new ContentUserRecommender(inter, toy, "doc_id", "text",
+      postingCap = 1, allowCapTruncation = true)
+    consented.recommendForUsers(users, topK = 2).collect() // no throw
+    // and the default (non-binding cap on this corpus) still recommends
+    val recs = new ContentUserRecommender(inter, toy, "doc_id", "text")
+      .recommendForUsers(users, topK = 2)
+      .select("user_id", "item_id").as[(Long, Long)].collect()
+    assert(recs.nonEmpty && recs.forall(_._1 == 10L))
+  }
+
   test("tfidf weights are L2-normalized per doc") {
     val norms = ContentRecommender.tfidfWeights(toy, "doc_id", "text")
       .groupBy($"id")
