@@ -149,6 +149,45 @@ object ScaleCorpus {
     * regime where a corpus's real near-dups live. Seeded and
     * deterministic; `label` is the planted cluster id, so recall
     * probes can score cluster-mate precision directly. */
+  /** Planted near-dup DOC pairs at controlled shingle Jaccard (r13,
+    * for tools/MinhashRecallProbe): each pair is two `tokensPerDoc`-
+    * token docs over a pair-unique vocabulary, the B side with its
+    * first `m` tokens replaced by pair-unique substitutes. For
+    * 2-shingles and m < L−1 the exact Jaccard is CLOSED-FORM:
+    * shingles touching a replaced token differ, shared = L−1−m,
+    * union = L−1+m ⇒ J = (L−1−m)/(L−1+m) — so each mutation level is
+    * a known point on the banding S-curve 1−(1−J^r)^b, with m = 0 the
+    * exact-dup anchor (J = 1). Pair-unique vocabularies keep planted
+    * docs disjoint from any background corpus and from each other, so
+    * banding probability per pair is pure per-pair math — exactly the
+    * pair-locality the probe measures.
+    *
+    * `idBase` defaults above amplifyDocs' id space for factors ≤ 100
+    * (max background id ≈ 99·10⁷ + base ids); raise it before probing
+    * beyond 100×. Output: (doc_id, text, pair_id, level, role) — the
+    * probe unions (doc_id, text) into the background corpus and keeps
+    * the metadata side for scoring. */
+  def plantedDocPairs(spark: org.apache.spark.sql.SparkSession,
+      pairsPerLevel: Int = 200,
+      mutLevels: Seq[Int] = Seq(0, 3, 6, 10, 15, 20, 30),
+      tokensPerDoc: Int = 50,
+      idBase: Long = 2000000000L): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      (m, li) <- mutLevels.zipWithIndex
+      p <- 0 until pairsPerLevel
+    } yield {
+      val pid = li * pairsPerLevel + p
+      val a = Array.tabulate(tokensPerDoc)(j => s"p${pid}t$j")
+      val b = Array.tabulate(tokensPerDoc)(j =>
+        if (j < m) s"p${pid}x$j" else s"p${pid}t$j")
+      Seq(
+        (idBase + pid * 2L, a.mkString(" "), pid.toLong, m, "a"),
+        (idBase + pid * 2L + 1L, b.mkString(" "), pid.toLong, m, "b"))
+    }
+    rows.flatten.toDF("doc_id", "text", "pair_id", "level", "role")
+  }
+
   def plantedClusters(spark: org.apache.spark.sql.SparkSession,
       nClusters: Int = 50, perCluster: Int = 10, dim: Int = 64,
       sigma: Double = 0.33, seed: Long = 4242L): DataFrame = {

@@ -122,9 +122,13 @@ object LshRecallProbe {
       embN, Threshold, planesN, dim = 64, nTables = 8)))
     score(s"${factor}x planes=$planesN tables=8", fN8, factor, tN8)
 
+    // r13: leg (c) goes through the operator DEFAULT (nTables omitted
+    // ⇒ lshTablesFor at NearDupDesignCos) — recall held with no manual
+    // table choice is now the unparameterized path, not a tuning
     val (fNd, tNd) = timed(stage("foundNd", Similarity.lshNearDupPairsPortable(
-      embN, Threshold, planesN, dim = 64, nTables = tablesDerived)))
-    score(s"${factor}x planes=$planesN tables=$tablesDerived", fNd, factor, tNd)
+      embN, Threshold, planesN, dim = 64)))
+    score(s"${factor}x planes=$planesN tables=DEFAULT($tablesDerived)",
+      fNd, factor, tNd)
 
     // ---- planted-cluster legs: lshTablesFor on its INTENDED regime —
     // dup-grade pairs (within-cluster cos ≈ 0.95 at sigma 0.33), which
@@ -149,13 +153,20 @@ object LshRecallProbe {
       val nPT = pTruth.count()
       val planes = Similarity.autoPlanes(planted, Similarity.NearDupOccupancy)
       val tDer = Similarity.lshTablesFor(planes, designCos = 0.9)
+      // the derived leg runs the operator DEFAULT (nTables omitted) —
+      // the r13 wiring under test; 8 stays the explicit old fixed point
       for (tables <- Seq(8, tDer).distinct) {
         val (fp, tp) = timed(stage(s"plfound_${nClusters}_$tables",
-          Similarity.lshNearDupPairsPortable(planted, Threshold, planes,
-            dim = 64, nTables = tables)))
+          if (tables == tDer)
+            Similarity.lshNearDupPairsPortable(planted, Threshold, planes,
+              dim = 64)
+          else
+            Similarity.lshNearDupPairsPortable(planted, Threshold, planes,
+              dim = 64, nTables = tables)))
         val nHit = fp.join(pTruth, Seq("id_a", "id_b")).count()
+        val lbl = if (tables == tDer) s"DEFAULT($tDer)" else tables.toString
         System.err.println(f"[lshrecall] planted n=${nClusters * 10}%,d " +
-          f"planes=$planes tables=$tables (derived=$tDer) " +
+          f"planes=$planes tables=$lbl (derived=$tDer) " +
           f"dup_truth=$nPT dup_recall=${nHit.toDouble / nPT}%.3f t=$tp%.1f s")
       }
       pTruth.unpersist()

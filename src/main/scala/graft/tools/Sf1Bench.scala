@@ -1,0 +1,144 @@
+package graft.tools
+
+import graft.fixtures.ScaleCorpus
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Single-pass sf1-equivalent bench for the most expensive gates (r13,
+  * VERDICT r12 #5): the r12 attribution found AQE satisfies sf0.1 legs
+  * with broadcast/local plan shapes that vanish at scale (the r11 ×28
+  * telemetry jump was plan-shape, not volume), so the sf0.1 bench
+  * chart structurally cannot catch a shape-shift. This stages a
+  * 10×-amplified corpus under a REAL table directory (the gates run
+  * completely unmodified — same registry functions, different `dir`),
+  * runs each gate once per scale, and diffs the POST-EXECUTION
+  * adaptive plans' join/exchange composition — the final shapes AQE
+  * actually chose, not the pre-execution guesses.
+  *
+  * Gate list = the top sf-data gates of BENCH_full r12 by wall time.
+  * Fixture/model-constant gates (q90/q60/q60b — AlbedoFixtures-driven,
+  * no sf tables in their lineage) are out of scope by construction.
+  * q96 reads the langid-preserving amplification (the ScaleProbe
+  * convention: plain token suffixing collapses every copy to lang
+  * "und" and the en-filter would prune the growth away).
+  *
+  * Output: one JSON line on stdout —
+  * {"factor":10,"gates":{name:{"sf01":s,"sf1":s,"ratio":r,
+  *   "plan_shift":"...|none"}}} — plus per-gate stderr rows with the
+  * full operator histograms.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
+  *        [SPARK_DRIVER_MEM=16g] runMain graft.tools.Sf1Bench
+  */
+object Sf1Bench {
+  private val TopGates = Seq(
+    "q104_pagerank",
+    "q96_llm_pipeline_e2e",
+    "q104b_pagerank_personalized",
+    "q41_tfidf_similar_docs",
+    "q105_semantic_dedup",
+    "q161_prefix_join_bucketed",
+    "q153_funnel_unordered_stream",
+    "q103_sessionizer_late_oracle",
+    "q132_prefix_jaccard_join",
+    "q61_content_recommend")
+
+  private val PlanOps = Seq("BroadcastHashJoin", "SortMergeJoin",
+    "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct",
+    "BroadcastExchange", "AQEShuffleRead")
+
+  private def histogram(plan: String): Map[String, Int] = {
+    def count(needle: String): Int =
+      plan.sliding(needle.length).count(_ == needle)
+    val base = PlanOps.map(op => op -> count(op)).toMap
+    // shuffle exchanges = Exchange nodes that are not broadcast
+    base + ("ShuffleExchange" ->
+      (count("Exchange") - count("BroadcastExchange")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]").appName("graft-sf1-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      // cluster-correct initial partitioning at the big scale (the r10
+      // probe knob): AQE coalesces what comes out small
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "256"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- stage the sf1-equivalent directory ------------------------
+    val root = java.nio.file.Files.createTempDirectory("sf1bench").toString
+    val mainDir = s"$root/sf1"
+    val langDir = s"$root/sf1lang"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(mainDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(langDir))
+
+    val docs = Tables.documents(spark, sfDir)
+    val docCarry = docs.columns.toSeq.filterNot(Seq("doc_id", "text").contains)
+    ScaleCorpus.amplifyDocs(docs, factor, carry = docCarry)
+      .write.mode("overwrite").parquet(s"$mainDir/documents.parquet")
+    ScaleCorpus.amplifyDocsLangId(
+        docs.select(col("doc_id"), col("text")), factor)
+      .write.mode("overwrite").parquet(s"$langDir/documents.parquet")
+
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    ScaleCorpus.amplifyEmbeddings(emb, factor)
+      .write.mode("overwrite").parquet(s"$mainDir/embeddings.parquet")
+
+    val ev = Tables.events(spark, sfDir)
+    val evCarry = ev.columns.toSeq
+      .filterNot(Seq("event_id", "user_id", "event_type", "ts").contains)
+    ScaleCorpus.amplifyEvents(ev, factor, carry = evCarry)
+      .write.mode("overwrite").parquet(s"$mainDir/events.parquet")
+    // the lang dir shares the amplified events (q96 doesn't read them,
+    // but a shared loader seam must not 404)
+    for (t <- Seq("events", "embeddings")) {
+      val src = java.nio.file.Paths.get(s"$mainDir/$t.parquet")
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$langDir/$t.parquet"), src)
+    }
+    System.err.println(s"[sf1] staged ${factor}x corpus under $mainDir")
+
+    // ---- run each gate once per scale, final-plan histograms -------
+    val registry = graft.SparkEntry.registry.map(q => q.name -> q).toMap
+    def runOnce(name: String, dir: String): (Double, Map[String, Int]) = {
+      val df = registry(name).run(spark, dir)
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      spark.catalog.clearCache()
+      graft.ml.ModelMemo.clear()
+      (secs, histogram(plan))
+    }
+
+    val rows = TopGates.map { name =>
+      val bigDir = if (name.startsWith("q96")) langDir else mainDir
+      val (t01, h01) = runOnce(name, sfDir)
+      val (t1, h1) = runOnce(name, bigDir)
+      val shifts = (h01.keySet ++ h1.keySet).toSeq.sorted
+        .filter(k => h01.getOrElse(k, 0) != h1.getOrElse(k, 0))
+        .map(k => s"$k:${h01.getOrElse(k, 0)}->${h1.getOrElse(k, 0)}")
+      val shift = if (shifts.isEmpty) "none" else shifts.mkString(",")
+      System.err.println(f"[sf1] $name sf01=$t01%.2f sf1=$t1%.2f " +
+        f"ratio=${t1 / t01}%.1f shift=$shift")
+      System.err.println(s"[sf1]   sf01 plan: ${h01.filter(_._2 > 0)}")
+      System.err.println(s"[sf1]   sf1  plan: ${h1.filter(_._2 > 0)}")
+      f""""$name":{"sf01":$t01%.3f,"sf1":$t1%.3f,"ratio":${t1 / t01}%.2f,"plan_shift":"$shift"}"""
+    }
+    spark.stop()
+    println(rows.mkString(
+      s"""{"factor":$factor,"sf":"$sfDir","gates":{""", ",", "}}"))
+  }
+}

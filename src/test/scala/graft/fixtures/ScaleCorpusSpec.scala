@@ -121,4 +121,30 @@ class ScaleCorpusSpec extends SparkSpec {
     }
     assert(j < 0.25, s"cross-copy jaccard $j too high — copies are near-dups")
   }
+
+  test("plantedDocPairs: closed-form 2-shingle Jaccard holds exactly (r13)") {
+    // the MinhashRecallProbe's ground truth: J = (L-1-m)/(L-1+m) for a
+    // pair whose B side replaces the first m of L tokens — verified
+    // against the operator's own exactJaccard, not re-derived by hand
+    val L = 50
+    val planted = ScaleCorpus.plantedDocPairs(spark, pairsPerLevel = 3,
+      mutLevels = Seq(0, 5, 20, 30), tokensPerDoc = L)
+    val pairs = planted.filter($"role" === "a")
+      .select($"doc_id".as("id_a"), ($"doc_id" + 1L).as("id_b"), $"level")
+    val got = graft.llmops.Dedup.exactJaccard(
+        planted.select($"doc_id", $"text"),
+        pairs.select($"id_a", $"id_b"), "doc_id", "text", shingleK = 2)
+      .join(pairs, Seq("id_a", "id_b"))
+      .select($"level", $"jaccard").as[(Int, Double)].collect()
+    assert(got.length == 12)
+    got.foreach { case (mLvl, jac) =>
+      val expect = (L - 1 - mLvl).toDouble / (L - 1 + mLvl)
+      assert(math.abs(jac - expect) < 1e-12,
+        s"level $mLvl: $jac != $expect")
+    }
+    // pair-unique vocabularies: no shingle crosses pairs, so the only
+    // candidate structure a banding pass can find is within-pair
+    val distinctDocs = planted.select($"doc_id").distinct().count()
+    assert(distinctDocs == 24)
+  }
 }
