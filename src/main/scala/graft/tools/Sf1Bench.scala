@@ -114,10 +114,21 @@ object Sf1Bench {
     def runOnce(name: String, dir: String): (Double, Map[String, Int]) = {
       val df = registry(name).run(spark, dir)
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      // Drive the Dataset's OWN QueryExecution: a DataFrameWriter (the
+      // bench's noop sink) plans a FRESH QueryExecution around the
+      // logical plan, leaving df.queryExecution un-executed and its
+      // AdaptiveSparkPlan at isFinalPlan=false — the explain below
+      // would then histogram the pre-execution guess, exactly the
+      // thing this tool exists to not trust. toRdd executes the same
+      // AdaptiveSparkPlanExec instance that explainString reports.
+      df.queryExecution.toRdd.foreach(_ => ())
       val secs = (System.nanoTime() - t0) / 1e9
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
+      if (plan.contains("AdaptiveSparkPlan") &&
+          !plan.contains("isFinalPlan=true"))
+        System.err.println(s"[sf1] WARN $name: adaptive plan not final " +
+          "after execution — histogram is the pre-execution shape")
       spark.catalog.clearCache()
       graft.ml.ModelMemo.clear()
       (secs, histogram(plan))
