@@ -1,0 +1,256 @@
+package graft.ml
+
+import graft.fixtures.AlbedoFixtures
+import org.apache.spark.ml.classification.FMClassifier
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Factorization-machine second-stage ranker — the last unported slice
+  * of the reference's legacy model zoo (SURVEY §2 #92): GraphLab's
+  * `ranking_factorization_recommender` over (user, item, rating=1)
+  * interactions (reference `A/management/commands/train_graphlab.py:
+  * 21-36` — id×id factorization with a binary target, then per-user
+  * top-k). Re-expressed Spark-first: MLlib's `FMClassifier` (native
+  * distributed FM, Spark 3.0+) over user one-hot ⊕ repo one-hot ⊕ the
+  * q59-oracled side features — with only the one-hots this IS the
+  * reference's matrix factorization with biases; the side features are
+  * the FM generalization GraphLab's `side_data` would have used.
+  *
+  * Correctness gate (q173): the q44b margin-replay technique extended
+  * to the FM's pairwise term. A trained FM's decision function is
+  * data:
+  *
+  *   score(x) = w₀ + Σⱼ wⱼxⱼ + ½ Σ_f [(Σⱼ v_{j,f} xⱼ)² − Σⱼ v²_{j,f} x²ⱼ]
+  *
+  * Dump the SPARSE feature entries (user_id, repo_id, d, x) with x
+  * pre-quantized to integers (scaled side features ∈ [0,1000], one-hot
+  * hits = 1000) plus the model (intercept, linear, factors) to parquet;
+  * each engine recomputes the quantized score from those files in
+  * exact integer arithmetic:
+  *
+  *   lin    = Σⱼ ⌊wⱼ·10⁶⌋·xⱼ                 (units: 10⁹ per real unit)
+  *   S_f    = Σⱼ ⌊v_{j,f}·10⁴⌋·xⱼ            (units: 10⁷)
+  *   Q_f    = Σⱼ ⌊v_{j,f}·10⁴⌋²·x²ⱼ          (units: 10¹⁴)
+  *   scoreQ = 2·10⁵·lin + Σ_f (S_f² − Q_f) + ⌊w₀·10⁶⌋·2·10⁸
+  *                                            (= 2·10¹⁴ · score + ε)
+  *
+  * Products and sums are Longs; [[boundsCheck]] asserts |lin| < 10¹³
+  * and |S_f| < 10⁹ at dump time so Σ_f S² < 4·10¹⁸ and the total stays
+  * under 2⁶³ BY MEASUREMENT, not hope (DuckDB's BIGINT ops error on
+  * overflow, so a violated bound is loud in both engines). The v-
+  * quantization at 10⁻⁴ (coarser than the LR twin's 10⁻⁶ because the
+  * term is squared) shifts a score by < 2·Σ_f|S_f|·10³·nnz·10⁻⁴-scale
+  * terms ≈ 10⁻³ of the score — far below ranking granularity, and
+  * identically on both sides. Only integer scoreQ values are compared.
+  *
+  * Scale: FM apply is a broadcast-model map (the sparse-join replay
+  * here is itself the keyed-agg shape — explode → join tiny coef dim
+  * table → groupBy pair); FM training treeAggregates a ~dim·(k+1)
+  * gradient per iteration. Both are the standard 100 TB patterns. The
+  * per-user top-k is rank-by-score ≤ k (SURVEY row 39's shape). */
+object FmRanker {
+
+  /** On-disk home of the q173 dump (sparse frame + model), beside the
+    * other replay dumps. */
+  val fmDir: String = AlbedoFixtures.persistDir + "/fm_ranker"
+
+  private val numericCols = Seq(
+    "lang_index_in_recent", "lang_count_in_recent",
+    "follower_following_ratio", "days_since_updated", "days_since_created",
+    "n_recent", "repo_stargazers_count", "repo_forks_count",
+    "repo_days_since_updated", "log_stars")
+  private val boolCols = Seq("user_has_null", "has_ml", "has_fullstack",
+    "has_backend", "has_phd", "repo_has_description", "repo_is_unmaintained",
+    "repo_recently_pushed")
+  private val nSide = numericCols.size + boolCols.size
+
+  private val TopK = 5
+  private val FactorSize = 4
+
+  /** Deterministic dense index for a key column: row_number over the
+    * sorted distinct values. The window funnels through one partition,
+    * but the input is the bounded entity set (300 users / 500 repos on
+    * the fixture; an id dictionary at any scale), same contract as the
+    * other bounded metric materializations. */
+  private def denseIndex(df: DataFrame, keyCol: String,
+      idxName: String): DataFrame =
+    df.select(col(keyCol)).distinct()
+      .withColumn(idxName,
+        row_number().over(Window.orderBy(col(keyCol))).cast("long") - 1L)
+
+  /** Side features quantized to [0, 1000]: numeric min-max scaled then
+    * floored (min/max over the frame — a bounded 20-value collect),
+    * booleans as 0/1000. Engine-only computation; the dump carries the
+    * resulting integers, so the oracle never re-derives them. */
+  private def sideExprs(frame: DataFrame): Seq[Column] = {
+    val aggExprs = numericCols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"mn_$c"),
+        max(col(c).cast("double")).as(s"mx_$c")))
+    val stats = frame.agg(aggExprs.head, aggExprs.tail: _*).head()
+    val scaled = numericCols.zipWithIndex.map { case (c, i) =>
+      val mn = stats.getDouble(2 * i)
+      val mx = stats.getDouble(2 * i + 1)
+      if (mx > mn)
+        floor((col(c).cast("double") - lit(mn)) / lit(mx - mn) * 1000.0)
+          .cast("long")
+      else lit(0L)
+    }
+    // the deterministic frame mixes BOOLEAN and 0.0/1.0 DOUBLE flags —
+    // a double cast normalizes both
+    val bools = boolCols.map(c =>
+      when(col(c).cast("double") > 0.5, 1000L).otherwise(0L))
+    scaled ++ bools
+  }
+
+  /** Builds the sparse quantized feature entries and the dense training
+    * frame from [[AlbedoRanker.deterministicFeatureFrame]], fits the
+    * seeded FM, and dumps both sides of the replay to [[fmDir]].
+    * Returns (sparseEntries, nnz-bounds row) after the dump. */
+  private def fitAndDump(spark: SparkSession): Unit = {
+    val frame0 = AlbedoRanker.deterministicFeatureFrame(spark)
+    val uIdx = denseIndex(frame0, "user_id", "uidx")
+    val rIdx = denseIndex(frame0, "repo_id", "ridx")
+    val nUsers = uIdx.count().toInt
+    val nRepos = rIdx.count().toInt
+    val frame = frame0.join(uIdx, "user_id").join(rIdx, "repo_id")
+      .withColumn("side", array(sideExprs(frame0): _*))
+      // pin row order so the seeded full-batch fit is bit-stable (the
+      // q44b repartition note: treeAggregate merges partitions in
+      // index order, so fixed partitioning ⇒ fixed float sum order)
+      .repartition(4, col("user_id"))
+      .sortWithinPartitions("user_id", "repo_id")
+      .cache()
+
+    // ---- sparse replay entries: side ⊕ user one-hot ⊕ repo one-hot --
+    val keys = Seq(col("user_id"), col("repo_id"), col("label"))
+    val side = frame.select(keys :+ posexplode(col("side")).as(Seq("d", "x")): _*)
+      .filter(col("x") =!= 0L)
+      .withColumn("d", col("d").cast("long"))
+    val uRows = frame.select(keys :+ (lit(nSide.toLong) + col("uidx")).as("d")
+      :+ lit(1000L).as("x"): _*)
+    val rRows = frame.select(keys
+      :+ (lit((nSide + nUsers).toLong) + col("ridx")).as("d")
+      :+ lit(1000L).as("x"): _*)
+    side.unionByName(uRows).unionByName(rRows)
+      .coalesce(1).write.mode("overwrite").parquet(s"$fmDir/sparse.parquet")
+
+    // ---- dense training features (engine-only; never dumped) --------
+    def oneHot(idxCol: Column, n: Int): Column =
+      transform(sequence(lit(0L), lit(n - 1L)),
+        i => when(i === idxCol, 1.0).otherwise(0.0))
+    val assembled = frame.withColumn("features", array_to_vector(concat(
+      transform(col("side"), x => x.cast("double") / 1000.0),
+      oneHot(col("uidx"), nUsers), oneHot(col("ridx"), nRepos))))
+    val dim = nSide + nUsers + nRepos
+    val model = ModelMemo.cached(spark, "fm-q173") {
+      new FMClassifier()
+        .setFeaturesCol("features").setLabelCol("label")
+        .setFactorSize(FactorSize).setMaxIter(30)
+        .setRegParam(0.01).setStepSize(0.05).setInitStd(0.01)
+        .setMiniBatchFraction(1.0).setSolver("adamW").setSeed(42L)
+        .fit(assembled)
+    }
+    frame.unpersist()
+
+    // factors orientation differs across Spark versions — normalize to
+    // feature-major (dim rows × FactorSize cols)
+    val fmMat = model.factors
+    require(fmMat.numRows == dim || fmMat.numCols == dim,
+      s"unexpected factors shape ${fmMat.numRows}x${fmMat.numCols} for dim=$dim")
+    val featureMajor: Array[Array[Double]] =
+      if (fmMat.numRows == dim)
+        Array.tabulate(dim, fmMat.numCols)((j, f) => fmMat(j, f))
+      else Array.tabulate(dim, fmMat.numRows)((j, f) => fmMat(f, j))
+    require(model.linear.size == dim)
+    require(math.abs(model.intercept) < 1e3,
+      "intercept out of the replay's quantization budget")
+    import spark.implicits._
+    Seq((model.intercept, model.linear.toArray, featureMajor))
+      .toDF("intercept", "linear", "factors")
+      .coalesce(1).write.mode("overwrite").parquet(s"$fmDir/model.parquet")
+  }
+
+  /** Asserts the integer-overflow bounds the scoreQ arithmetic relies
+    * on, over the ACTUAL dumped data (one bounded agg): |lin| < 10¹³
+    * and |S_f| < 10⁹ keep every product and running sum below 2⁶³. */
+  private def boundsCheck(lin: DataFrame, sq: DataFrame): Unit = {
+    val maxLin = lin.agg(max(abs(col("lin")))).head().getLong(0)
+    val maxS = sq.agg(max(abs(col("s")))).head().getLong(0)
+    require(maxLin < 10000000000000L, s"|lin|=$maxLin breaches the 1e13 replay bound")
+    require(maxS < 1000000000L, s"|S_f|=$maxS breaches the 1e9 replay bound")
+  }
+
+  /** Gate q173: fit (memoized), dump, and recompute the per-user top-5
+    * quantized FM scores from the dumped files — the engine half of the
+    * hash-exact replay the DuckDB oracle mirrors byte-for-byte. */
+  def scoreReplay(spark: SparkSession): DataFrame = {
+    fitAndDump(spark)
+    val sp = spark.read.parquet(s"$fmDir/sparse.parquet")
+    val mo = spark.read.parquet(s"$fmDir/model.parquet")
+    val interceptQ = {
+      val w0 = mo.select(col("intercept")).head().getDouble(0)
+      math.floor(w0 * 1e6).toLong * 200000000L
+    }
+    val cf = mo.select(posexplode(col("linear")).as(Seq("d", "w")))
+      .select(col("d").cast("long").as("d"),
+        floor(col("w") * 1e6).cast("long").as("wq"))
+    val vf = mo.select(posexplode(col("factors")).as(Seq("d", "frow")))
+      .select(col("d").cast("long").as("d"),
+        posexplode(col("frow")).as(Seq("f", "v")))
+      .select(col("d"), col("f"),
+        floor(col("v") * 1e4).cast("long").as("vq"))
+    val lin = sp.join(broadcast(cf), "d")
+      .groupBy(col("user_id"), col("repo_id"), col("label"))
+      .agg(sum(col("wq") * col("x")).as("lin"))
+    val sq = sp.join(broadcast(vf), "d")
+      .groupBy(col("user_id"), col("repo_id"), col("f"))
+      .agg(sum(col("vq") * col("x")).as("s"),
+        sum(col("vq") * col("vq") * col("x") * col("x")).as("q"))
+    boundsCheck(lin, sq)
+    val pw = sq.groupBy(col("user_id"), col("repo_id"))
+      .agg(sum(col("s") * col("s") - col("q")).as("pair"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("score_q").desc, col("repo_id"))
+    lin.join(pw, Seq("user_id", "repo_id"))
+      .withColumn("score_q",
+        lit(2L) * lit(100000L) * col("lin") + col("pair") + lit(interceptQ))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .select(col("user_id"), col("repo_id"), col("label"),
+        col("score_q"), col("rn"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** DuckDB replay of [[scoreReplay]] from the same two parquet dumps.
+    * Every aggregate is cast back to BIGINT (DuckDB widens SUM(BIGINT)
+    * to HUGEINT); BIGINT multiplication errors on overflow, so the
+    * bounds [[boundsCheck]] asserts engine-side are loud here too. */
+  def scoreReplayOracle: String =
+    s"""WITH sp AS (SELECT * FROM read_parquet('$fmDir/sparse.parquet/*.parquet')),
+       |mo AS (SELECT * FROM read_parquet('$fmDir/model.parquet/*.parquet')),
+       |cf AS (SELECT unnest(range(len(linear))) AS d, unnest(linear) AS w FROM mo),
+       |vr AS (SELECT unnest(range(len(factors))) AS d, unnest(factors) AS frow FROM mo),
+       |vf AS (SELECT d, unnest(range(len(frow))) AS f, unnest(frow) AS v FROM vr),
+       |lin AS (SELECT user_id, repo_id, label,
+       |    CAST(sum(CAST(floor(w * 1e6) AS BIGINT) * x) AS BIGINT) AS lin
+       |  FROM sp JOIN cf USING (d) GROUP BY 1, 2, 3),
+       |sq AS (SELECT user_id, repo_id, f,
+       |    CAST(sum(CAST(floor(v * 1e4) AS BIGINT) * x) AS BIGINT) AS s,
+       |    CAST(sum(CAST(floor(v * 1e4) AS BIGINT)
+       |             * CAST(floor(v * 1e4) AS BIGINT) * x * x) AS BIGINT) AS q
+       |  FROM sp JOIN vf USING (d) GROUP BY 1, 2, 3),
+       |pw AS (SELECT user_id, repo_id,
+       |    CAST(sum(s * s - q) AS BIGINT) AS pair FROM sq GROUP BY 1, 2),
+       |sc AS (SELECT l.user_id, l.repo_id, l.label,
+       |    2 * 100000 * l.lin + p.pair
+       |      + (SELECT CAST(floor(intercept * 1e6) AS BIGINT)
+       |                * 200000000 FROM mo) AS score_q
+       |  FROM lin l JOIN pw p ON l.user_id = p.user_id
+       |    AND l.repo_id = p.repo_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY score_q DESC, repo_id) AS rn FROM sc)
+       |SELECT user_id, repo_id, label, score_q, rn
+       |FROM r WHERE rn <= $TopK ORDER BY user_id, rn""".stripMargin
+}

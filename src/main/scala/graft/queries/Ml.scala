@@ -571,6 +571,9 @@ object Ml {
     QueryDef("q44b_lr_margin_replay",
       (s: SparkSession, _: String) => graft.ml.AlbedoRanker.marginReplay(s),
       Some(graft.ml.AlbedoRanker.marginReplayOracle)),
+    QueryDef("q173_fm_score_replay",
+      (s: SparkSession, _: String) => graft.ml.FmRanker.scoreReplay(s),
+      Some(graft.ml.FmRanker.scoreReplayOracle)),
     QueryDef("q61_content_recommend", contentRecommend, Some(
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_filter(

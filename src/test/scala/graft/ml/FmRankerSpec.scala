@@ -1,0 +1,89 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.functions._
+
+/** Ties the q173 quantized FM score gate to the model's OWN decision
+  * function (the MarginReplaySpec pattern extended to the pairwise
+  * term): score_q/(2·10¹⁴) must track FMClassificationModel.predictRaw
+  * on features rebuilt from the SAME sparse dump the oracle reads. A
+  * transposed factor matrix, a wrong unit in the 2·10⁵/2·10⁸ scale
+  * bookkeeping, or a dropped Q_f term all still hash-replay
+  * consistently between engines — only this spec catches them. The
+  * quantization error bound: v-truncation at 10⁻⁴ perturbs each S_f by
+  * ≤ nnz·10⁻⁴ ≈ 2·10⁻³, so ½Σ(S²−Q) moves by ≲ 0.05 at the fixture's
+  * |S_f| ≤ ~10; w-truncation adds ≪ 10⁻⁴. */
+class FmRankerSpec extends SparkSpec {
+
+  test("quantized FM scores track predictRaw; ranking is per-user top-k") {
+    val replay = FmRanker.scoreReplay(spark).cache()
+    val rows = replay.collect()
+    assert(rows.nonEmpty)
+    // per-user contract: rn dense 1..k, scores non-increasing
+    rows.groupBy(_.getAs[Any]("user_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq ==
+        (1L to sorted.length).toSeq)
+      val scores = sorted.map(_.getAs[Long]("score_q")).toSeq
+      assert(scores == scores.sorted.reverse, "scores not non-increasing")
+      assert(sorted.length <= 5)
+    }
+
+    val m = ModelMemo.cached(spark, "fm-q173")(
+      sys.error("model must already be memoized by scoreReplay")
+        : org.apache.spark.ml.classification.FMClassificationModel)
+    val sp = spark.read.parquet(s"${FmRanker.fmDir}/sparse.parquet")
+    val dim = m.linear.size
+    // rebuild each replayed pair's features from the dumped sparse
+    // entries — exactly the bytes both engines' integer replay reads
+    val wanted = rows.map(r =>
+      (r.getAs[Any]("user_id"), r.getAs[Any]("repo_id"))).toSet
+    val entries = sp.collect()
+      .groupBy(r => (r.getAs[Any]("user_id"), r.getAs[Any]("repo_id")))
+    rows.foreach { r =>
+      val key = (r.getAs[Any]("user_id"), r.getAs[Any]("repo_id"))
+      val es = entries(key)
+      val v = Vectors.sparse(dim,
+        es.map(e => e.getAs[Long]("d").toInt).toArray,
+        es.map(e => e.getAs[Long]("x").toDouble / 1000.0).toArray)
+      val raw = m.predictRaw(v)(1)
+      val sq = r.getAs[Long]("score_q").toDouble / 2e14
+      assert(math.abs(sq - raw) < 0.1,
+        s"score_q/2e14=$sq vs predictRaw=$raw drifts beyond the " +
+          s"quantization bound for $key")
+    }
+    assert(wanted.forall(entries.contains))
+    replay.unpersist()
+  }
+
+  test("the FM separates the fixture labels (ranking quality sanity)") {
+    // train AUC from the dumped decision function — a broken feature
+    // path (zeroed one-hots, mis-scaled sides) collapses toward chance
+    val m = ModelMemo.cached(spark, "fm-q173")(
+      sys.error("run the replay test first — the model memoizes there")
+        : org.apache.spark.ml.classification.FMClassificationModel)
+    val sp = spark.read.parquet(s"${FmRanker.fmDir}/sparse.parquet")
+    val dim = m.linear.size
+    val scored = sp.collect()
+      .groupBy(r => (r.getAs[Any]("user_id"), r.getAs[Any]("repo_id")))
+      .map { case (_, es) =>
+        val v = Vectors.sparse(dim,
+          es.map(e => e.getAs[Long]("d").toInt).toArray,
+          es.map(e => e.getAs[Long]("x").toDouble / 1000.0).toArray)
+        (m.predictRaw(v)(1), es.head.getAs[Double]("label"))
+      }.toSeq
+    val pos = scored.filter(_._2 > 0.5).map(_._1)
+    val neg = scored.filter(_._2 <= 0.5).map(_._1)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    val sortedAll = scored.map(_._1).sorted
+    def rank(s: Double): Double = {
+      val lo = sortedAll.count(_ < s)
+      val eq = sortedAll.count(_ == s)
+      lo + (eq + 1) / 2.0
+    }
+    val auc = (pos.map(rank).sum - pos.size.toDouble * (pos.size + 1) / 2) /
+      (pos.size.toDouble * neg.size)
+    assert(auc > 0.9 && auc <= 1.0, s"FM train AUC $auc outside sanity band")
+  }
+}
