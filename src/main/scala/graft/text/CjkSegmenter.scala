@@ -3,10 +3,16 @@ package graft.text
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
 
-/** Dictionary-based CJK word segmentation via forward maximum matching
-  * (FMM — the classic greedy longest-match algorithm from the Chinese
-  * word-segmentation literature; see e.g. Wong & Chan 1996, and the
-  * MMSEG family it underlies).
+/** Dictionary-based CJK word segmentation: a min-cost word-lattice DP
+  * ([[segmentRunDp]], r13 — the Viterbi-shortest-path formulation
+  * HanLP itself uses, with integer edge costs standing in for corpus
+  * log-frequencies) with greedy forward maximum matching kept as the
+  * baseline ([[segmentRun]] — the classic longest-match algorithm; see
+  * e.g. Wong & Chan 1996, and the MMSEG family it underlies). The DP
+  * resolves the overlap ambiguities FMM structurally cannot
+  * (研究生命科学 → 研究/生命/科学, not 研究生/命/科学), closing the
+  * algorithmic half of the HanLP delta; the remaining delta is purely
+  * lexicon data (word list size + frequencies).
   *
   * This supplies the capability behind the reference's HanLP
   * dictionary segmentation (reference: src/main/scala/ws/vinta/albedo/
@@ -109,12 +115,70 @@ object CjkSegmenter {
     "亚洲", "欧洲", "非洲", "美洲", "英国", "法国", "德国",
     "俄国", "韩国", "印度", "加拿大", "澳大利亚", "新加坡",
     "广州", "杭州", "成都", "南京", "武汉", "西安", "重庆",
-    "天津", "苏州", "厦门", "青岛", "大连", "澳门", "台湾")
+    "天津", "苏州", "厦门", "青岛", "大连", "澳门", "台湾",
+    // r13 additions (with the lattice DP, overlap-ambiguity coverage
+    // depends on BOTH sides of an ambiguity being in-vocabulary)
+    "生命", "研究生", "自然", "处理", "中文", "分词", "知识",
+    "信息", "内容", "平台", "功能", "模块", "组件", "报告")
 
   private def isCjk(c: Char): Boolean = c >= '一' && c <= '鿿'
 
+  /** Min-cost dictionary DP over a CJK run (r13) — the algorithmic
+    * half of HanLP's own segmentation (a Viterbi shortest path over
+    * the word lattice; HanLP additionally weights edges by corpus
+    * frequency, which is the remaining DATA delta). Greedy FMM commits
+    * to the longest match at each position and cannot recover when
+    * that match strands the following characters — the classic overlap
+    * ambiguity 研究生命科学: FMM emits 研究生/命/科学 (graduate
+    * student / life(!) / science), the lattice path 研究/生命/科学
+    * (research / life / science) is correct. With no frequencies the
+    * edge costs are integers: a dictionary word costs `WordCost`
+    * regardless of length, an out-of-vocabulary single character
+    * `UnknownCost` (> 2×WordCost, so two dictionary words always beat
+    * word+stranded-char, and one long word always beats two short ones
+    * — ties break toward the longer word, matching FMM on unambiguous
+    * text). Deterministic pure-integer scoring; O(n·maxWordLen) time,
+    * O(n) space per run, same contract as [[segmentRun]] (concat of
+    * tokens == input). */
+  def segmentRunDp(run: String, dict: Set[String], maxWordLen: Int = 8)
+      : Seq[String] = {
+    val n = run.length
+    val WordCost = 10
+    val UnknownCost = 25
+    val INF = Int.MaxValue / 2
+    val best = Array.fill(n + 1)(INF)
+    best(n) = 0
+    val choice = new Array[Int](math.max(n, 1))
+    var i = n - 1
+    while (i >= 0) {
+      var b = UnknownCost + best(i + 1)
+      var c = 1
+      var len = 2
+      val maxL = math.min(maxWordLen, n - i)
+      while (len <= maxL) {
+        if (dict.contains(run.substring(i, i + len))) {
+          val v = WordCost + best(i + len)
+          if (v <= b) { b = v; c = len } // <= : longest word wins ties
+        }
+        len += 1
+      }
+      best(i) = b
+      choice(i) = c
+      i -= 1
+    }
+    val out = Seq.newBuilder[String]
+    var j = 0
+    while (j < n) {
+      out += run.substring(j, j + choice(j))
+      j += choice(j)
+    }
+    out.result()
+  }
+
   /** FMM over a CJK run: at each position take the longest dictionary
-    * word starting there (bounded lookahead), else a single char. */
+    * word starting there (bounded lookahead), else a single char.
+    * Kept as the greedy baseline [[segmentRunDp]] is measured against;
+    * the column path uses the DP. */
   def segmentRun(run: String, dict: Set[String], maxWordLen: Int = 8)
       : Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -133,10 +197,10 @@ object CjkSegmenter {
   }
 
   /** Segment every CJK run inside a mixed-script token list (non-CJK
-    * tokens pass through). */
+    * tokens pass through). Uses the lattice DP ([[segmentRunDp]]). */
   def segmentTokens(tokens: Seq[String], dict: Set[String]): Seq[String] =
     tokens.flatMap { t =>
-      if (t.nonEmpty && t.forall(isCjk)) segmentRun(t, dict) else Seq(t)
+      if (t.nonEmpty && t.forall(isCjk)) segmentRunDp(t, dict) else Seq(t)
     }
 
   /** Column form: tokenize as [[Tokenize.cjkAware]] but with CJK runs

@@ -19,6 +19,50 @@ class CjkSegmenterSpec extends SparkSpec {
       Seq("我", "爱", "机器学习"))
   }
 
+  test("lattice DP resolves the overlap ambiguities FMM cannot") {
+    // the textbook case: FMM greedily takes 研究生 (graduate student)
+    // and strands 命 as an unknown single; the min-cost path prefers
+    // three in-vocabulary words — the correct reading
+    assert(CjkSegmenter.segmentRun("研究生命科学", dict) ==
+      Seq("研究生", "命", "科学"))
+    assert(CjkSegmenter.segmentRunDp("研究生命科学", dict) ==
+      Seq("研究", "生命", "科学"))
+    // on unambiguous text the DP matches FMM (ties break toward the
+    // longest word)
+    assert(CjkSegmenter.segmentRunDp("机器学习工程师", dict) ==
+      Seq("机器学习", "工程师"))
+    assert(CjkSegmenter.segmentRunDp("狮子", dict) == Seq("狮", "子"))
+    assert(CjkSegmenter.segmentRunDp("我爱机器学习", dict) ==
+      Seq("我", "爱", "机器学习"))
+    // a long dictionary word is preferred over its in-vocabulary split
+    assert(CjkSegmenter.segmentRunDp("自然语言", dict) == Seq("自然语言"))
+  }
+
+  test("property: DP segmentation never drops or reorders characters " +
+      "and never pays word+stranded-char where two words fit") {
+    val rnd = new scala.util.Random(13)
+    val dictWords = dict.toVector
+    val runs = (1 to 300).map { _ =>
+      (1 to rnd.nextInt(8) + 1).map { _ =>
+        if (rnd.nextBoolean()) dictWords(rnd.nextInt(dictWords.size))
+        else (0x4e00 + rnd.nextInt(0x51a6)).toChar.toString
+      }.mkString
+    }
+    runs.foreach { r =>
+      val dp = CjkSegmenter.segmentRunDp(r, dict)
+      assert(dp.mkString == r, s"characters lost for: $r")
+      // optimality vs the greedy baseline under the DP's own cost
+      def cost(seg: Seq[String]): Int =
+        seg.map(t => if (t.length > 1) 10 else if (dict.contains(t)) 10
+          else 25).sum
+      val fmm = CjkSegmenter.segmentRun(r, dict)
+      assert(cost(dp) <= cost(fmm),
+        s"DP cost ${cost(dp)} exceeds FMM cost ${cost(fmm)} for: $r")
+      dp.filter(_.length > 1).foreach(t =>
+        assert(dict.contains(t), s"non-dictionary token $t in $r"))
+    }
+  }
+
   test("segmentTokens leaves non-CJK tokens untouched") {
     assert(CjkSegmenter.segmentTokens(
       Seq("spark", "机器学习", "c++"), dict) ==
