@@ -2,7 +2,6 @@ package graft.ml
 
 import graft.fixtures.AlbedoFixtures
 import org.apache.spark.ml.classification.FMClassifier
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -136,14 +135,29 @@ object FmRanker {
     side.unionByName(uRows).unionByName(rRows)
       .coalesce(1).write.mode("overwrite").parquet(s"$fmDir/sparse.parquet")
 
-    // ---- dense training features (engine-only; never dumped) --------
-    def oneHot(idxCol: Column, n: Int): Column =
-      transform(sequence(lit(0L), lit(n - 1L)),
-        i => when(i === idxCol, 1.0).otherwise(0.0))
-    val assembled = frame.withColumn("features", array_to_vector(concat(
-      transform(col("side"), x => x.cast("double") / 1000.0),
-      oneHot(col("uidx"), nUsers), oneHot(col("ridx"), nRepos))))
+    // ---- sparse training features (engine-only; never dumped) ------
+    // ~20 nonzeros against dim = nSide + nUsers + nRepos: the sparse
+    // vector is the scale-correct shape (a dense one-hot frame is
+    // O(entities) per row). Bit-equivalent to the dense construction —
+    // IEEE sums are unchanged by skipping exact-zero terms — so the
+    // fit, and therefore the q173 replay, is unchanged.
     val dim = nSide + nUsers + nRepos
+    val assembled = {
+      import spark.implicits._
+      frame.select(col("label").cast("double").as("label"),
+          col("uidx"), col("ridx"), col("side"))
+        .map { r =>
+          val side = r.getAs[scala.collection.Seq[Long]]("side")
+          val entries = side.iterator.zipWithIndex
+            .collect { case (x, i) if x != 0L => (i, x.toDouble / 1000.0) }
+            .toArray ++ Array(
+              (nSide + r.getAs[Long]("uidx").toInt, 1.0),
+              (nSide + nUsers + r.getAs[Long]("ridx").toInt, 1.0))
+          (r.getDouble(0),
+            org.apache.spark.ml.linalg.Vectors.sparse(
+              dim, entries.map(_._1), entries.map(_._2)))
+        }.toDF("label", "features")
+    }
     val model = ModelMemo.cached(spark, "fm-q173") {
       new FMClassifier()
         .setFeaturesCol("features").setLabelCol("label")
