@@ -203,6 +203,17 @@ object FmRanker {
     fitAndDump(spark)
     val sp = spark.read.parquet(s"$fmDir/sparse.parquet")
     val mo = spark.read.parquet(s"$fmDir/model.parquet")
+    scoreEntries(sp, mo)
+  }
+
+  /** The FM APPLY path over sparse feature entries — quantized scoring
+    * + per-user top-k from an already-fitted model frame. Shape: two
+    * broadcast joins against the tiny coefficient dims, keyed aggs on
+    * (user, repo[, f]), then rank-by-score ≤ k — every exchange keyed
+    * by pair or user, so throughput is linear in feature entries at
+    * any corpus size (FmScaleProbe measures the exponent). Extracted
+    * so scale probes drive the REAL operator, not a twin. */
+  def scoreEntries(sp: DataFrame, mo: DataFrame): DataFrame = {
     val interceptQ = {
       val w0 = mo.select(col("intercept")).head().getDouble(0)
       math.floor(w0 * 1e6).toLong * 200000000L

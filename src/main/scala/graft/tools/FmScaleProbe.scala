@@ -1,0 +1,71 @@
+package graft.tools
+
+import graft.ml.FmRanker
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale legs for the FM apply path (r13 — the q173 family's
+  * "100 TB-safe?" row, measured like every other family's): amplify
+  * the dumped sparse feature entries ×factor by shifting user ids per
+  * copy (more users × the same candidate structure — the serving
+  * shape: the MODEL is fixed, the scored population grows) and time
+  * [[FmRanker.scoreEntries]] — the real operator — through the noop
+  * sink at 1×, 10×, 100×. Every exchange is keyed by (user, repo) or
+  * user; the coefficient dims ride broadcasts; expectation is a
+  * sub-linear-to-linear wall-time exponent with no shape change.
+  *
+  * Usage: runMain graft.tools.FmScaleProbe  (fits + dumps first if the
+  * fm_ranker dump dir is absent; factors via SPARK_GRAFT_FM_FACTORS)
+  */
+object FmScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factors = sys.env.getOrElse("SPARK_GRAFT_FM_FACTORS", "1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]").appName("graft-fm-scale-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ensure the dump exists (one seeded fit; memoized thereafter)
+    FmRanker.scoreReplay(spark).write.format("noop").mode("overwrite").save()
+    val root = java.nio.file.Files.createTempDirectory("fm-scale").toString
+    val sp0 = spark.read.parquet(s"${FmRanker.fmDir}/sparse.parquet")
+    val mo = spark.read.parquet(s"${FmRanker.fmDir}/model.parquet")
+
+    def stage(f: Int): DataFrame = {
+      val p = s"$root/sp$f"
+      (0 until f).map { k =>
+        sp0.withColumn("user_id",
+          col("user_id") + lit(k.toLong * 10000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+
+    val t1 = scala.collection.mutable.Map[Int, Double]()
+    for (f <- factors) {
+      val sp = stage(f)
+      val entries = sp.count()
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        FmRanker.scoreEntries(sp, mo)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      t1(f) = times.min
+      val exp = if (f > 1 && t1.contains(factors.head))
+        f" exp1_to_${f}=${math.log(t1(f) / t1(factors.head)) / math.log(f.toDouble)}%.2f"
+      else ""
+      System.err.println(f"[fmscale] factor=$f entries=$entries%,d " +
+        f"t=${times.min}%.2f s (runs: ${times.map(t => f"$t%.2f").mkString(", ")})$exp")
+    }
+    spark.stop()
+  }
+}
