@@ -105,9 +105,10 @@ object FmRanker {
 
   /** Builds the sparse quantized feature entries and the dense training
     * frame from [[AlbedoRanker.deterministicFeatureFrame]], fits the
-    * seeded FM, and dumps both sides of the replay to [[fmDir]].
-    * Returns (sparseEntries, nnz-bounds row) after the dump. */
-  private def fitAndDump(spark: SparkSession): Unit = {
+    * seeded FM (memoized per session), and dumps both sides of the
+    * replay to [[fmDir]]. Returns the fitted model. */
+  private def fitAndDump(spark: SparkSession)
+      : org.apache.spark.ml.classification.FMClassificationModel = {
     val frame0 = AlbedoRanker.deterministicFeatureFrame(spark)
     val uIdx = denseIndex(frame0, "user_id", "uidx")
     val rIdx = denseIndex(frame0, "repo_id", "ridx")
@@ -184,6 +185,56 @@ object FmRanker {
     Seq((model.intercept, model.linear.toArray, featureMajor))
       .toDF("intercept", "linear", "factors")
       .coalesce(1).write.mode("overwrite").parquet(s"$fmDir/model.parquet")
+    inputBoundsCheck(spark)
+    model
+  }
+
+  /** The fitted q173 model, for callers that need `predictRaw` (specs
+    * tying the quantized replay to the model's own decision function).
+    * Always safe to call in isolation: re-dumps the replay files (a
+    * few bounded writes) and refits only if the session memo is cold —
+    * the fit is seeded, so a refit returns the same model. */
+  def fittedModel(spark: SparkSession)
+      : org.apache.spark.ml.classification.FMClassificationModel =
+    fitAndDump(spark)
+
+  /** Dump-time INPUT bounds (ADVICE r13 #4): the scoreQ docstring
+    * claims overflow is "loud in both engines", but Spark's non-ANSI
+    * Long sums wrap silently, and [[boundsCheck]] only inspects the
+    * already-aggregated lin/S_f — a wrap that lands back inside the
+    * bound would pass engine-side while DuckDB aborts. These bounds on
+    * the RAW dumped entries make a wrap impossible rather than
+    * unlikely: with nnzMax entries per (user, repo), |x| ≤ xMax and
+    * |wq| ≤ wqMax, every partial sum of Σ wq·x is ≤ nnzMax·wqMax·xMax —
+    * asserted < the 10¹³ lin bound, so no intermediate value can reach
+    * 2⁶³ no matter the aggregation order; likewise Σ vq·x < 10⁹ and
+    * Σ vq²·x² (via BigInt arithmetic, immune to wrap in the check
+    * itself) < 10¹⁴·nSide-scale slack. Three bounded aggs over the
+    * dump, once per fit. */
+  private def inputBoundsCheck(spark: SparkSession): Unit = {
+    val sp = spark.read.parquet(s"$fmDir/sparse.parquet")
+    val mo = spark.read.parquet(s"$fmDir/model.parquet")
+    val nnzMax = sp.groupBy(col("user_id"), col("repo_id"))
+      .agg(count(lit(1)).as("nnz"))
+      .agg(max(col("nnz"))).head().getLong(0)
+    val xMax = sp.agg(max(abs(col("x")))).head().getLong(0)
+    val wqMax = mo.select(explode(col("linear")).as("w"))
+      .agg(max(abs(floor(col("w") * 1e6).cast("long")))).head().getLong(0)
+    val vqMax = mo.select(explode(col("factors")).as("frow"))
+      .select(explode(col("frow")).as("v"))
+      .agg(max(abs(floor(col("v") * 1e4).cast("long")))).head().getLong(0)
+    val linPeak = BigInt(nnzMax) * BigInt(wqMax) * BigInt(xMax)
+    val sPeak = BigInt(nnzMax) * BigInt(vqMax) * BigInt(xMax)
+    val qPeak = BigInt(nnzMax) * BigInt(vqMax) * BigInt(vqMax) *
+      BigInt(xMax) * BigInt(xMax)
+    require(linPeak < BigInt("10000000000000"),
+      s"FM replay input bound: nnzMax=$nnzMax x wqMax=$wqMax x xMax=$xMax " +
+        s"= $linPeak could exceed the 1e13 lin bound mid-sum")
+    require(sPeak < BigInt(1000000000L),
+      s"FM replay input bound: nnzMax=$nnzMax x vqMax=$vqMax x xMax=$xMax " +
+        s"= $sPeak could exceed the 1e9 S_f bound mid-sum")
+    require(qPeak < BigInt("100000000000000000"),
+      s"FM replay input bound: Q_f peak $qPeak too close to 2^63")
   }
 
   /** Asserts the integer-overflow bounds the scoreQ arithmetic relies

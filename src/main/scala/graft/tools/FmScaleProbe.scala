@@ -60,8 +60,12 @@ object FmScaleProbe {
         dt
       }
       t1(f) = times.min
-      val exp = if (f > 1 && t1.contains(factors.head))
-        f" exp1_to_${f}=${math.log(t1(f) / t1(factors.head)) / math.log(f.toDouble)}%.2f"
+      // exponent relative to the ACTUAL baseline factor (ADVICE r13 #3:
+      // dividing by log(f) is only right when factors.head == 1)
+      val head = factors.head
+      val exp = if (f > head && t1.contains(head))
+        f" exp${head}_to_${f}=${
+          math.log(t1(f) / t1(head)) / math.log(f.toDouble / head)}%.2f"
       else ""
       System.err.println(f"[fmscale] factor=$f entries=$entries%,d " +
         f"t=${times.min}%.2f s (runs: ${times.map(t => f"$t%.2f").mkString(", ")})$exp")

@@ -30,9 +30,7 @@ class FmRankerSpec extends SparkSpec {
       assert(sorted.length <= 5)
     }
 
-    val m = ModelMemo.cached(spark, "fm-q173")(
-      sys.error("model must already be memoized by scoreReplay")
-        : org.apache.spark.ml.classification.FMClassificationModel)
+    val m = FmRanker.fittedModel(spark)
     val sp = spark.read.parquet(s"${FmRanker.fmDir}/sparse.parquet")
     val dim = m.linear.size
     // rebuild each replayed pair's features from the dumped sparse
@@ -59,10 +57,11 @@ class FmRankerSpec extends SparkSpec {
 
   test("the FM separates the fixture labels (ranking quality sanity)") {
     // train AUC from the dumped decision function — a broken feature
-    // path (zeroed one-hots, mis-scaled sides) collapses toward chance
-    val m = ModelMemo.cached(spark, "fm-q173")(
-      sys.error("run the replay test first — the model memoizes there")
-        : org.apache.spark.ml.classification.FMClassificationModel)
+    // path (zeroed one-hots, mis-scaled sides) collapses toward chance.
+    // fittedModel (not a bare memo probe, ADVICE r13 #2): safe when
+    // this test runs in isolation or the SoftReference was GC-cleared —
+    // it re-dumps and refits the seeded model instead of sys.error'ing
+    val m = FmRanker.fittedModel(spark)
     val sp = spark.read.parquet(s"${FmRanker.fmDir}/sparse.parquet")
     val dim = m.linear.size
     val scored = sp.collect()
