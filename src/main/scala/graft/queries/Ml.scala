@@ -75,6 +75,26 @@ object Ml {
       .orderBy(col("word"))
   }
 
+  /** Golden-vector oracle for the frequency-weighted CJK lattice
+    * segmenter (q174, r14): segments the embedded
+    * [[graft.text.CjkGolden]] ambiguity phrases through the PRODUCTION
+    * column form ([[graft.text.CjkSegmenter.cjkAwareFreq]]) while the
+    * DuckDB oracle replays the hand-derived correct readings as a
+    * VALUES relation — the q42b pattern. Uniform costs get every
+    * discriminating case here wrong (see CjkGolden's scaladoc), so
+    * this hash-pins the log-frequency half of the HanLP contract
+    * (SURVEY §2 row 78), not just the DP. */
+  def cjkGoldenSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.text.CjkGolden.vectors.zipWithIndex
+      .map { case ((p, _), i) => (i + 1L, p) }
+      .toDF("phrase_id", "phrase")
+      .select(col("phrase_id"), col("phrase"),
+        array_join(graft.text.CjkSegmenter.cjkAwareFreq(col("phrase")), "/")
+          .as("segmented"))
+      .orderBy(col("phrase_id"))
+  }
+
   /** Frozen top-10 neighbor sets per fixture corpus (r6 capture,
     * seeded fits) — the q90-style band input for q43: a silently
     * broken W2V fit previously just changed rows the driver can't
@@ -448,6 +468,8 @@ object Ml {
          |ORDER BY id_a, rn""".stripMargin)),
     QueryDef("q42b_porter_golden", porterGoldenStems,
       Some(graft.text.PorterGolden.oracleValuesSql)),
+    QueryDef("q174_cjk_freq_golden", cjkGoldenSegments,
+      Some(graft.text.CjkGolden.oracleValuesSql)),
     QueryDef("q59_albedo_ranker_features", albedoRankerFeatures, Some {
       val fx = graft.fixtures.AlbedoFixtures.persistDir
       s"""WITH u0 AS (

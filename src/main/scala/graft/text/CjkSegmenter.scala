@@ -141,23 +141,40 @@ object CjkSegmenter {
     * O(n) space per run, same contract as [[segmentRun]] (concat of
     * tokens == input). */
   def segmentRunDp(run: String, dict: Set[String], maxWordLen: Int = 8)
-      : Seq[String] = {
+      : Seq[String] =
+    // word loop starts at len=1 in the core (ADVICE r13 #1): a 1-char
+    // dictionary word is priced WordCost like the spec's cost model
+    // says, not UnknownCost — latent with the starter lexicon (no
+    // 1-char entries) but load-bearing for real lexicons
+    dpCore(run, w => if (dict.contains(w)) UniformWordCost else -1,
+      UniformUnknownCost, maxWordLen)
+
+  private val UniformWordCost = 10
+  private val UniformUnknownCost = 25
+
+  /** The shared lattice core: `wordCost(w) >= 0` prices an
+    * in-vocabulary word, `< 0` means not a word; `oovCost` prices a
+    * stranded single character. Ties break toward the LONGER word
+    * (`<=` under an ascending length scan) — deterministic pure-
+    * integer scoring, O(n·maxWordLen) time, O(n) space, concat of
+    * tokens == input. */
+  private def dpCore(run: String, wordCost: String => Int, oovCost: Int,
+      maxWordLen: Int): Seq[String] = {
     val n = run.length
-    val WordCost = 10
-    val UnknownCost = 25
     val INF = Int.MaxValue / 2
     val best = Array.fill(n + 1)(INF)
     best(n) = 0
     val choice = new Array[Int](math.max(n, 1))
     var i = n - 1
     while (i >= 0) {
-      var b = UnknownCost + best(i + 1)
+      var b = oovCost + best(i + 1)
       var c = 1
-      var len = 2
+      var len = 1
       val maxL = math.min(maxWordLen, n - i)
       while (len <= maxL) {
-        if (dict.contains(run.substring(i, i + len))) {
-          val v = WordCost + best(i + len)
+        val wc = wordCost(run.substring(i, i + len))
+        if (wc >= 0) {
+          val v = wc + best(i + len)
           if (v <= b) { b = v; c = len } // <= : longest word wins ties
         }
         len += 1
@@ -173,6 +190,142 @@ object CjkSegmenter {
       j += choice(j)
     }
     out.result()
+  }
+
+  // ---- frequency-weighted lattice (r14, VERDICT r13 #1) -------------
+  // HanLP's own edge weighting is the corpus log-frequency of each
+  // word (reference: src/main/scala/ws/vinta/albedo/transformers/
+  // HanLPTokenizer.scala:15-64 rides HanLP's CoreDictionary frequency
+  // table through its Viterbi segmenter). The uniform integer costs
+  // above close the ALGORITHM; this section closes the DATA delta:
+  // a word's edge cost is round(10·ln(NominalCorpusFreq / freq)) —
+  // the scaled negative log unigram probability, so the min-cost path
+  // is the max-likelihood segmentation under a unigram LM. Uniform
+  // costs structurally cannot rank two segmentations with the SAME
+  // word count (白天鹅 → 白天/鹅 vs 白/天鹅 both price 2·WordCost and
+  // the tie-break picks the longer first word — the wrong reading);
+  // log-frequency costs decide exactly these (spec-pinned, and gated
+  // by q174's golden oracle).
+
+  /** Nominal corpus size the frequency table is expressed against.
+    * Fixed (not the table sum) so costs don't drift as entries are
+    * added; only log-RATIOS matter to the path choice. */
+  val NominalCorpusFreq: Long = 10000000L
+
+  /** Frequency assumed for lexicon words with no curated entry —
+    * a mid-tail word (cost 69). */
+  val DefaultWordFreq: Long = 10000L
+
+  /** Edge cost of a word at corpus frequency `freq`: the scaled
+    * negative log unigram probability, floored at 1. */
+  def freqCost(freq: Long): Int = {
+    require(freq > 0 && freq <= NominalCorpusFreq)
+    math.max(1, math.round(
+      10.0 * math.log(NominalCorpusFreq.toDouble / freq)).toInt)
+  }
+
+  /** Out-of-vocabulary single character: priced above the rarest
+    * possible dictionary word (freq 1) plus a margin, so any
+    * in-vocabulary reading is preferred — HanLP's OOV handling to a
+    * first approximation. */
+  val OovCharCost: Int = freqCost(1) + 20
+
+  /** Curated frequency classes: hand-banded from well-known public
+    * frequency rankings of modern Chinese (function characters at the
+    * top, everyday words mid-band, rare nouns at the tail). Exact
+    * magnitudes are NOT load-bearing — only the log-ratios between
+    * competing segmentations are, and the spec asserts the decisions,
+    * not the numbers. Every word here is also a dictionary entry for
+    * the frequency path (1-char entries deliberately live ONLY here:
+    * the uniform path's contract — singles are fallbacks, not words —
+    * is pinned by CjkSegmenterSpec and unchanged). */
+  private val curatedFrequencies: Seq[(Long, Seq[String])] = Seq(
+    5000000L -> Seq("的"),
+    2500000L -> Seq("了"),
+    2200000L -> Seq("是"),
+    1800000L -> Seq("一"),
+    1500000L -> Seq("在", "我们"),
+    1400000L -> Seq("不"),
+    1200000L -> Seq("我"),
+    1100000L -> Seq("个"),
+    1000000L -> Seq("这"),
+    900000L -> Seq("有"),
+    800000L -> Seq("人", "和"),
+    700000L -> Seq("他"),
+    600000L -> Seq("中", "上", "们"),
+    500000L -> Seq("大", "来", "地", "你", "中国"),
+    400000L -> Seq("下", "子", "国", "他们"),
+    350000L -> Seq("好"),
+    300000L -> Seq("天", "去", "生", "国家"),
+    280000L -> Seq("年"),
+    250000L -> Seq("小", "家", "学"),
+    200000L -> Seq("道", "大学", "你们"),
+    150000L -> Seq("水", "月", "研究", "大家"),
+    140000L -> Seq("日"),
+    120000L -> Seq("科学"),
+    100000L -> Seq("白", "学生"),
+    80000L -> Seq("生命"),
+    70000L -> Seq("花"),
+    60000L -> Seq("山"),
+    50000L -> Seq("发展"),
+    40000L -> Seq("命", "狗"),
+    35000L -> Seq("猫"),
+    30000L -> Seq("白天", "鸟"),
+    15000L -> Seq("研究生"),
+    8000L -> Seq("天鹅"),
+    3000L -> Seq("鹅"))
+
+  /** Word → nominal corpus frequency: every [[starterLexicon]] word at
+    * [[DefaultWordFreq]], overridden/extended by the curated bands.
+    * Pluggable like the lexicon — pass a real corpus count table in
+    * deployment. */
+  val starterFrequencies: Map[String, Long] =
+    starterLexicon.iterator.map(_ -> DefaultWordFreq).toMap ++
+      curatedFrequencies.flatMap { case (f, ws) => ws.map(_ -> f) }
+
+  /** Frequency table → integer edge-cost table (driver-side, once per
+    * closure — MBs at real-lexicon size, same broadcast budget as the
+    * word set). */
+  def wordCosts(freqs: Map[String, Long]): Map[String, Int] =
+    freqs.map { case (w, f) => w -> freqCost(f) }
+
+  private lazy val starterCosts: Map[String, Int] =
+    wordCosts(starterFrequencies)
+
+  /** Min-cost lattice with log-frequency edge costs — the full HanLP
+    * formulation (algorithm AND data). Same contract as
+    * [[segmentRunDp]]: deterministic integers, longest word wins
+    * ties, concat of tokens == input. */
+  def segmentRunFreq(run: String, costs: Map[String, Int],
+      oovCost: Int = OovCharCost, maxWordLen: Int = 8): Seq[String] =
+    dpCore(run, w => costs.getOrElse(w, -1), oovCost, maxWordLen)
+
+  /** [[segmentTokens]] with frequency costs (non-CJK tokens pass
+    * through). */
+  def segmentTokensFreq(tokens: Seq[String], costs: Map[String, Int],
+      oovCost: Int = OovCharCost): Seq[String] =
+    tokens.flatMap { t =>
+      if (t.nonEmpty && t.forall(isCjk)) segmentRunFreq(t, costs, oovCost)
+      else Seq(t)
+    }
+
+  /** Column form of the frequency-weighted segmenter — the
+    * production tokenizer this family recommends (same latin-token
+    * handling as [[cjkAwareDict]]). */
+  def cjkAwareFreq(text: Column,
+      freqs: Map[String, Long] = starterFrequencies): Column = {
+    val costs = wordCosts(freqs)
+    val segmentUdf = udf { (s: String) =>
+      if (s == null) Seq.empty[String]
+      else {
+        val lower = s.toLowerCase
+        val re = "([a-z0-9]+(?:\\+\\+|#)?|[\\u4e00-\\u9fff]+)".r
+        val raw = re.findAllIn(lower).toSeq
+        segmentTokensFreq(raw, costs).filter(t =>
+          t.length > 1 || t == "c" || t == "r" || t.headOption.exists(isCjk))
+      }
+    }
+    segmentUdf(text)
   }
 
   /** FMM over a CJK run: at each position take the longest dictionary

@@ -149,6 +149,100 @@ class CjkSegmenterSpec extends SparkSpec {
     assert(wordFrac >= 0.75, s"got $toks")
   }
 
+  // ---- frequency-weighted lattice (r14) ----------------------------
+
+  private val costs = CjkSegmenter.wordCosts(CjkSegmenter.starterFrequencies)
+
+  test("frequency costs decide the overlap ambiguities uniform costs " +
+      "structurally cannot") {
+    // 白天鹅: both readings are two dictionary words under the freq
+    // lexicon, so uniform pricing ties and the longest-first tie-break
+    // picks the WRONG one; log-frequency picks white/swan
+    assert(CjkSegmenter.segmentRunFreq("白天鹅", costs) == Seq("白", "天鹅"))
+    val freqDict = CjkSegmenter.starterFrequencies.keySet
+    assert(CjkSegmenter.segmentRunDp("白天鹅", freqDict) == Seq("白天", "鹅"),
+      "uniform costs were expected to tie and mis-pick — if this now " +
+        "passes the golden case no longer discriminates")
+    // 发展中国家: same word count both ways; frequency favors 中/国家
+    assert(CjkSegmenter.segmentRunFreq("发展中国家", costs) ==
+      Seq("发展", "中", "国家"))
+    assert(CjkSegmenter.segmentRunDp("发展中国家", freqDict) ==
+      Seq("发展", "中国", "家"))
+    // 研究生命科学: with 命 in-vocabulary the uniform DP ties at 3
+    // words each way and the tie-break takes 研究生 — only frequency
+    // restores the correct reading (the spec's original DP case keeps
+    // passing because the UNIFORM path's lexicon has no 1-char words)
+    assert(CjkSegmenter.segmentRunFreq("研究生命科学", costs) ==
+      Seq("研究", "生命", "科学"))
+    assert(CjkSegmenter.segmentRunDp("研究生命科学", freqDict) ==
+      Seq("研究生", "命", "科学"))
+  }
+
+  test("every golden vector segments to its hand-derived reading " +
+      "(the q174 gate's engine half)") {
+    CjkGolden.vectors.foreach { case (phrase, expected) =>
+      assert(CjkSegmenter.segmentRunFreq(phrase, costs).mkString("/")
+        == expected, s"for $phrase")
+    }
+  }
+
+  test("1-char dictionary words are priced as words, not unknowns " +
+      "(ADVICE r13 #1)") {
+    // with 命 a dictionary word, both readings cost 3 words and the
+    // longest-wins tie-break applies — before the len=1 fix 命 was
+    // silently charged UnknownCost and the tie never happened
+    val d = Set("研究", "研究生", "生命", "科学", "命")
+    assert(CjkSegmenter.segmentRunDp("研究生命科学", d) ==
+      Seq("研究生", "命", "科学"))
+  }
+
+  test("property: no frequency-lexicon word is beaten by its own " +
+      "character split (curation sanity)") {
+    // a curated single priced too cheap would shred the compounds
+    // containing it (大学 → 大/学); scan EVERY multi-char entry
+    CjkSegmenter.starterFrequencies.keys.filter(_.length > 1).foreach { w =>
+      assert(CjkSegmenter.segmentRunFreq(w, costs) == Seq(w),
+        s"compound $w lost to a cheaper split")
+    }
+  }
+
+  test("property: frequency segmentation preserves characters and is " +
+      "never costlier than FMM under its own cost model") {
+    val rnd = new scala.util.Random(29)
+    val words = CjkSegmenter.starterFrequencies.keys.toVector
+    def freqPathCost(seg: Seq[String]): Int =
+      seg.map(t => costs.getOrElse(t,
+        if (t.length == 1) CjkSegmenter.OovCharCost
+        else t.length * CjkSegmenter.OovCharCost)).sum
+    (1 to 300).foreach { _ =>
+      val r = (1 to rnd.nextInt(8) + 1).map { _ =>
+        if (rnd.nextBoolean()) words(rnd.nextInt(words.size))
+        else (0x4e00 + rnd.nextInt(0x51a6)).toChar.toString
+      }.mkString
+      val seg = CjkSegmenter.segmentRunFreq(r, costs)
+      assert(seg.mkString == r, s"characters lost for: $r")
+      seg.filter(_.length > 1).foreach(t =>
+        assert(costs.contains(t), s"non-lexicon token $t in $r"))
+      val fmm = CjkSegmenter.segmentRun(r, CjkSegmenter.starterLexicon)
+      assert(freqPathCost(seg) <= freqPathCost(fmm),
+        s"freq DP cost ${freqPathCost(seg)} exceeds FMM ${freqPathCost(fmm)} for: $r")
+    }
+  }
+
+  test("cjkAwareFreq column form: latin handling unchanged, CJK runs " +
+      "frequency-segmented") {
+    import spark.implicits._
+    val df = Seq(
+      "I use C++ and 机器学习 at 谷歌",
+      "白天鹅 lives on a lake",
+      "发展中国家的大数据").toDF("text")
+    val got = df.select(CjkSegmenter.cjkAwareFreq($"text").as("toks"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("use", "c++", "and", "机器学习", "at", "谷歌"))
+    assert(got(1) == Seq("白", "天鹅", "lives", "on", "lake"))
+    assert(got(2) == Seq("发展", "中", "国家", "的", "大数据"))
+  }
+
   test("empty dictionary degrades exactly to per-character segmentation") {
     import spark.implicits._
     val df = Seq("機器学習 spark").toDF("text")
