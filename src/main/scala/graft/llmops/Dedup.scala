@@ -560,14 +560,30 @@ object Dedup {
     * green-light a job the box still cannot hold. For corpora whose
     * candidate volume genuinely deviates, run the counts-only
     * [[prefixJaccardCandidates]] diagnostic first and size the budget
-    * override deliberately. */
+    * override deliberately.
+    *
+    * The input-bytes scan is memoized per (session, canonicalized
+    * input plan) — r14, VERDICT r13 #5: the guard showed up as a
+    * +0.6–0.7 s re-scan on each of q132/q150/q161/q162, and the
+    * prefix/containment siblings over the same corpus share one
+    * estimate. Only the BYTES are cached (the budget and the verdict
+    * are re-evaluated every call, so conf overrides keep working
+    * mid-session); an input path overwritten behind an identical plan
+    * is outside the memo's contract, same as the repo's other
+    * session-scoped memos. */
+  private val inputBytesMemo =
+    new scala.collection.concurrent.TrieMap[(String, Int, String), Long]()
+
   private def assertTransientDiskBudget(docs: DataFrame, textCol: String,
       opName: String): Unit = {
     val spark = docs.sparkSession
-    val row = docs.agg(
-      coalesce(sum(length(col(textCol)).cast("long")), lit(0L)),
-      count(lit(1))).head()
-    val inputBytes = row.getLong(0)
+    val memoKey = (s"${spark.sparkContext.applicationId}/${
+        System.identityHashCode(spark)}",
+      docs.select(col(textCol)).queryExecution.analyzed.semanticHash(),
+      textCol)
+    val inputBytes = inputBytesMemo.getOrElseUpdate(memoKey,
+      docs.agg(coalesce(sum(length(col(textCol)).cast("long")), lit(0L)))
+        .head().getLong(0))
     val estimate = inputBytes * TransientShuffleFactor
     val budget = spark.conf.getOption("graft.exactJoin.diskBudgetBytes")
       .map(_.toLong).getOrElse {

@@ -76,12 +76,22 @@ object Similarity {
     * doesn't (standard construction, MMDS ch.3).
     *
     * Scale: equi-join on (table, bucket) — shuffle-partitioned, no
-    * cross join; pair dedup before the exact cosine pass. */
+    * cross join; pair dedup before the exact cosine pass.
+    *
+    * `nTables = 0` (the default since r14) DERIVES the table count:
+    * [[lshTablesFor]] at [[topKDesignCos]] (this corpus's measured
+    * k-th-neighbor grade) holding [[TopKTargetRecall]] — the same
+    * no-manual-choice discipline as the near-dup family. Pass
+    * `nTables > 0` to pin an explicit count (q38/q66/q89 pin their
+    * measured operating point of 8 so the gates stay hash-exact). */
   def lshTopK(vectors: DataFrame, k: Int, nPlanes: Int, dim: Int,
-      nTables: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding",
+      nTables: Int = 0, idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    val numTables = if (nTables > 0) nTables
+      else lshTablesFor(nPlanes, topKDesignCos(vectors, k, idCol, vecCol),
+        TopKTargetRecall)
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     // bucket assignment as a typed kernel: the column form is
     // nTables×nPlanes aggregate-HOFs per row, ALL interpreted
@@ -89,10 +99,10 @@ object Similarity {
     // double-precision index-order dot products ~2× faster. The plane
     // matrix (nTables×nPlanes×dim gaussians) is driver-built and rides
     // the task closure — kilobytes.
-    val planeMatrix = Array.tabulate(nTables)(t =>
+    val planeMatrix = Array.tabulate(numTables)(t =>
       hyperplanes(nPlanes, dim, seed + t * 7919))
     val withB = base.as[(Long, Seq[Float])].flatMap { case (id, v) =>
-      (0 until nTables).iterator.map { t =>
+      (0 until numTables).iterator.map { t =>
         val planes = planeMatrix(t)
         var bucket = 0L
         var j = 0
@@ -192,6 +202,59 @@ object Similarity {
     * are don't-cares per the regime-limit contract on [[lshTablesFor]]. */
   val NearDupDesignCos = 0.9
 
+  /** The top-k family's recall target at the design grade (r14 — the
+    * last fixed sketch parameter, VERDICT r13 #3): each TRUE top-k
+    * neighbor at the corpus's median k-th-neighbor cosine must collide
+    * in ≥ 1 table with probability ≥ this. Neighbors closer than the
+    * median are found with strictly higher probability, so expected
+    * recall@k sits above the target for the average query. 0.5 (not
+    * the near-dup family's 0.9) because top-k degrades gracefully — a
+    * missed true neighbor is replaced by the next-best candidate, not
+    * silently dropped from a dedup decision — and because on
+    * near-orthogonal corpora (p per bit barely above ½) the table
+    * count grows ∝ p^-nPlanes: holding 0.9 there costs ~3.3× the
+    * tables of 0.5 for little ranking value. */
+  val TopKTargetRecall = 0.5
+
+  /** Query count for [[topKDesignCos]]'s bounded probe: enough for a
+    * stable median, small enough that the probe costs ~5 hash passes. */
+  val TopKDesignProbeQueries = 64
+
+  /** Data-driven DESIGN similarity for the top-k family: the median
+    * k-th-neighbor cosine of a deterministic bounded query probe (the
+    * [[TopKDesignProbeQueries]] smallest ids) against the FULL corpus.
+    * Unlike near-dup (where the design grade is a property of what a
+    * duplicate IS, ≈ 0.9 on any corpus), the top-k design grade is a
+    * property of THIS corpus's neighbor structure — a constant would
+    * be wrong in both directions (real embedding corpora: neighbors at
+    * ~0.9, a 0.4 constant over-provisions ~20×; synthetic
+    * near-orthogonal corpora: the constant under-recalls).
+    *
+    * Scale shape: broadcast the 64 probe queries, scan the corpus
+    * once, per-query top-k via the k-bounded partial aggregator
+    * ([[graft.ops.TopK.viaAggregator]] — shuffle carries ≤ k rows per
+    * query per map partition, no single-task sort). Cost ≈ 64/nPlanes
+    * extra hash-pass equivalents, once per derivation. Deterministic:
+    * probe ids are the sorted smallest, the aggregator's kept set is
+    * the max-k of a total order (score desc, id asc). */
+  def topKDesignCos(vectors: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
+    val q = vectors
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .orderBy(col("query_id")).limit(TopKDesignProbeQueries)
+    val c = vectors
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosineNative(col("qv"), col("cv")))
+    val kth = graft.ops.TopK
+      .viaAggregator(scored, "query_id", "neighbor_id", "cos", k)
+      .filter(col("rn") === k)
+      .select(col("cos")).collect().map(_.getDouble(0)).sorted
+    require(kth.nonEmpty, s"topKDesignCos: corpus must exceed k=$k vectors")
+    math.min(math.max(kth(kth.length / 2), -0.99), 0.99)
+  }
+
   /** The occupancy-preserving nPlanes for a corpus: smallest plane
     * count keeping expected per-bucket occupancy ≤ `targetOccupancy`
     * (bucket count is 2^nPlanes per table). This is the discipline the
@@ -288,11 +351,17 @@ object Similarity {
     t
   }
 
+  /** Portable twin of [[lshTopK]] — same `nTables = 0` ⇒ derived
+    * ([[lshTablesFor]] at [[topKDesignCos]] holding
+    * [[TopKTargetRecall]]) default since r14; the oracled gates pin 8. */
   def lshTopKPortable(vectors: DataFrame, k: Int, nPlanes: Int, dim: Int,
-      nTables: Int = 8, idCol: String = "vec_id",
+      nTables: Int = 0, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val numTables = if (nTables > 0) nTables
+      else lshTablesFor(nPlanes, topKDesignCos(vectors, k, idCol, vecCol),
+        TopKTargetRecall)
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val withB = portableBuckets(vectors, nPlanes, dim, nTables, idCol, vecCol)
+    val withB = portableBuckets(vectors, nPlanes, dim, numTables, idCol, vecCol)
     val a = withB.select(col("tbl"), col("bucket"), col("id").as("query_id"))
     val b = withB.select(col("tbl"), col("bucket"), col("id").as("neighbor_id"))
     val pairs = a.join(b, Seq("tbl", "bucket"))

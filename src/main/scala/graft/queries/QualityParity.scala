@@ -138,6 +138,43 @@ object QualityParity {
     graft.ops.Materialize.localThenUnpersist(out, inter, test)
   }
 
+  /** Observed NDCG@5 band for the FM second stage (seed 42, 3dp, same
+    * width policy as [[bands]]): q173 pins the FM's ARITHMETIC
+    * hash-exactly, this row pins its RANKING QUALITY lifecycle —
+    * feature build → seeded fit → score → per-user top-k → NDCG — so a
+    * quality regression (zeroed one-hots, mis-scaled sides, a solver
+    * change) flips `within_band` in the driver's own artifact instead
+    * of hiding behind still-consistent replay hashes. */
+  private val fmBand: (Double, Double) = (0.95, 1.0) // observed 0.999
+
+  /** q90b: NDCG@5 of the FM ranker's per-user top-5 (the q173 replay
+    * rows — quantized scores preserve ranking order by construction)
+    * against the fixture's positive pairs. Train-side metric, like the
+    * reference's published per-builder numbers: the lifecycle detector
+    * is collapse-toward-chance, not generalization. */
+  def fmQuality(spark: SparkSession, dir: String): DataFrame = {
+    val replay = graft.ml.FmRanker.scoreReplay(spark)
+    val positives = spark.read
+      .parquet(s"${graft.ml.FmRanker.fmDir}/sparse.parquet")
+      .filter(col("label") > 0.5)
+      .select(col("user_id"), col("repo_id").as("item_id")).distinct()
+    val recs = replay.select(col("user_id"), col("repo_id").as("item_id"),
+      col("score_q").cast("double").as("score"))
+    val (lo, hi) = fmBand
+    val out = RankingEvaluator.evaluate(recs, positives, 5)
+      .select(
+        lit("fm").as("recommender"),
+        col("k"),
+        col("n_users"),
+        round(col("ndcg"), 3).as("ndcg"),
+        lit(lo).as("band_lo"),
+        lit(hi).as("band_hi"))
+      .withColumn("within_band",
+        col("ndcg") >= col("band_lo") && col("ndcg") <= col("band_hi"))
+    graft.ops.Materialize.localThenUnpersist(out)
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q90_albedo_cg_quality", cgQuality, None))
+    QueryDef("q90_albedo_cg_quality", cgQuality, None),
+    QueryDef("q90b_fm_ranker_quality", fmQuality, None))
 }

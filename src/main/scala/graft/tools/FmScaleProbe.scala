@@ -47,6 +47,31 @@ object FmScaleProbe {
       spark.read.parquet(p)
     }
 
+    // ---- FIT-path leg (VERDICT r13 next-round #2): the entity index
+    // build — denseIndex over f× the fixture's user population. The old
+    // global-window form funneled the dictionary through ONE task; the
+    // zipWithIndex form is a keyed distinct + parallel sort + count
+    // job, so wall time should stay near-flat in f on 32 cores.
+    // Base population 1M synthetic ids (xxhash64-scrambled so the input
+    // arrives unordered — the sort has real work to do), ×f up to 100M.
+    val it1 = scala.collection.mutable.Map[Int, Double]()
+    for (f <- factors) {
+      val entities = spark.range(0, f.toLong * 1000000L)
+        .select(xxhash64(col("id")).as("user_id"))
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = FmRanker.denseIndex(entities, "user_id", "uidx").count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[fmscale-fit] factor=$f indexed=$n%,d t=$dt%.2f s")
+        dt
+      }
+      it1(f) = times.min
+      val head = factors.head
+      if (f > head && it1.contains(head))
+        System.err.println(f"[fmscale-fit] factor=$f exp${head}_to_${f}=${
+          math.log(it1(f) / it1(head)) / math.log(f.toDouble / head)}%.2f")
+    }
+
     val t1 = scala.collection.mutable.Map[Int, Double]()
     for (f <- factors) {
       val sp = stage(f)

@@ -172,6 +172,54 @@ object LshRecallProbe {
       pTruth.unpersist()
     }
 
+    // ---- top-k legs (r14, VERDICT r13 #3): the derived table count at
+    // the TOP-K operating point — lshTopKPortable's nTables=0 default
+    // (lshTablesFor at topKDesignCos holding TopKTargetRecall) vs the
+    // old fixed 8, recall@5 against brute-force truth on the q89 query
+    // subset, at 1× and topkFactor×. The corpus is the first 500 base
+    // vectors amplified (near-orthogonal — sign-LSH's WORST case, per
+    // the q89 note), so this leg measures the regime where fixed
+    // tables decay fastest. Truth via broadcast-queries + k-bounded
+    // partial aggregation — no corpus broadcast, no single-task sort.
+    val topkFactor = sys.env.getOrElse("SPARK_GRAFT_TOPK_FACTOR", "100").toInt
+    val topkBase = embBase.filter(col("vec_id") < 500)
+    def bruteTruth(emb: DataFrame): DataFrame = {
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"))
+      val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", graft.functions.VectorFunctions
+          .cosineNative(col("qv"), col("cv")))
+      graft.ops.TopK.viaAggregator(scored, "query_id", "neighbor_id", "cos", 5)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    for (f <- Seq(1, topkFactor).distinct) {
+      val emb = stage(s"topk$f", ScaleCorpus.amplifyEmbeddings(topkBase, f))
+      val truthK = stage(s"topktruth$f", bruteTruth(emb)).cache()
+      val nT = truthK.count()
+      val planes = Similarity.autoPlanes(emb, Similarity.TopKOccupancy)
+      val design = Similarity.topKDesignCos(emb, 5)
+      val derived = Similarity.lshTablesFor(planes, design,
+        Similarity.TopKTargetRecall)
+      for (tables <- Seq(8, derived).distinct) {
+        val (res, secs) = timed(stage(s"topkres_${f}_$tables",
+          if (tables == derived)
+            Similarity.lshTopKPortable(emb, k = 5, nPlanes = planes, dim = 64)
+          else
+            Similarity.lshTopKPortable(emb, k = 5, nPlanes = planes, dim = 64,
+              nTables = tables)))
+        val hits = res.filter(col("query_id") < 20)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(truthK, Seq("query_id", "neighbor_id")).count()
+        val lbl = if (tables == derived) s"DEFAULT($derived)" else tables.toString
+        System.err.println(f"[lshrecall] topk ${f}x n=${emb.count()}%,d " +
+          f"planes=$planes designCos=$design%.3f tables=$lbl " +
+          f"recall@5=${hits.toDouble / nT}%.3f (truth=$nT) t=$secs%.1f s")
+      }
+      truthK.unpersist()
+    }
+
     spark.stop()
   }
 }

@@ -42,7 +42,22 @@ object Sf1Bench {
     "q153_funnel_unordered_stream",
     "q103_sessionizer_late_oracle",
     "q132_prefix_jaccard_join",
-    "q61_content_recommend")
+    "q61_content_recommend",
+    // r14 next-tier (VERDICT r13 #8): the q132 family's containment
+    // siblings — the newest sf-data operators without an sf1 leg
+    "q150_containment_join",
+    "q162_containment_bucketed")
+
+  /** Fixture-constant gates from the r13 next-tier list (q60/q60b/q173
+    * read AlbedoFixtures, not sf tables — amplifying `dir` changes
+    * nothing in their lineage, so a sf0.1→sf1 ratio would be a fake
+    * measurement). Run ONCE for the final-plan histogram so the
+    * artifact still records their executed shape; their scale evidence
+    * lives in the probe tables (FmScaleProbe apply+fit legs, the q60
+    * pipeline's keyed-agg design notes in SCALE.md). */
+  private val FixtureConstantGates = Seq(
+    "q60_albedo_ranker_metrics", "q60b_ranker_metric_replay",
+    "q173_fm_score_replay")
 
   private val PlanOps = Seq("BroadcastHashJoin", "SortMergeJoin",
     "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct",
@@ -134,6 +149,13 @@ object Sf1Bench {
       (secs, histogram(plan))
     }
 
+    val fixtureRows = FixtureConstantGates.map { name =>
+      val (t, h) = runOnce(name, sfDir)
+      System.err.println(f"[sf1] $name (fixture-constant) t=$t%.2f " +
+        s"plan: ${h.filter(_._2 > 0)}")
+      f""""$name":{"fixture_constant":true,"t":$t%.3f}"""
+    }
+
     val rows = TopGates.map { name =>
       val bigDir = if (name.startsWith("q96")) langDir else mainDir
       val (t01, h01) = runOnce(name, sfDir)
@@ -149,7 +171,7 @@ object Sf1Bench {
       f""""$name":{"sf01":$t01%.3f,"sf1":$t1%.3f,"ratio":${t1 / t01}%.2f,"plan_shift":"$shift"}"""
     }
     spark.stop()
-    println(rows.mkString(
+    println((rows ++ fixtureRows).mkString(
       s"""{"factor":$factor,"sf":"$sfDir","gates":{""", ",", "}}"))
   }
 }

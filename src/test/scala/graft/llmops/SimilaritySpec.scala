@@ -40,6 +40,33 @@ class SimilaritySpec extends SparkSpec {
       s"recall ${recalled.toDouble / brute.size} too low")
   }
 
+  test("topKDesignCos is the median kth-neighbor cosine; derived-table " +
+      "default holds the recall band with no manual choice") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).cache()
+    // independent truth for the design grade: per-query 5th-best cosine
+    // over all pairs, median across the 64 smallest query ids
+    val kth = Similarity.bruteForceTopK(
+        emb.orderBy($"vec_id").limit(Similarity.TopKDesignProbeQueries),
+        emb, 5)
+      .filter($"rn" === 5).select($"cos").as[Double].collect().sorted
+    val expected = kth(kth.length / 2)
+    val got = Similarity.topKDesignCos(emb, 5)
+    assert(math.abs(got - expected) < 1e-9,
+      s"topKDesignCos $got != window-truth median $expected")
+    assert(got > 0.0 && got < 1.0)
+
+    // the nTables-omitted path: derived count must hold the q89-style
+    // band vs brute-force top-1 truth (same floor as the fixed-8 specs)
+    val brute = Similarity.bruteForceTopK(emb, emb, 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val lsh = Similarity.lshTopKPortable(emb, 5, nPlanes = 4, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalled = brute.count { case (q, n) => lsh.getOrElse(q, Set()).contains(n) }
+    assert(recalled.toDouble / brute.size > 0.5,
+      s"derived-default recall ${recalled.toDouble / brute.size} too low")
+  }
+
   test("portable lsh recall matches the float-plane variant's ballpark") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001).cache()
     val brute = Similarity.bruteForceTopK(emb, emb, 1)

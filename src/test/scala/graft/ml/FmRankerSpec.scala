@@ -55,6 +55,26 @@ class FmRankerSpec extends SparkSpec {
     replay.unpersist()
   }
 
+  test("denseIndex equals the global-window rank and survives repartitioning") {
+    // the fit path's entity index must stay byte-identical to
+    // row_number() over (order by key) — q173's dump depends on it —
+    // while being built without the single-task window funnel. Pin the
+    // equivalence, and pin that the mapping is partitioning-invariant
+    // (the scale claim: boundaries can move, ranks cannot).
+    import spark.implicits._
+    val keys = Seq("m", "a", "z", "a", "k", "b", "m", "q", "c").toDF("k")
+    val expected = keys.select(col("k")).distinct()
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k")))
+        .cast("long") - 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    for (parts <- Seq(1, 3, 7)) {
+      val got = FmRanker.denseIndex(keys.repartition(parts), "k", "idx")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == expected, s"denseIndex diverged at $parts partitions")
+    }
+  }
+
   test("the FM separates the fixture labels (ranking quality sanity)") {
     // train AUC from the dumped decision function — a broken feature
     // path (zeroed one-hots, mis-scaled sides) collapses toward chance.
