@@ -234,11 +234,28 @@ object Similarity {
     * once, per-query top-k via the k-bounded partial aggregator
     * ([[graft.ops.TopK.viaAggregator]] — shuffle carries ≤ k rows per
     * query per map partition, no single-task sort). Cost ≈ 64/nPlanes
-    * extra hash-pass equivalents, once per derivation. Deterministic:
-    * probe ids are the sorted smallest, the aggregator's kept set is
-    * the max-k of a total order (score desc, id asc). */
+    * extra hash-pass equivalents, memoized per (session, input plan,
+    * k) — a caller deriving tables for several lshTopK invocations
+    * over the same corpus pays the probe once (the disk-guard memo's
+    * contract: an input overwritten behind an identical plan is out of
+    * scope). Deterministic: probe ids are the sorted smallest, the
+    * aggregator's kept set is the max-k of a total order (score desc,
+    * id asc). */
+  private val designCosMemo =
+    new scala.collection.concurrent.TrieMap[(String, Int, Int), Double]()
+
   def topKDesignCos(vectors: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
+    val sessionKey = s"${vectors.sparkSession.sparkContext.applicationId}/${
+        System.identityHashCode(vectors.sparkSession)}"
+    val planHash = vectors.select(col(idCol), col(vecCol))
+      .queryExecution.analyzed.semanticHash()
+    designCosMemo.getOrElseUpdate((sessionKey, planHash, k),
+      topKDesignCosUncached(vectors, k, idCol, vecCol))
+  }
+
+  private def topKDesignCosUncached(vectors: DataFrame, k: Int,
+      idCol: String, vecCol: String): Double = {
     val q = vectors
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
       .orderBy(col("query_id")).limit(TopKDesignProbeQueries)

@@ -49,6 +49,49 @@ class SourceHygieneSpec extends AnyFunSuite {
       "topKDesignCos probe — ≤ TopKDesignProbeQueries (64) kth-cosines " +
         "by construction"))
 
+  /** file → (max occurrences, the bound that makes the global window
+    * safe). An empty-frame `Window.orderBy` single-partitions its
+    * input — the FmRanker.denseIndex funnel r14 removed — so every
+    * remaining one must operate on an already-bounded frame or be a
+    * declared oracle vehicle with a cluster-path twin. */
+  private val globalWindowAllowlist: Map[String, (Int, String)] = Map(
+    "llmops/Quality.scala" -> (1,
+      "vocab ranking AFTER .limit(vocabSize) — window input ≤ vocabSize"),
+    "text/Bm25.scala" -> (1,
+      "rank over the already-top-K scored rows (≤ topK by limit)"),
+    "queries/Ml.scala" -> (2,
+      "synonym/grid result ranking — rows bounded by vocabulary top-k " +
+        "and the CV grid size"),
+    "queries/Reco.scala" -> (1,
+      "ALS grid ranking — rows = grid points"),
+    "ops/ZOrder.scala" -> (3,
+      "oracle-vehicle quantile ranks; the cluster path is the " +
+        "approx_percentile twin (q54b pattern), declared in scaladoc"))
+
+  test("global windows (Window.orderBy without partitionBy) confined " +
+      "to the documented bounded allowlist") {
+    val needle = "Window.orderBy"
+    val hits = scalaFiles(mainRoot).flatMap { p =>
+      val rel = mainRoot.relativize(p).toString
+      if (rel.startsWith("tools/")) None
+      else {
+        val n = new String(Files.readAllBytes(p))
+          .sliding(needle.length).count(_ == needle)
+        if (n > 0) Some(rel -> n) else None
+      }
+    }.toMap
+    val violations = hits.collect {
+      case (f, n) if !globalWindowAllowlist.contains(f) =>
+        s"$f has $n global window(s) but is not allowlisted"
+      case (f, n) if n > globalWindowAllowlist(f)._1 =>
+        s"$f has $n global windows, allowlist caps it at " +
+          s"${globalWindowAllowlist(f)._1}"
+    }
+    assert(violations.isEmpty, violations.mkString("; "))
+    val dead = globalWindowAllowlist.keySet -- hits.keySet
+    assert(dead.isEmpty, s"allowlist rows with no remaining global window: $dead")
+  }
+
   test(".collect() confined to the documented bounded allowlist") {
     val hits = scalaFiles(mainRoot).flatMap { p =>
       val rel = mainRoot.relativize(p).toString
