@@ -213,9 +213,11 @@ object FmRanker {
 
   /** The fitted q173 model, for callers that need `predictRaw` (specs
     * tying the quantized replay to the model's own decision function).
-    * Always safe to call in isolation: re-dumps the replay files (a
-    * few bounded writes) and refits only if the session memo is cold —
-    * the fit is seeded, so a refit returns the same model. */
+    * Always safe to call in isolation: a cold session memo runs the
+    * full seeded fit + dump (deterministic, so a refit returns the
+    * same model and re-dumps identical bytes); a warm memo returns the
+    * model directly — the replay files on disk are the ones that fit
+    * produced. */
   def fittedModel(spark: SparkSession)
       : org.apache.spark.ml.classification.FMClassificationModel =
     fitAndDump(spark)

@@ -37,6 +37,7 @@ object ExplainAudit {
       ("q44_lr_ranker_metrics", "no WholeStageCodegen") -> localRelation,
       ("q60_albedo_ranker_metrics", "no WholeStageCodegen") -> localRelation,
       ("q90_albedo_cg_quality", "no WholeStageCodegen") -> localRelation,
+      ("q90b_fm_ranker_quality", "no WholeStageCodegen") -> localRelation,
       ("q119b_bpe_segmented", "no WholeStageCodegen") -> localRelation,
       ("q127_bloom_join", "no WholeStageCodegen") -> localRelation)
   }
