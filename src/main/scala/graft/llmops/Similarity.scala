@@ -78,19 +78,24 @@ object Similarity {
     * Scale: equi-join on (table, bucket) — shuffle-partitioned, no
     * cross join; pair dedup before the exact cosine pass.
     *
-    * `nTables = 0` (the default since r14) DERIVES the table count:
-    * [[lshTablesFor]] at [[topKDesignCos]] (this corpus's measured
-    * k-th-neighbor grade) holding [[TopKTargetRecall]] — the same
-    * no-manual-choice discipline as the near-dup family. Pass
-    * `nTables > 0` to pin an explicit count (q38/q66/q89 pin their
-    * measured operating point of 8 so the gates stay hash-exact). */
-  def lshTopK(vectors: DataFrame, k: Int, nPlanes: Int, dim: Int,
+    * `nPlanes = 0` / `nTables = 0` (the defaults since r14) DERIVE
+    * both sketch parameters — the fully zero-knob path:
+    * [[autoPlanes]] at [[TopKOccupancy]] holds candidate volume
+    * linear, and [[lshTablesFor]] at [[topKDesignCos]] (this corpus's
+    * measured k-th-neighbor grade) holding [[TopKTargetRecall]] holds
+    * recall — the same no-manual-choice discipline as the near-dup
+    * family. Pass explicit values to pin an operating point (q38/q66/
+    * q89 pin planes = autoPlanes, tables = 8 so the gates stay
+    * hash-exact). */
+  def lshTopK(vectors: DataFrame, k: Int, nPlanes: Int = 0, dim: Int,
       nTables: Int = 0, idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    val planes = if (nPlanes > 0) nPlanes
+      else autoPlanes(vectors, TopKOccupancy)
     val numTables = if (nTables > 0) nTables
-      else lshTablesFor(nPlanes, topKDesignCos(vectors, k, idCol, vecCol),
+      else lshTablesFor(planes, topKDesignCos(vectors, k, idCol, vecCol),
         TopKTargetRecall)
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     // bucket assignment as a typed kernel: the column form is
@@ -100,14 +105,14 @@ object Similarity {
     // matrix (nTables×nPlanes×dim gaussians) is driver-built and rides
     // the task closure — kilobytes.
     val planeMatrix = Array.tabulate(numTables)(t =>
-      hyperplanes(nPlanes, dim, seed + t * 7919))
+      hyperplanes(planes, dim, seed + t * 7919))
     val withB = base.as[(Long, Seq[Float])].flatMap { case (id, v) =>
       (0 until numTables).iterator.map { t =>
-        val planes = planeMatrix(t)
+        val tPlanes = planeMatrix(t)
         var bucket = 0L
         var j = 0
-        while (j < nPlanes) {
-          val p = planes(j)
+        while (j < planes) {
+          val p = tPlanes(j)
           var dot = 0.0
           var d = 0
           val n = math.min(dim, v.length)
@@ -368,17 +373,20 @@ object Similarity {
     t
   }
 
-  /** Portable twin of [[lshTopK]] — same `nTables = 0` ⇒ derived
-    * ([[lshTablesFor]] at [[topKDesignCos]] holding
-    * [[TopKTargetRecall]]) default since r14; the oracled gates pin 8. */
-  def lshTopKPortable(vectors: DataFrame, k: Int, nPlanes: Int, dim: Int,
+  /** Portable twin of [[lshTopK]] — same zero-knob defaults since r14
+    * (`nPlanes = 0` ⇒ [[autoPlanes]] at [[TopKOccupancy]];
+    * `nTables = 0` ⇒ [[lshTablesFor]] at [[topKDesignCos]] holding
+    * [[TopKTargetRecall]]); the oracled gates pin planes and 8. */
+  def lshTopKPortable(vectors: DataFrame, k: Int, nPlanes: Int = 0, dim: Int,
       nTables: Int = 0, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val planes = if (nPlanes > 0) nPlanes
+      else autoPlanes(vectors, TopKOccupancy)
     val numTables = if (nTables > 0) nTables
-      else lshTablesFor(nPlanes, topKDesignCos(vectors, k, idCol, vecCol),
+      else lshTablesFor(planes, topKDesignCos(vectors, k, idCol, vecCol),
         TopKTargetRecall)
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val withB = portableBuckets(vectors, nPlanes, dim, numTables, idCol, vecCol)
+    val withB = portableBuckets(vectors, planes, dim, numTables, idCol, vecCol)
     val a = withB.select(col("tbl"), col("bucket"), col("id").as("query_id"))
     val b = withB.select(col("tbl"), col("bucket"), col("id").as("neighbor_id"))
     val pairs = a.join(b, Seq("tbl", "bucket"))
@@ -429,12 +437,16 @@ object Similarity {
     * `nTables > 0` to pin an explicit count (the recall gates pin
     * their measured operating point this way). */
   def lshNearDupPairsPortable(vectors: DataFrame, threshold: Double,
-      nPlanes: Int, dim: Int, nTables: Int = 0,
+      nPlanes: Int = 0, dim: Int, nTables: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // r14: nPlanes = 0 derives via the family's occupancy target, so
+    // the zero-knob call holds BOTH disciplines (volume + recall)
+    val planes = if (nPlanes > 0) nPlanes
+      else autoPlanes(vectors, NearDupOccupancy)
     val tables =
-      if (nTables > 0) nTables else lshTablesFor(nPlanes, NearDupDesignCos)
+      if (nTables > 0) nTables else lshTablesFor(planes, NearDupDesignCos)
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val withB = portableBuckets(vectors, nPlanes, dim, tables, idCol, vecCol)
+    val withB = portableBuckets(vectors, planes, dim, tables, idCol, vecCol)
     val a = withB.select(col("tbl"), col("bucket"), col("id").as("id_a"))
     val b = withB.select(col("tbl"), col("bucket"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("tbl", "bucket"))

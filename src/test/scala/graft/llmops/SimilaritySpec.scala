@@ -55,16 +55,27 @@ class SimilaritySpec extends SparkSpec {
       s"topKDesignCos $got != window-truth median $expected")
     assert(got > 0.0 && got < 1.0)
 
-    // the nTables-omitted path: derived count must hold the q89-style
-    // band vs brute-force top-1 truth (same floor as the fixed-8 specs)
+    // the ZERO-KNOB path (r14): planes AND tables both derived —
+    // autoPlanes at TopKOccupancy, lshTablesFor at the measured design
+    // grade — must hold the q89-style band vs brute-force top-1 truth
     val brute = Similarity.bruteForceTopK(emb, emb, 1)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
-    val lsh = Similarity.lshTopKPortable(emb, 5, nPlanes = 4, dim = 64)
+    val lsh = Similarity.lshTopKPortable(emb, 5, dim = 64)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val recalled = brute.count { case (q, n) => lsh.getOrElse(q, Set()).contains(n) }
     assert(recalled.toDouble / brute.size > 0.5,
-      s"derived-default recall ${recalled.toDouble / brute.size} too low")
+      s"zero-knob recall ${recalled.toDouble / brute.size} too low")
+
+    // zero-knob near-dup: derived planes reproduce the explicit
+    // autoPlanes call bit-for-bit (same rule, same corpus)
+    val explicitPlanes = Similarity.autoPlanes(emb, Similarity.NearDupOccupancy)
+    val a = Similarity.lshNearDupPairsPortable(emb, 0.4, dim = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    val b = Similarity.lshNearDupPairsPortable(emb, 0.4,
+        nPlanes = explicitPlanes, dim = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b, "zero-knob near-dup diverges from explicit autoPlanes")
   }
 
   test("portable lsh recall matches the float-plane variant's ballpark") {
