@@ -353,13 +353,29 @@ object Similarity {
     * a low threshold on a large corpus belongs to semanticDedup
     * (q105) or a PQ prefilter, not sign-LSH — this guard exists to
     * say so instead of silently under-recalling. */
+  /** Per-table candidate-collision probability for a pair at
+    * bit-agreement probability `p` when each query probes its own
+    * bucket plus every bucket within Hamming distance `radius`
+    * (multi-probe, Lv et al. VLDB 2007 applied to sign buckets): the
+    * pair collides if the two codes differ in ≤ radius of the nPlanes
+    * bits — Σ_{i≤radius} C(nPlanes,i)·p^(nPlanes−i)·(1−p)^i. Radius 0
+    * is classic single-probe (p^nPlanes). */
+  def multiProbeCollisionProb(nPlanes: Int, p: Double, radius: Int): Double = {
+    require(radius >= 0 && radius <= 2, "probe radius 0..2 supported")
+    def comb(n: Int, k: Int): Double =
+      (0 until k).map(i => (n - i).toDouble / (i + 1)).product
+    (0 to radius).map(i =>
+      comb(nPlanes, i) * math.pow(p, (nPlanes - i).toDouble)
+        * math.pow(1.0 - p, i.toDouble)).sum
+  }
+
   def lshTablesFor(nPlanes: Int, designCos: Double,
-      targetRecall: Double = 0.9): Int = {
+      targetRecall: Double = 0.9, probeRadius: Int = 0): Int = {
     require(designCos > -1.0 && designCos < 1.0, "designCos in (-1, 1)")
     require(targetRecall > 0.0 && targetRecall < 1.0, "targetRecall in (0, 1)")
     require(nPlanes >= 1 && nPlanes < 62)
     val p = 1.0 - math.acos(designCos) / math.Pi
-    val perTable = math.pow(p, nPlanes.toDouble)
+    val perTable = multiProbeCollisionProb(nPlanes, p, probeRadius)
     // guard the degenerate regime (perTable ~ 0 would demand millions
     // of tables): cap at a loud, clearly-diagnostic bound instead of
     // returning a silently-useless astronomically large count
@@ -390,6 +406,67 @@ object Similarity {
     val a = withB.select(col("tbl"), col("bucket"), col("id").as("query_id"))
     val b = withB.select(col("tbl"), col("bucket"), col("id").as("neighbor_id"))
     val pairs = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pairs
+      .join(base.select(col("id").as("query_id"), col("v").as("qv")), Seq("query_id"))
+      .join(base.select(col("id").as("neighbor_id"), col("v").as("cv")), Seq("neighbor_id"))
+      .withColumn("cos", graft.functions.VectorFunctions.cosineNative(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rn"))
+  }
+
+  /** Probe masks for multi-probe: bucket XOR mask enumerates every
+    * bucket within Hamming distance `radius` of the query's own code.
+    * Radius 1 = 1 + nPlanes masks; radius 2 adds C(nPlanes, 2). */
+  private def probeMasks(nPlanes: Int, radius: Int): Seq[Long] = {
+    require(radius >= 0 && radius <= 2, "probe radius 0..2 supported")
+    val r1 = (0 until nPlanes).map(j => 1L << j)
+    val r2 = for {
+      i <- 0 until nPlanes; j <- (i + 1) until nPlanes
+    } yield (1L << i) | (1L << j)
+    Seq(0L) ++ (if (radius >= 1) r1 else Nil) ++ (if (radius >= 2) r2 else Nil)
+  }
+
+  /** MULTI-PROBE portable sign-LSH top-k (r14) — the remedy the
+    * [[lshTablesFor]] regime guard names, now shipped: each query
+    * probes its own bucket in every table PLUS all buckets within
+    * Hamming distance `probeRadius` (bit-flip XOR masks on the probe
+    * side only). The INDEX side is untouched — still n·nTables rows,
+    * still one `portableBuckets` pass — so per-table recall rises from
+    * p^planes to Σ_{i≤r} C(planes,i)p^(planes−i)(1−p)^i at ZERO extra
+    * dot products, and the derived table count
+    * ([[lshTablesFor]] with `probeRadius`) shrinks accordingly: at
+    * this round's measured 100× top-k operating point (planes 13,
+    * design cos 0.45, target 0.5) radius 1 needs 24 tables where
+    * single-probe needs ~193 — 8× less hashing and index shuffle for
+    * ~1.75× more candidate verifications (SCALE.md r14 multi-probe
+    * leg). Zero-knob defaults like [[lshTopKPortable]]; identical
+    * output contract; hash-exact DuckDB replay (q175 — the q66 CTEs
+    * plus a mask-expansion probe join). Radius 0 degenerates to
+    * [[lshTopKPortable]] exactly (spec-pinned). */
+  def lshTopKPortableMultiProbe(vectors: DataFrame, k: Int,
+      nPlanes: Int = 0, dim: Int, nTables: Int = 0, probeRadius: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = if (nPlanes > 0) nPlanes
+      else autoPlanes(vectors, TopKOccupancy)
+    val numTables = if (nTables > 0) nTables
+      else lshTablesFor(planes, topKDesignCos(vectors, k, idCol, vecCol),
+        TopKTargetRecall, probeRadius)
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withB = portableBuckets(vectors, planes, dim, numTables, idCol, vecCol)
+    val masks = array(probeMasks(planes, probeRadius).map(lit): _*)
+    val probes = withB
+      .select(col("tbl"), col("bucket"), col("id").as("query_id"),
+        explode(masks).as("mask"))
+      .select(col("tbl"),
+        col("bucket").bitwiseXOR(col("mask")).as("bucket"), col("query_id"))
+    val b = withB.select(col("tbl"), col("bucket"), col("id").as("neighbor_id"))
+    val pairs = probes.join(b, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()

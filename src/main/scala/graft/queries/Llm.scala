@@ -1707,6 +1707,63 @@ object Llm {
       |SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= 5
       |ORDER BY query_id, rn""".stripMargin
 
+  /** Multi-probe portable sign-LSH ANN (r14 — the q66 pattern at
+    * Hamming probe radius 1): each query probes its own bucket plus
+    * every single-bit-flip neighbor, so HALF of q66's tables (4 vs 8)
+    * buy a higher per-table collision probability at zero extra dot
+    * products — the remedy the lshTablesFor regime guard names,
+    * gate-pinned. DuckDB recomputes the integer buckets, the XOR mask
+    * expansion, the cosine re-rank AND the derived plane count. */
+  def annLshMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshTopKPortableMultiProbe(emb, k = 5,
+        nPlanes = Similarity.autoPlanes(emb, Similarity.TopKOccupancy),
+        dim = 64, nTables = 4, probeRadius = 1)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rn").cast("long").as("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  private def annLshMultiProbeOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |np AS (SELECT min(j) AS np FROM (SELECT unnest(range(1, 62)) AS j)
+      |       WHERE ((SELECT count(*) FROM e) - 1) / (1::BIGINT << j)
+      |               < ${Similarity.TopKOccupancy}),
+      |q AS (SELECT vec_id, unnest(embedding) AS x,
+      |        unnest(range(len(embedding))) AS d FROM e),
+      |qd AS (SELECT vec_id, d, floor(x::DOUBLE * 1000)::BIGINT AS xq FROM q),
+      |grid AS (SELECT t, j, d,
+      |    CASE WHEN substr(md5(t || '_' || j || '_' || d), 1, 1)
+      |           IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT unnest(range(4)) AS t),
+      |       (SELECT unnest(range((SELECT np FROM np))) AS j),
+      |       (SELECT unnest(range(64)) AS d)),
+      |dots AS (SELECT vec_id, t, j, sum(xq * s) AS dot
+      |         FROM qd JOIN grid USING (d) GROUP BY 1, 2, 3),
+      |buck AS (SELECT vec_id, t,
+      |           sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+      |         FROM dots GROUP BY 1, 2),
+      |masks AS (SELECT 0::BIGINT AS mask
+      |          UNION ALL
+      |          SELECT (1::BIGINT << j) AS mask
+      |          FROM (SELECT unnest(range((SELECT np FROM np))) AS j)),
+      |probes AS (SELECT vec_id, t, xor(bucket, mask) AS bucket
+      |           FROM buck, masks),
+      |pairs AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      |          FROM probes a JOIN buck b
+      |            ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id != b.vec_id),
+      |cs AS (SELECT p.query_id, p.neighbor_id,
+      |         list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS c
+      |       FROM pairs p
+      |       JOIN e ea ON ea.vec_id = p.query_id
+      |       JOIN e eb ON eb.vec_id = p.neighbor_id),
+      |r AS (SELECT query_id, neighbor_id, round(c, 6) AS cos,
+      |        row_number() OVER (PARTITION BY query_id
+      |                           ORDER BY c DESC, neighbor_id) AS rn
+      |      FROM cs)
+      |SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= 5
+      |ORDER BY query_id, rn""".stripMargin
+
   /** IVF (KMeans-cell) approximate ANN (rows-only — ML clustering). */
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(spark, dir), k = 5,
@@ -2081,6 +2138,8 @@ object Llm {
     QueryDef("q87_pmi_pairs", pmiAssociations, Some(pmiOracle)),
     QueryDef("q65_simhash_portable", simhashPortable, Some(simhashPortableOracle)),
     QueryDef("q66_ann_lsh_portable", annLshPortable, Some(annLshPortableOracle)),
+    QueryDef("q175_ann_lsh_multiprobe", annLshMultiProbe,
+      Some(annLshMultiProbeOracle)),
     QueryDef("q67_rolling_portable", rollingPortable, Some(rollingPortableOracle)),
     QueryDef("q71_data_quality", dataQualityReport, Some(dataQualityOracle)),
     QueryDef("q72_vocab_build", vocabBuild, Some(vocabOracle)),

@@ -202,6 +202,16 @@ object LshRecallProbe {
       val design = Similarity.topKDesignCos(emb, 5)
       val derived = Similarity.lshTablesFor(planes, design,
         Similarity.TopKTargetRecall)
+      val derivedMp = Similarity.lshTablesFor(planes, design,
+        Similarity.TopKTargetRecall, probeRadius = 1)
+      def score(lbl: String, res: DataFrame, secs: Double): Unit = {
+        val hits = res.filter(col("query_id") < 20)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(truthK, Seq("query_id", "neighbor_id")).count()
+        System.err.println(f"[lshrecall] topk ${f}x n=${emb.count()}%,d " +
+          f"planes=$planes designCos=$design%.3f tables=$lbl " +
+          f"recall@5=${hits.toDouble / nT}%.3f (truth=$nT) t=$secs%.1f s")
+      }
       for (tables <- Seq(8, derived).distinct) {
         val (res, secs) = timed(stage(s"topkres_${f}_$tables",
           if (tables == derived)
@@ -209,14 +219,15 @@ object LshRecallProbe {
           else
             Similarity.lshTopKPortable(emb, k = 5, nPlanes = planes, dim = 64,
               nTables = tables)))
-        val hits = res.filter(col("query_id") < 20)
-          .select(col("query_id"), col("neighbor_id"))
-          .join(truthK, Seq("query_id", "neighbor_id")).count()
-        val lbl = if (tables == derived) s"DEFAULT($derived)" else tables.toString
-        System.err.println(f"[lshrecall] topk ${f}x n=${emb.count()}%,d " +
-          f"planes=$planes designCos=$design%.3f tables=$lbl " +
-          f"recall@5=${hits.toDouble / nT}%.3f (truth=$nT) t=$secs%.1f s")
+        score(if (tables == derived) s"DEFAULT($derived)" else tables.toString,
+          res, secs)
       }
+      // r14 multi-probe leg: radius 1 through the zero-knob derive —
+      // same recall target at ~8x fewer tables than single-probe
+      val (resMp, secsMp) = timed(stage(s"topkres_${f}_mp",
+        Similarity.lshTopKPortableMultiProbe(emb, k = 5, nPlanes = planes,
+          dim = 64, probeRadius = 1)))
+      score(s"MULTIPROBE-r1-DEFAULT($derivedMp)", resMp, secsMp)
       truthK.unpersist()
     }
 

@@ -78,6 +78,48 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b, "zero-knob near-dup diverges from explicit autoPlanes")
   }
 
+  test("multi-probe lsh: radius 0 == single-probe exactly; radius 1 is a " +
+      "candidate superset with >= recall at equal tables; fewer derived tables") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cos", "rn")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    // radius 0 degenerates to the single-probe operator bit-for-bit
+    val single = rows(Similarity.lshTopKPortable(emb, 5, nPlanes = 4,
+      dim = 64, nTables = 4))
+    val r0 = rows(Similarity.lshTopKPortableMultiProbe(emb, 5, nPlanes = 4,
+      dim = 64, nTables = 4, probeRadius = 0))
+    assert(r0 == single, "radius-0 multi-probe diverges from single-probe")
+
+    // radius 1 at the same tables: per-query top-5 recall vs brute
+    // truth can only improve (candidates are a superset)
+    val brute = Similarity.bruteForceTopK(emb, emb, 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    def recall(rs: Set[(Long, Long, Double, Int)]): Double = {
+      val byQ = rs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      brute.count { case (q, n) => byQ.getOrElse(q, Set()).contains(n) }
+        .toDouble / brute.size
+    }
+    val r1 = rows(Similarity.lshTopKPortableMultiProbe(emb, 5, nPlanes = 4,
+      dim = 64, nTables = 4, probeRadius = 1))
+    assert(recall(r1) >= recall(r0) - 1e-12,
+      s"radius-1 recall ${recall(r1)} below radius-0 ${recall(r0)}")
+    assert(recall(r1) > 0.5, s"multi-probe recall ${recall(r1)} too low")
+
+    // the derivation: radius 1 needs strictly fewer tables at any
+    // operating point where single-probe needs > 1
+    for (planes <- Seq(6, 10, 13); cos <- Seq(0.45, 0.9)) {
+      val t0 = Similarity.lshTablesFor(planes, cos, 0.5, probeRadius = 0)
+      val t1 = Similarity.lshTablesFor(planes, cos, 0.5, probeRadius = 1)
+      assert(t1 <= t0)
+      if (t0 > 1) assert(t1 < t0, s"no table saving at planes=$planes cos=$cos")
+    }
+    // the r14 100x top-k operating point (designCos 0.45, planes 13):
+    // single-probe 193 tables, radius 1 just 24 -- the 8x saving
+    assert(Similarity.lshTablesFor(13, 0.45, 0.5, probeRadius = 0) == 193)
+    assert(Similarity.lshTablesFor(13, 0.45, 0.5, probeRadius = 1) == 24)
+  }
+
   test("portable lsh recall matches the float-plane variant's ballpark") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001).cache()
     val brute = Similarity.bruteForceTopK(emb, emb, 1)
