@@ -514,17 +514,28 @@ object Similarity {
     * `nTables > 0` to pin an explicit count (the recall gates pin
     * their measured operating point this way). */
   def lshNearDupPairsPortable(vectors: DataFrame, threshold: Double,
-      nPlanes: Int = 0, dim: Int, nTables: Int = 0,
+      nPlanes: Int = 0, dim: Int, nTables: Int = 0, probeRadius: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // r14: nPlanes = 0 derives via the family's occupancy target, so
-    // the zero-knob call holds BOTH disciplines (volume + recall)
+    // the zero-knob call holds BOTH disciplines (volume + recall);
+    // probeRadius > 0 (multi-probe, the lshTopKPortableMultiProbe
+    // machinery on the pair product) raises per-table recall by
+    // XOR-probing Hamming-≤r buckets on one side of the self-join —
+    // the derived table count shrinks by the same collision-prob
+    // ratio (~4× at the near-dup design cos, measured in the probe).
+    // Default 0: the oracled gates replay single-probe buckets.
     val planes = if (nPlanes > 0) nPlanes
       else autoPlanes(vectors, NearDupOccupancy)
-    val tables =
-      if (nTables > 0) nTables else lshTablesFor(planes, NearDupDesignCos)
+    val tables = if (nTables > 0) nTables
+      else lshTablesFor(planes, NearDupDesignCos, probeRadius = probeRadius)
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     val withB = portableBuckets(vectors, planes, dim, tables, idCol, vecCol)
-    val a = withB.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val masks = array(probeMasks(planes, probeRadius).map(lit): _*)
+    val a = withB
+      .select(col("tbl"), col("bucket"), col("id").as("id_a"),
+        explode(masks).as("mask"))
+      .select(col("tbl"), col("bucket").bitwiseXOR(col("mask")).as("bucket"),
+        col("id_a"))
     val b = withB.select(col("tbl"), col("bucket"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
@@ -694,7 +705,7 @@ object Similarity {
       dim: Int, nTables: Int = 0, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val pairs = lshNearDupPairsPortable(vectors, threshold, nPlanes, dim,
-        nTables, idCol, vecCol)
+        nTables, idCol = idCol, vecCol = vecCol)
       .select(col("id_a"), col("id_b"))
     // large-star/small-star, NOT hashMin (r11): the r10 dedup-family
     // reasoning ("LSH dup clusters are near-cliques, 2-4 rounds") does

@@ -169,6 +169,17 @@ object LshRecallProbe {
           f"planes=$planes tables=$lbl (derived=$tDer) " +
           f"dup_truth=$nPT dup_recall=${nHit.toDouble / nPT}%.3f t=$tp%.1f s")
       }
+      // r14 multi-probe near-dup leg: radius 1 derives ~4x fewer
+      // tables at the design cos; recall should hold the same target
+      val tDerMp = Similarity.lshTablesFor(planes, designCos = 0.9,
+        probeRadius = 1)
+      val (fpMp, tpMp) = timed(stage(s"plfound_${nClusters}_mp",
+        Similarity.lshNearDupPairsPortable(planted, Threshold, planes,
+          dim = 64, probeRadius = 1)))
+      val nHitMp = fpMp.join(pTruth, Seq("id_a", "id_b")).count()
+      System.err.println(f"[lshrecall] planted n=${nClusters * 10}%,d " +
+        f"planes=$planes tables=MULTIPROBE-r1-DEFAULT($tDerMp) " +
+        f"dup_truth=$nPT dup_recall=${nHitMp.toDouble / nPT}%.3f t=$tpMp%.1f s")
       pTruth.unpersist()
     }
 

@@ -118,6 +118,18 @@ class SimilaritySpec extends SparkSpec {
     // single-probe 193 tables, radius 1 just 24 -- the 8x saving
     assert(Similarity.lshTablesFor(13, 0.45, 0.5, probeRadius = 0) == 193)
     assert(Similarity.lshTablesFor(13, 0.45, 0.5, probeRadius = 1) == 24)
+
+    // near-dup multi-probe: radius 1 at the same planes/tables finds a
+    // SUPERSET of the single-probe pairs, and every pair still carries
+    // the exact verified cosine >= threshold
+    val nd0 = Similarity.lshNearDupPairsPortable(emb, 0.4, nPlanes = 4,
+        dim = 64, nTables = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val nd1 = Similarity.lshNearDupPairsPortable(emb, 0.4, nPlanes = 4,
+        dim = 64, nTables = 4, probeRadius = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(nd0.subsetOf(nd1), "radius-1 near-dup lost single-probe pairs")
+    assert(nd1.forall(_._3 >= 0.4))
   }
 
   test("portable lsh recall matches the float-plane variant's ballpark") {
