@@ -52,7 +52,7 @@ object ExplainAudit {
     "q21_user_recent_topk", "q35_minhash_near_dups", "q64_minhash_portable",
     "q66_ann_lsh_portable", "q96_llm_pipeline_e2e", "q104_pagerank",
     "q132_prefix_jaccard_join", "q153_funnel_unordered_stream",
-    "q173_fm_score_replay")
+    "q173_fm_score_replay", "q175_ann_lsh_multiprobe")
 
   final case class AuditResult(failures: Int, knownSmells: Int,
       newSmells: Int, newRows: Seq[(String, String)])
