@@ -259,18 +259,33 @@ object Similarity {
       topKDesignCosUncached(vectors, k, idCol, vecCol))
   }
 
-  private def topKDesignCosUncached(vectors: DataFrame, k: Int,
-      idCol: String, vecCol: String): Double = {
-    val q = vectors
+  /** Exact cosine top-k with the QUERIES broadcast — the mirror of
+    * [[bruteForceTopK]] (which broadcasts the CORPUS) for the case
+    * where the query set is the bounded side: the corpus stays
+    * partitioned and is scanned once, per-query top-k via the
+    * k-bounded partial aggregator (shuffle carries ≤ k rows per query
+    * per map partition, no single-task sort — `TopK.viaAggregator`).
+    * Right shape for probe/truth jobs (tens of queries, any corpus
+    * size); output schema (query_id, neighbor_id, cos, rn) matches
+    * [[bruteForceTopK]] with cos unrounded. Excludes self-matches. */
+  def bruteForceTopKQueriesBroadcast(queries: DataFrame, corpus: DataFrame,
+      k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
-      .orderBy(col("query_id")).limit(TopKDesignProbeQueries)
-    val c = vectors
+    val c = corpus
       .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         graft.functions.VectorFunctions.cosineNative(col("qv"), col("cv")))
-    val kth = graft.ops.TopK
-      .viaAggregator(scored, "query_id", "neighbor_id", "cos", k)
+    graft.ops.TopK.viaAggregator(scored, "query_id", "neighbor_id", "cos", k)
+  }
+
+  private def topKDesignCosUncached(vectors: DataFrame, k: Int,
+      idCol: String, vecCol: String): Double = {
+    val probe = vectors.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(TopKDesignProbeQueries)
+    val kth = bruteForceTopKQueriesBroadcast(probe, vectors, k, idCol, vecCol)
       .filter(col("rn") === k)
       .select(col("cos")).collect().map(_.getDouble(0)).sorted
     require(kth.nonEmpty, s"topKDesignCos: corpus must exceed k=$k vectors")

@@ -158,8 +158,12 @@ object QualityParity {
       .parquet(s"${graft.ml.FmRanker.fmDir}/sparse.parquet")
       .filter(col("label") > 0.5)
       .select(col("user_id"), col("repo_id").as("item_id")).distinct()
+    // rank by the replay's own exact-integer rank (negated — evaluator
+    // sorts score desc), NOT by score_q cast to double: the FM bounds
+    // allow |score_q| up to ~6.6e18, where a double ulp is ~10³ and a
+    // legal score gap could collapse to an item_id tie (r14 review)
     val recs = replay.select(col("user_id"), col("repo_id").as("item_id"),
-      col("score_q").cast("double").as("score"))
+      (-col("rn")).cast("double").as("score"))
     val (lo, hi) = fmBand
     val out = RankingEvaluator.evaluate(recs, positives, 5)
       .select(

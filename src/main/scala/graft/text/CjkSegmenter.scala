@@ -309,23 +309,38 @@ object CjkSegmenter {
       else Seq(t)
     }
 
-  /** Column form of the frequency-weighted segmenter — the
-    * production tokenizer this family recommends (same latin-token
-    * handling as [[cjkAwareDict]]). */
-  def cjkAwareFreq(text: Column,
-      freqs: Map[String, Long] = starterFrequencies): Column = {
-    val costs = wordCosts(freqs)
+  /** The shared tokenize-then-filter core both column forms wrap: null
+    * guard, lowercase, latin-word (with c++/c# suffixes) or whole-CJK-
+    * run extraction, the given run segmenter over the raw tokens, then
+    * the single-char allowlist filter. One body, so a regex or filter
+    * fix cannot silently diverge the dictionary and frequency
+    * tokenizers (r14 review). */
+  private def tokenizeColumn(text: Column,
+      segment: Seq[String] => Seq[String]): Column = {
     val segmentUdf = udf { (s: String) =>
       if (s == null) Seq.empty[String]
       else {
         val lower = s.toLowerCase
+        // latin words (with c++/c# suffixes) or whole CJK runs
         val re = "([a-z0-9]+(?:\\+\\+|#)?|[\\u4e00-\\u9fff]+)".r
         val raw = re.findAllIn(lower).toSeq
-        segmentTokensFreq(raw, costs).filter(t =>
+        segment(raw).filter(t =>
           t.length > 1 || t == "c" || t == "r" || t.headOption.exists(isCjk))
       }
     }
     segmentUdf(text)
+  }
+
+  /** Column form of the frequency-weighted segmenter — the
+    * production tokenizer this family recommends (same latin-token
+    * handling as [[cjkAwareDict]]). The default frequency table's
+    * cost map is precomputed once ([[starterCosts]]) instead of a
+    * log() per lexicon entry per call. */
+  def cjkAwareFreq(text: Column,
+      freqs: Map[String, Long] = starterFrequencies): Column = {
+    val costs =
+      if (freqs eq starterFrequencies) starterCosts else wordCosts(freqs)
+    tokenizeColumn(text, raw => segmentTokensFreq(raw, costs))
   }
 
   /** FMM over a CJK run: at each position take the longest dictionary
@@ -359,18 +374,6 @@ object CjkSegmenter {
   /** Column form: tokenize as [[Tokenize.cjkAware]] but with CJK runs
     * dictionary-segmented instead of split per character. */
   def cjkAwareDict(text: Column,
-      dict: Set[String] = starterLexicon): Column = {
-    val segmentUdf = udf { (s: String) =>
-      if (s == null) Seq.empty[String]
-      else {
-        val lower = s.toLowerCase
-        // latin words (with c++/c# suffixes) or whole CJK runs
-        val re = "([a-z0-9]+(?:\\+\\+|#)?|[\\u4e00-\\u9fff]+)".r
-        val raw = re.findAllIn(lower).toSeq
-        segmentTokens(raw, dict).filter(t =>
-          t.length > 1 || t == "c" || t == "r" || t.headOption.exists(isCjk))
-      }
-    }
-    segmentUdf(text)
-  }
+      dict: Set[String] = starterLexicon): Column =
+    tokenizeColumn(text, raw => segmentTokens(raw, dict))
 }

@@ -96,9 +96,9 @@ object ExplainAudit {
       } catch {
         case e: Throwable =>
           failures += 1
-          newRows += ((q.name, s"EXPLAIN FAILED: ${
-            Option(e.getMessage).getOrElse(e.toString).take(200)}"))
-          if (verbose) println(s"EXPLAIN FAILED: ${e.getMessage.take(200)}")
+          val msg = Option(e.getMessage).getOrElse(e.toString).take(200)
+          newRows += ((q.name, s"EXPLAIN FAILED: $msg"))
+          if (verbose) println(s"EXPLAIN FAILED: $msg")
       }
     }
     AuditResult(failures, knownSmells, newSmells, newRows.result())

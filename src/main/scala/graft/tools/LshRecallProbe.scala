@@ -194,17 +194,10 @@ object LshRecallProbe {
     // partial aggregation — no corpus broadcast, no single-task sort.
     val topkFactor = sys.env.getOrElse("SPARK_GRAFT_TOPK_FACTOR", "100").toInt
     val topkBase = embBase.filter(col("vec_id") < 500)
-    def bruteTruth(emb: DataFrame): DataFrame = {
-      val q = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val c = emb.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("cv"))
-      val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-        .withColumn("cos", graft.functions.VectorFunctions
-          .cosineNative(col("qv"), col("cv")))
-      graft.ops.TopK.viaAggregator(scored, "query_id", "neighbor_id", "cos", 5)
+    def bruteTruth(emb: DataFrame): DataFrame =
+      Similarity.bruteForceTopKQueriesBroadcast(
+          emb.filter(col("vec_id") < 20), emb, 5)
         .select(col("query_id"), col("neighbor_id"))
-    }
     for (f <- Seq(1, topkFactor).distinct) {
       val emb = stage(s"topk$f", ScaleCorpus.amplifyEmbeddings(topkBase, f))
       val truthK = stage(s"topktruth$f", bruteTruth(emb)).cache()
