@@ -78,6 +78,38 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b, "zero-knob near-dup diverges from explicit autoPlanes")
   }
 
+  test("bruteForceTopKQueriesBroadcast == bruteForceTopK (mirror shapes)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).cache()
+    val queries = emb.filter($"vec_id" < 20)
+    val a = Similarity.bruteForceTopK(queries, emb, 5)
+      .select($"query_id", $"neighbor_id", round($"cos", 9).as("c"),
+        $"rn".cast("long").as("rn"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val b = Similarity.bruteForceTopKQueriesBroadcast(queries, emb, 5)
+      .select($"query_id", $"neighbor_id", round($"cos", 9).as("c"),
+        $"rn".cast("long").as("rn"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(a == b, "corpus-broadcast and queries-broadcast top-k diverge")
+  }
+
+  test("multiProbeCollisionProb matches exhaustive Hamming-ball enumeration") {
+    // ground truth: P(pair's codes differ in <= radius of nPlanes bits)
+    // when each bit independently agrees w.p. p — enumerate all 2^n
+    // disagreement patterns and sum those within the ball
+    for (n <- Seq(3, 4, 6); p <- Seq(0.3, 0.65, 0.856); r <- 0 to 2) {
+      val exhaustive = (0 until (1 << n)).map { code =>
+        val disagreements = Integer.bitCount(code)
+        if (disagreements <= r)
+          math.pow(p, (n - disagreements).toDouble) *
+            math.pow(1 - p, disagreements.toDouble)
+        else 0.0
+      }.sum
+      val closed = Similarity.multiProbeCollisionProb(n, p, r)
+      assert(math.abs(closed - exhaustive) < 1e-12,
+        s"n=$n p=$p r=$r: closed $closed vs exhaustive $exhaustive")
+    }
+  }
+
   test("multi-probe lsh: radius 0 == single-probe exactly; radius 1 is a " +
       "candidate superset with >= recall at equal tables; fewer derived tables") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001).cache()
