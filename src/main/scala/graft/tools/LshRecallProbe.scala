@@ -206,8 +206,6 @@ object LshRecallProbe {
       val design = Similarity.topKDesignCos(emb, 5)
       val derived = Similarity.lshTablesFor(planes, design,
         Similarity.TopKTargetRecall)
-      val derivedMp = Similarity.lshTablesFor(planes, design,
-        Similarity.TopKTargetRecall, probeRadius = 1)
       def score(lbl: String, res: DataFrame, secs: Double): Unit = {
         val hits = res.filter(col("query_id") < 20)
           .select(col("query_id"), col("neighbor_id"))
@@ -226,12 +224,16 @@ object LshRecallProbe {
         score(if (tables == derived) s"DEFAULT($derived)" else tables.toString,
           res, secs)
       }
-      // r14 multi-probe leg: radius 1 through the zero-knob derive —
-      // same recall target at ~8x fewer tables than single-probe
+      // r14 multi-probe leg: radius via SPARK_GRAFT_TOPK_PROBE_RADIUS
+      // (default 1) through the zero-knob derive — same recall target
+      // at a collision-prob-ratio fewer tables than single-probe
+      val radius = sys.env.getOrElse("SPARK_GRAFT_TOPK_PROBE_RADIUS", "1").toInt
+      val derivedR = Similarity.lshTablesFor(planes, design,
+        Similarity.TopKTargetRecall, probeRadius = radius)
       val (resMp, secsMp) = timed(stage(s"topkres_${f}_mp",
         Similarity.lshTopKPortableMultiProbe(emb, k = 5, nPlanes = planes,
-          dim = 64, probeRadius = 1)))
-      score(s"MULTIPROBE-r1-DEFAULT($derivedMp)", resMp, secsMp)
+          dim = 64, probeRadius = radius)))
+      score(s"MULTIPROBE-r$radius-DEFAULT($derivedR)", resMp, secsMp)
       truthK.unpersist()
     }
 
