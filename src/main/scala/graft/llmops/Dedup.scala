@@ -563,27 +563,31 @@ object Dedup {
     * override deliberately.
     *
     * The input-bytes scan is memoized per (session, canonicalized
-    * input plan) — r14, VERDICT r13 #5: the guard showed up as a
-    * +0.6–0.7 s re-scan on each of q132/q150/q161/q162, and the
-    * prefix/containment siblings over the same corpus share one
-    * estimate. Only the BYTES are cached (the budget and the verdict
-    * are re-evaluated every call, so conf overrides keep working
-    * mid-session); an input path overwritten behind an identical plan
-    * is outside the memo's contract, same as the repo's other
-    * session-scoped memos. */
-  private val inputBytesMemo =
-    new scala.collection.concurrent.TrieMap[(String, Int, String), Long]()
-
+    * input plan, resolved input files) — r14, VERDICT r13 #5: the
+    * guard showed up as a +0.6–0.7 s re-scan on each of
+    * q132/q150/q161/q162, and the prefix/containment siblings over
+    * the same corpus share one estimate. Only the BYTES are cached
+    * (the budget and the verdict are re-evaluated every call, so conf
+    * overrides keep working mid-session). r15 (ADVICE r14 #1/#2): the
+    * key folds in [[graft.ops.PlanFingerprint.inputFingerprint]] — a
+    * 32-bit plan-hash alias between distinct inputs, or an input
+    * directory rewritten behind an identical plan, now misses the memo
+    * instead of silently reusing a stale byte count for a SAFETY
+    * verdict; and the cache itself lives in [[graft.ml.ModelMemo]]
+    * (weak session key, soft values), so dead-session entries evict
+    * with the session instead of accumulating for the JVM's life. */
   private def assertTransientDiskBudget(docs: DataFrame, textCol: String,
       opName: String): Unit = {
     val spark = docs.sparkSession
-    val memoKey = (s"${spark.sparkContext.applicationId}/${
-        System.identityHashCode(spark)}",
-      docs.select(col(textCol)).queryExecution.analyzed.semanticHash(),
-      textCol)
-    val inputBytes = inputBytesMemo.getOrElseUpdate(memoKey,
-      docs.agg(coalesce(sum(length(col(textCol)).cast("long")), lit(0L)))
-        .head().getLong(0))
+    val memoKey = s"dedup-input-bytes:${
+        docs.select(col(textCol)).queryExecution.analyzed.semanticHash()}:${
+        graft.ops.PlanFingerprint.inputFingerprint(docs)}:$textCol"
+    val inputBytes: Long = graft.ml.ModelMemo
+      .cached[java.lang.Long](spark, memoKey)(
+        java.lang.Long.valueOf(
+          docs.agg(coalesce(sum(length(col(textCol)).cast("long")), lit(0L)))
+            .head().getLong(0)))
+      .longValue()
     val estimate = inputBytes * TransientShuffleFactor
     val budget = spark.conf.getOption("graft.exactJoin.diskBudgetBytes")
       .map(_.toLong).getOrElse {

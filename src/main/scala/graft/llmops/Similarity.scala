@@ -86,17 +86,28 @@ object Similarity {
     * recall — the same no-manual-choice discipline as the near-dup
     * family. Pass explicit values to pin an operating point (q38/q66/
     * q89 pin planes = autoPlanes, tables = 8 so the gates stay
-    * hash-exact). */
+    * hash-exact).
+    *
+    * `probeRadius > 0` (r15, VERDICT r14 #2) brings multi-probe to
+    * the PRODUCTION float-plane path — the same probe-side XOR-mask
+    * explode as [[lshTopKPortableMultiProbe]] (Lv et al. 2007): each
+    * query probes its own bucket plus every bucket within Hamming
+    * distance `probeRadius` in each table, the index stays n·nTables
+    * rows, and the zero-knob table derivation shrinks by the
+    * collision-prob ratio (8× fewer tables at radius 1 at the r14
+    * 100× design point). Radius 0 (default) takes the mask-free plan
+    * — bit-identical to the pre-r15 operator, so the pinned gates'
+    * plans don't even grow a Generate node. */
   def lshTopK(vectors: DataFrame, k: Int, nPlanes: Int = 0, dim: Int,
-      nTables: Int = 0, idCol: String = "vec_id", vecCol: String = "embedding",
-      seed: Long = 42): DataFrame = {
+      nTables: Int = 0, probeRadius: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding", seed: Long = 42): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val planes = if (nPlanes > 0) nPlanes
       else autoPlanes(vectors, TopKOccupancy)
     val numTables = if (nTables > 0) nTables
       else lshTablesFor(planes, topKDesignCos(vectors, k, idCol, vecCol),
-        TopKTargetRecall)
+        TopKTargetRecall, probeRadius)
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     // bucket assignment as a typed kernel: the column form is
     // nTables×nPlanes aggregate-HOFs per row, ALL interpreted
@@ -123,8 +134,21 @@ object Similarity {
         (id, t, bucket)
       }
     }.toDF("id", "tbl", "bucket")
-    // candidate ids first — dedup BEFORE hauling vector payloads
-    val a = withB.select(col("tbl"), col("bucket"), col("id").as("query_id"))
+    // candidate ids first — dedup BEFORE hauling vector payloads.
+    // Multi-probe expands the QUERY side only (masks on the probe,
+    // never the index); radius 0 skips the explode entirely.
+    val a =
+      if (probeRadius == 0)
+        withB.select(col("tbl"), col("bucket"), col("id").as("query_id"))
+      else {
+        val masks = array(probeMasks(planes, probeRadius).map(lit): _*)
+        withB
+          .select(col("tbl"), col("bucket"), col("id").as("query_id"),
+            explode(masks).as("mask"))
+          .select(col("tbl"),
+            col("bucket").bitwiseXOR(col("mask")).as("bucket"),
+            col("query_id"))
+      }
     val b = withB.select(col("tbl"), col("bucket"), col("id").as("neighbor_id"))
     val pairs = a.join(b, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -240,23 +264,26 @@ object Similarity {
     * ([[graft.ops.TopK.viaAggregator]] — shuffle carries ≤ k rows per
     * query per map partition, no single-task sort). Cost ≈ 64/nPlanes
     * extra hash-pass equivalents, memoized per (session, input plan,
-    * k) — a caller deriving tables for several lshTopK invocations
-    * over the same corpus pays the probe once (the disk-guard memo's
-    * contract: an input overwritten behind an identical plan is out of
-    * scope). Deterministic: probe ids are the sorted smallest, the
-    * aggregator's kept set is the max-k of a total order (score desc,
-    * id asc). */
-  private val designCosMemo =
-    new scala.collection.concurrent.TrieMap[(String, Int, Int), Double]()
-
+    * resolved input files, k) — a caller deriving tables for several
+    * lshTopK invocations over the same corpus pays the probe once.
+    * r15 (ADVICE r14 #2): the memo lives in [[graft.ml.ModelMemo]]
+    * (weak session key, soft values — dead-session entries evict with
+    * the session) and the key folds in
+    * [[graft.ops.PlanFingerprint.inputFingerprint]], so a rewritten
+    * input directory behind an identical plan re-probes instead of
+    * reusing a stale design point. Deterministic: probe ids are the
+    * sorted smallest, the aggregator's kept set is the max-k of a
+    * total order (score desc, id asc). */
   def topKDesignCos(vectors: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
-    val sessionKey = s"${vectors.sparkSession.sparkContext.applicationId}/${
-        System.identityHashCode(vectors.sparkSession)}"
     val planHash = vectors.select(col(idCol), col(vecCol))
       .queryExecution.analyzed.semanticHash()
-    designCosMemo.getOrElseUpdate((sessionKey, planHash, k),
-      topKDesignCosUncached(vectors, k, idCol, vecCol))
+    val fp = graft.ops.PlanFingerprint.inputFingerprint(vectors)
+    graft.ml.ModelMemo.cached[java.lang.Double](vectors.sparkSession,
+        s"topk-design-cos:$planHash:$fp:$k")(
+      java.lang.Double.valueOf(
+        topKDesignCosUncached(vectors, k, idCol, vecCol)))
+      .doubleValue()
   }
 
   /** Exact cosine top-k with the QUERIES broadcast — the mirror of
@@ -267,7 +294,16 @@ object Similarity {
     * per map partition, no single-task sort — `TopK.viaAggregator`).
     * Right shape for probe/truth jobs (tens of queries, any corpus
     * size); output schema (query_id, neighbor_id, cos, rn) matches
-    * [[bruteForceTopK]] with cos unrounded. Excludes self-matches. */
+    * [[bruteForceTopK]] with cos unrounded.
+    *
+    * PRECONDITION (ADVICE r14 #3): queries and corpus share ONE id
+    * space — self-matches are excluded purely by id equality
+    * (`query_id != neighbor_id`), so a query frame drawn from a
+    * DIFFERENT id space whose ids coincide with unrelated corpus rows
+    * would silently drop true neighbors from the "exact" truth.
+    * Callers with disjoint id spaces must disambiguate ids first
+    * (e.g. offset one side). Every in-repo caller passes a corpus
+    * subset, satisfying the precondition by construction. */
   def bruteForceTopKQueriesBroadcast(queries: DataFrame, corpus: DataFrame,
       k: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

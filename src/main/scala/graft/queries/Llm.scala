@@ -1892,7 +1892,15 @@ object Llm {
         nProbe = 2, memoKey = Some(dir)), ivfRecallBand),
       ("lsh_gaussian", Similarity.lshTopK(emb, k = 5,
         nPlanes = Similarity.autoPlanes(emb, Similarity.TopKOccupancy),
-        dim = 64, nTables = 8), lshRecallBand)))
+        dim = 64, nTables = 8), lshRecallBand),
+      // r15 (VERDICT r14 #2): multi-probe on the production float-plane
+      // path, fully zero-knob — planes AND tables derived (tables via
+      // lshTablesFor at probeRadius 1, ~the collision-prob ratio fewer
+      // than single-probe would need), band identical to single-probe:
+      // multi-probe must hold the SAME recall with the smaller index
+      ("lsh_gaussian_mp1", Similarity.lshTopK(emb, k = 5,
+        nPlanes = Similarity.autoPlanes(emb, Similarity.TopKOccupancy),
+        dim = 64, probeRadius = 1), lshRecallBand)))
   }
 
   private def annRecallOracle: String =

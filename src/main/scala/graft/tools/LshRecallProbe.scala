@@ -234,6 +234,19 @@ object LshRecallProbe {
         Similarity.lshTopKPortableMultiProbe(emb, k = 5, nPlanes = planes,
           dim = 64, probeRadius = radius)))
       score(s"MULTIPROBE-r$radius-DEFAULT($derivedR)", resMp, secsMp)
+      // r15 (VERDICT r14 #2): the PRODUCTION float-plane path at the
+      // same multi-probe operating point — gaussian planes instead of
+      // the portable md5-±1 quantized planes, same derived table
+      // count, same recall target. The float leg is the one a cluster
+      // actually runs; recall parity with the portable leg confirms
+      // the quantization is not load-bearing for the design math.
+      val (resFl, secsFl) = timed(stage(s"topkres_${f}_float_mp",
+        Similarity.lshTopK(emb, k = 5, nPlanes = planes, dim = 64,
+          probeRadius = radius)))
+      score(s"FLOAT-MULTIPROBE-r$radius-DEFAULT($derivedR)", resFl, secsFl)
+      val (resFl0, secsFl0) = timed(stage(s"topkres_${f}_float_sp",
+        Similarity.lshTopK(emb, k = 5, nPlanes = planes, dim = 64)))
+      score(s"FLOAT-SINGLEPROBE-DEFAULT($derived)", resFl0, secsFl0)
       truthK.unpersist()
     }
 

@@ -164,6 +164,36 @@ class SimilaritySpec extends SparkSpec {
     assert(nd1.forall(_._3 >= 0.4))
   }
 
+  test("float-plane lshTopK multi-probe (r15): radius 0 == pre-multiprobe " +
+      "operator bit-for-bit; radius 1 recall >= at equal tables") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cos", "rn")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    // the default radius takes the mask-free plan — identical results
+    // to an explicit radius-0 call (both must reproduce the operator
+    // the pinned gates measure)
+    val defaultR = rows(Similarity.lshTopK(emb, 5, nPlanes = 4,
+      dim = 64, nTables = 4))
+    val r0 = rows(Similarity.lshTopK(emb, 5, nPlanes = 4,
+      dim = 64, nTables = 4, probeRadius = 0))
+    assert(r0 == defaultR)
+
+    val brute = Similarity.bruteForceTopK(emb, emb, 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    def recall(rs: Set[(Long, Long, Double, Int)]): Double = {
+      val byQ = rs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      brute.count { case (q, n) => byQ.getOrElse(q, Set()).contains(n) }
+        .toDouble / brute.size
+    }
+    val r1 = rows(Similarity.lshTopK(emb, 5, nPlanes = 4,
+      dim = 64, nTables = 4, probeRadius = 1))
+    assert(recall(r1) >= recall(r0) - 1e-12,
+      s"float multi-probe radius-1 recall ${recall(r1)} below " +
+        s"radius-0 ${recall(r0)}")
+    assert(recall(r1) > 0.5, s"float multi-probe recall ${recall(r1)} too low")
+  }
+
   test("portable lsh recall matches the float-plane variant's ballpark") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001).cache()
     val brute = Similarity.bruteForceTopK(emb, emb, 1)

@@ -16,9 +16,13 @@ class SourceHygieneSpec extends AnyFunSuite {
 
   private val mainRoot = Paths.get("src/main/scala/graft")
 
+  // Files.walk streams hold directory handles until closed (ADVICE
+  // r14 #4) — materialize under Using so every walk releases its
+  // handles even on assertion throw
   private def scalaFiles(root: Path): Seq[Path] =
-    Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala")).toSeq
+    scala.util.Using.resource(Files.walk(root))(
+      _.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala")).toSeq)
 
   test("zero ??? stubs in main source") {
     val offenders = scalaFiles(mainRoot).filter(p =>
