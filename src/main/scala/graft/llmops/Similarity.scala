@@ -188,8 +188,8 @@ object Similarity {
     * one row per (id, table, bucket) — exact integer arithmetic an
     * external oracle recomputes bit-for-bit. Shared by the top-k and
     * near-dup-pairs products. */
-  private def portableBuckets(vectors: DataFrame, nPlanes: Int, dim: Int,
-      nTables: Int, idCol: String, vecCol: String): DataFrame = {
+  private[llmops] def portableBuckets(vectors: DataFrame, nPlanes: Int,
+      dim: Int, nTables: Int, idCol: String, vecCol: String): DataFrame = {
     val signs = Array.tabulate(nTables, nPlanes, dim)(portableSign)
     val spark = vectors.sparkSession
     import spark.implicits._
@@ -249,9 +249,24 @@ object Similarity {
     * stable median, small enough that the probe costs ~5 hash passes. */
   val TopKDesignProbeQueries = 64
 
+  /** Corpus size above which [[topKDesignCos]] probes a deterministic
+    * SAMPLE of the corpus instead of all of it (r15, VERDICT r14 #3 /
+    * NOTES_r14 debt #3): the exact probe is one full corpus scan per
+    * (plan, k); past this size the scan dominates the derivation it
+    * feeds. Below it the exact probe is cheap and stays the default. */
+  val TopKDesignSampleThreshold = 1000000L
+
+  /** Neighbor-pool size the sampled probe scans — constant probe cost
+    * regardless of corpus size once sampling engages. */
+  val TopKDesignSampleSize = 200000L
+
   /** Data-driven DESIGN similarity for the top-k family: the median
     * k-th-neighbor cosine of a deterministic bounded query probe (the
-    * [[TopKDesignProbeQueries]] smallest ids) against the FULL corpus.
+    * [[TopKDesignProbeQueries]] smallest ids) against the full corpus
+    * — or, past [[TopKDesignSampleThreshold]] vectors, against a
+    * deterministic [[TopKDesignSampleSize]]-vector hash sample
+    * ([[topKDesignCosSampled]], whose scaladoc proves the sampled
+    * estimate errs only toward over-provisioning).
     * Unlike near-dup (where the design grade is a property of what a
     * duplicate IS, ≈ 0.9 on any corpus), the top-k design grade is a
     * property of THIS corpus's neighbor structure — a constant would
@@ -319,9 +334,64 @@ object Similarity {
 
   private def topKDesignCosUncached(vectors: DataFrame, k: Int,
       idCol: String, vecCol: String): Double = {
+    val n = vectors.count()
+    if (n <= TopKDesignSampleThreshold)
+      designCosAgainstPool(vectors, vectors, k, idCol, vecCol)
+    else topKDesignCosSampled(vectors, k, TopKDesignSampleSize, idCol, vecCol)
+  }
+
+  /** SAMPLED design probe (r15, VERDICT r14 #3): the kth-neighbor
+    * cosine of the standard bounded query probe measured against a
+    * deterministic hash-sampled NEIGHBOR POOL of ~`sampleTarget`
+    * vectors, instead of the full corpus. Probe cost is one
+    * constant-size scan however large the corpus.
+    *
+    * SAFE-DIRECTION INEQUALITY (the contract that makes sampling
+    * admissible for a safety-relevant derivation): for every query,
+    * the kth-best cosine within a SUBSET of the candidates is ≤ the
+    * kth-best within all of them — dropping candidates can only push
+    * the kth neighbor further away — and the median of componentwise-
+    * ≤ vectors is ≤, so
+    *   sampledDesignCos ≤ exactDesignCos   (spec-pinned on fixtures).
+    * A lower design cosine means lower per-bit agreement p, and
+    * [[lshTablesFor]] is monotone decreasing in p — so the sampled
+    * probe can only OVER-provision tables (more recall than the
+    * target), never under. The estimate degrades gracefully: at
+    * sample fraction f the pool's kth neighbor approximates the full
+    * corpus's (k/f)-th neighbor, so very aggressive sampling buys
+    * extra tables, not missed recall.
+    *
+    * Determinism: pool membership is a pure hash of the id
+    * (xxhash64 per-million bucket < cutoff), partitioning-independent
+    * like [[graft.reco.Splits.byRowHash]]; queries are the same
+    * sorted-smallest ids as the exact probe and are NOT restricted to
+    * the pool. */
+  def topKDesignCosSampled(vectors: DataFrame, k: Int, sampleTarget: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
+    require(sampleTarget > k,
+      s"sampleTarget=$sampleTarget must exceed k=$k")
+    val n = vectors.count()
+    val pool =
+      if (n <= sampleTarget) vectors
+      else {
+        val cutoffPerMillion =
+          math.max(1L, sampleTarget * 1000000L / n)
+        vectors.filter(
+          pmod(xxhash64(lit("graft-designcos"), col(idCol)),
+            lit(1000000L)) < cutoffPerMillion)
+      }
+    designCosAgainstPool(vectors, pool, k, idCol, vecCol)
+  }
+
+  /** Shared probe core: median kth-neighbor cosine of the bounded
+    * query probe (the [[TopKDesignProbeQueries]] smallest ids of
+    * `vectors`) against `pool` (the full corpus for the exact probe, a
+    * hash sample for [[topKDesignCosSampled]]). */
+  private def designCosAgainstPool(vectors: DataFrame, pool: DataFrame,
+      k: Int, idCol: String, vecCol: String): Double = {
     val probe = vectors.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(TopKDesignProbeQueries)
-    val kth = bruteForceTopKQueriesBroadcast(probe, vectors, k, idCol, vecCol)
+    val kth = bruteForceTopKQueriesBroadcast(probe, pool, k, idCol, vecCol)
       .filter(col("rn") === k)
       .select(col("cos")).collect().map(_.getDouble(0)).sorted
     require(kth.nonEmpty, s"topKDesignCos: corpus must exceed k=$k vectors")
@@ -454,6 +524,18 @@ object Similarity {
         TopKTargetRecall)
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     val withB = portableBuckets(vectors, planes, dim, numTables, idCol, vecCol)
+    selfTopKFromBuckets(base, withB, k)
+  }
+
+  /** Shared self-top-k tail of the portable LSH family: bucket-join
+    * candidate pairs (deduped BEFORE vector payloads are hauled), then
+    * exact-cosine re-rank to k. `withB` is a (id, tbl, bucket) frame —
+    * freshly computed by [[portableBuckets]] or loaded from a
+    * persisted index snapshot ([[graft.llmops.AnnIndexSnapshot]], r15)
+    * — ONE implementation, so the persisted path cannot diverge from
+    * the computed one. */
+  private[llmops] def selfTopKFromBuckets(base: DataFrame, withB: DataFrame,
+      k: Int): DataFrame = {
     val a = withB.select(col("tbl"), col("bucket"), col("id").as("query_id"))
     val b = withB.select(col("tbl"), col("bucket"), col("id").as("neighbor_id"))
     val pairs = a.join(b, Seq("tbl", "bucket"))

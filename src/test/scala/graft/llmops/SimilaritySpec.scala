@@ -78,6 +78,31 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b, "zero-knob near-dup diverges from explicit autoPlanes")
   }
 
+  test("topKDesignCosSampled (r15): sampled <= exact (the safe direction) " +
+      "and derived tables at the sampled point can only grow") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).cache()
+    val exact = Similarity.topKDesignCos(emb, 5)
+    // force sampling well below the fixture's 500 vectors at several
+    // pool sizes: the subset kth-neighbor inequality must hold at each
+    for (target <- Seq(50L, 100L, 250L)) {
+      val sampled = Similarity.topKDesignCosSampled(emb, 5, target)
+      assert(sampled <= exact + 1e-12,
+        s"sampled designCos $sampled (target=$target) above exact $exact — " +
+          "the safe-direction inequality is violated")
+      // and the derivation it feeds over-provisions, never under
+      val planes = Similarity.autoPlanes(emb, Similarity.TopKOccupancy)
+      val tExact = Similarity.lshTablesFor(planes, exact,
+        Similarity.TopKTargetRecall)
+      val tSampled = Similarity.lshTablesFor(planes, sampled,
+        Similarity.TopKTargetRecall)
+      assert(tSampled >= tExact,
+        s"sampled point derives FEWER tables ($tSampled < $tExact)")
+    }
+    // a sample target >= the corpus degenerates to the exact probe
+    assert(math.abs(
+      Similarity.topKDesignCosSampled(emb, 5, 1000000L) - exact) < 1e-12)
+  }
+
   test("bruteForceTopKQueriesBroadcast == bruteForceTopK (mirror shapes)") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001).cache()
     val queries = emb.filter($"vec_id" < 20)
