@@ -222,6 +222,82 @@ object FmRanker {
       : org.apache.spark.ml.classification.FMClassificationModel =
     fitAndDump(spark)
 
+  /** Train-user fraction of the q90c held-out split. */
+  private val HeldOutTrainFrac = 0.8
+
+  /** Held-out generalization scores for the FM ranker (r15, VERDICT
+    * r14 #1): q90b's NDCG is train-side — a ceiling metric that
+    * detects collapse but not fine regressions. This is the
+    * generalization half: a portable user-hash split of the
+    * deterministic feature frame (every row of a user lands on one
+    * side — `Splits.hashBucketPortable`, the reference's
+    * randomSplitByUser re-expressed map-only), a seeded FM fit on the
+    * TRAIN users' rows over the FULL entity index space, and raw-
+    * margin scores on the HELD-OUT users' rows. A held-out user's own
+    * one-hot was never updated by training, so their ranking rests on
+    * the repo one-hots and side features — exactly the signal that
+    * generalizes; regressions there (mis-scaled sides, zeroed repo
+    * factors) move this metric while leaving q90b's memorized-user
+    * ceiling intact.
+    *
+    * Returns one row per held-out (user_id, repo_id) with label and
+    * double margin score. Memoized per session (seed-deterministic,
+    * same policy as the q173 fit); the q173 dump is untouched —
+    * separate fit, separate memo key. */
+  def heldOutScores(spark: SparkSession): DataFrame =
+    ModelMemo.cached(spark, "fm-q90c-heldout")(heldOutScoresImpl(spark))
+
+  private def heldOutScoresImpl(spark: SparkSession): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    val frame0 = AlbedoRanker.deterministicFeatureFrame(spark)
+    val uIdx = denseIndex(frame0, "user_id", "uidx")
+    val rIdx = denseIndex(frame0, "repo_id", "ridx")
+    val nUsers = uIdx.count().toInt
+    val nRepos = rIdx.count().toInt
+    // same pinned partitioning as the q173 fit (fixed float-sum order
+    // for the seeded full-batch solver); the split FILTERS this frame,
+    // preserving partitioning, so the train side's merge order is
+    // fixed too
+    val frame = frame0.join(uIdx, "user_id").join(rIdx, "repo_id")
+      .withColumn("side", array(sideExprs(frame0): _*))
+      .repartition(4, col("user_id"))
+      .sortWithinPartitions("user_id", "repo_id")
+      .cache()
+    val cut = math.round(HeldOutTrainFrac * 1000000)
+    val bucket = graft.reco.Splits.hashBucketPortable(col("user_id"), "q90c")
+    val dim = nSide + nUsers + nRepos
+    def assemble(df: DataFrame): DataFrame = {
+      import spark.implicits._
+      df.select(col("user_id").cast("long"), col("repo_id").cast("long"),
+          col("label").cast("double").as("label"),
+          col("uidx"), col("ridx"), col("side"))
+        .map { r =>
+          val side = r.getAs[scala.collection.Seq[Long]]("side")
+          val entries = side.iterator.zipWithIndex
+            .collect { case (x, i) if x != 0L => (i, x.toDouble / 1000.0) }
+            .toArray ++ Array(
+              (nSide + r.getAs[Long]("uidx").toInt, 1.0),
+              (nSide + nUsers + r.getAs[Long]("ridx").toInt, 1.0))
+          (r.getLong(0), r.getLong(1), r.getDouble(2),
+            org.apache.spark.ml.linalg.Vectors.sparse(
+              dim, entries.map(_._1), entries.map(_._2)))
+        }.toDF("user_id", "repo_id", "label", "features")
+    }
+    val model = new FMClassifier()
+      .setFeaturesCol("features").setLabelCol("label")
+      .setFactorSize(FactorSize).setMaxIter(30)
+      .setRegParam(0.01).setStepSize(0.05).setInitStd(0.01)
+      .setMiniBatchFraction(1.0).setSolver("adamW").setSeed(42L)
+      .fit(assemble(frame.filter(bucket < cut)))
+    val scored = model.transform(assemble(frame.filter(bucket >= cut)))
+      .select(col("user_id"), col("repo_id"), col("label"),
+        vector_to_array(col("rawPrediction")).getItem(1).as("score"))
+    // bounded: held-out rows of the fixture frame — materialize so the
+    // cached feature frame can be released now (q90's Materialize
+    // policy), and so the memoized value doesn't pin executor blocks
+    graft.ops.Materialize.localThenUnpersist(scored, frame)
+  }
+
   /** Dump-time INPUT bounds (ADVICE r13 #4): the scoreQ docstring
     * claims overflow is "loud in both engines", but Spark's non-ANSI
     * Long sums wrap silently, and [[boundsCheck]] only inspects the

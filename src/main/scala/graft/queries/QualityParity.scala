@@ -178,7 +178,47 @@ object QualityParity {
     graft.ops.Materialize.localThenUnpersist(out)
   }
 
+  /** Observed held-out NDCG@30 band (seed 42, user-hash split at 0.8,
+    * 3dp — width policy of [[bands]]; k = 30 is the reference's own
+    * published metric depth). Measured at k=5 the held-out metric is
+    * still a ceiling (0.9997 — every user's top-5 is all-positive on
+    * the 1:1-balanced ~34-row candidate lists); at k=30 the ranking
+    * covers nearly the whole list, so every mis-ordered
+    * positive/negative pair shows (observed 0.990, vs ≈0.8 for a
+    * random permutation of the balanced candidates). The band's UPPER
+    * edge is deliberately below 1.0: a 3dp-perfect held-out ranking is
+    * not achievable without label leakage into the features, so a
+    * leak regression flips within_band just like a collapse does —
+    * the fine-regression detector VERDICT r14 #1 asked for, sensitive
+    * at both ends. */
+  private val fmHeldOutBand: (Double, Double) = (0.95, 0.999) // observed 0.990
+
+  /** q90c: NDCG@30 of the FM ranker on HELD-OUT users (seeded
+    * user-hash split; fit on train users only; margin scores from the
+    * fitted model over each held-out user's candidate rows) through
+    * the same RankingEvaluator lifecycle as q90/q90b. */
+  def fmHeldOutQuality(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.ml.FmRanker.heldOutScores(spark)
+    val positives = scored.filter(col("label") > 0.5)
+      .select(col("user_id"), col("repo_id").as("item_id")).distinct()
+    val recs = scored.select(col("user_id"), col("repo_id").as("item_id"),
+      col("score"))
+    val (lo, hi) = fmHeldOutBand
+    val out = RankingEvaluator.evaluate(recs, positives, 30)
+      .select(
+        lit("fm_heldout").as("recommender"),
+        col("k"),
+        col("n_users"),
+        round(col("ndcg"), 3).as("ndcg"),
+        lit(lo).as("band_lo"),
+        lit(hi).as("band_hi"))
+      .withColumn("within_band",
+        col("ndcg") >= col("band_lo") && col("ndcg") <= col("band_hi"))
+    graft.ops.Materialize.localThenUnpersist(out)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q90_albedo_cg_quality", cgQuality, None),
-    QueryDef("q90b_fm_ranker_quality", fmQuality, None))
+    QueryDef("q90b_fm_ranker_quality", fmQuality, None),
+    QueryDef("q90c_fm_heldout_quality", fmHeldOutQuality, None))
 }

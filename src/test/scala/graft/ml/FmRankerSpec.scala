@@ -105,4 +105,26 @@ class FmRankerSpec extends SparkSpec {
       (pos.size.toDouble * neg.size)
     assert(auc > 0.9 && auc <= 1.0, s"FM train AUC $auc outside sanity band")
   }
+
+  test("heldOutScores (q90c): scored rows are exactly the held-out-user " +
+      "bucket, scores discriminate, and no train user leaks in") {
+    import org.apache.spark.sql.functions._
+    val scored = FmRanker.heldOutScores(spark).cache()
+    assert(scored.count() > 0)
+    // the split contract: every scored row's user hashes to the
+    // held-out side of the portable bucket (>= 0.8 * 1e6)
+    val cut = math.round(0.8 * 1000000)
+    val leaked = scored.filter(
+      graft.reco.Splits.hashBucketPortable(col("user_id"), "q90c")
+        < cut).count()
+    assert(leaked == 0, s"$leaked train-bucket rows in the held-out scores")
+    // both labels present and the margin separates them on average —
+    // the metric the gate bands is measuring signal, not noise
+    val m = scored.groupBy(col("label")).agg(avg(col("score")).as("s"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(m.keySet == Set(0.0, 1.0))
+    assert(m(1.0) > m(0.0),
+      s"held-out positives (${m(1.0)}) do not outscore negatives (${m(0.0)})")
+    scored.unpersist()
+  }
 }
