@@ -65,12 +65,19 @@ object Bench {
     // a failed gate's telemetry can never read as a clean measurement.
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
     val spillBytes = new java.util.concurrent.atomic.AtomicLong
+    // r15 (VERDICT r14 #8): per-gate peak task execution memory — a
+    // 128 GiB box hides memory regressions a per-executor-GB cluster
+    // would surface; the per-TASK peak is the number that transfers
+    // (tasks/executor × peak ≈ executor pressure). Max across the
+    // gate's tasks, reset per gate.
+    val peakExecMem = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
         if (m != null) {
           shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          peakExecMem.getAndAccumulate(m.peakExecutionMemory, Math.max)
         }
       }
     })
@@ -81,10 +88,11 @@ object Bench {
     // that threw (VERDICT r7 "What's wrong" #2, third recurrence of the
     // r5 q62 lesson). Errors are carried into the JSON so a failure can
     // never read as a speedup.
-    def onePass(): Seq[(String, Double, Option[String], Double, Double)] =
+    def onePass(): Seq[(String, Double, Option[String], Double, Double, Double)] =
       SparkEntry.registry.map { q =>
         val t0 = System.nanoTime()
         val (s0, p0) = (shuffleBytes.get(), spillBytes.get())
+        peakExecMem.set(0L) // fresh per gate (bus was drained below)
         val err: Option[String] =
           try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
           catch { case e: Throwable =>
@@ -98,11 +106,12 @@ object Bench {
         catch { case _: Throwable => Thread.sleep(30) }
         val shufMb = (shuffleBytes.get() - s0) / 1048576.0
         val spillMb = (spillBytes.get() - p0) / 1048576.0
+        val peakMb = peakExecMem.get() / 1048576.0
         // queries cache intermediates; dropping them between queries keeps
         // each measurement self-contained (no cross-query GC pressure from
         // dozens of leaked cache entries in one JVM)
         spark.catalog.clearCache()
-        (q.name, dt, err, shufMb, spillMb)
+        (q.name, dt, err, shufMb, spillMb, peakMb)
       }
 
     // machine load bracketing the run (VERDICT r8 "Next round" #3):
@@ -123,26 +132,29 @@ object Bench {
     // gate is a failure signal, not a pass); a gate that failed EVERY
     // pass additionally reports -1.0 s and is excluded from totals, so
     // its fail-fast time can never enter a total.
-    val errors: Seq[(String, String)] = allPasses.head.flatMap { case (name, _, _, _, _) =>
+    val errors: Seq[(String, String)] = allPasses.head.flatMap { case (name, _, _, _, _, _) =>
       val perPass = allPasses.map(_.find(_._1 == name).get)
       val nFail = perPass.count(_._3.isDefined)
       if (nFail == 0) None
       else Some(name ->
         s"${perPass.flatMap(_._3).head} ($nFail/${perPass.size} passes failed)")
     }
-    val errored = allPasses.head.collect { case (name, _, _, _, _)
+    val errored = allPasses.head.collect { case (name, _, _, _, _, _)
       if allPasses.forall(_.find(_._1 == name).get._3.isDefined) => name }.toSet
-    val results: Seq[(String, Double)] = allPasses.head.map { case (name, _, _, _, _) =>
-      val ok = allPasses.flatMap(_.collect { case (`name`, t, None, _, _) => t })
+    val results: Seq[(String, Double)] = allPasses.head.map { case (name, _, _, _, _, _) =>
+      val ok = allPasses.flatMap(_.collect { case (`name`, t, None, _, _, _) => t })
       name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
     // per-gate telemetry: max across passes (the conservative reading —
     // pass-to-pass variation in bytes means AQE re-planned, worth seeing)
-    val shuffleMb: Seq[(String, Double)] = allPasses.head.map { case (name, _, _, _, _) =>
+    val shuffleMb: Seq[(String, Double)] = allPasses.head.map { case (name, _, _, _, _, _) =>
       name -> allPasses.map(_.find(_._1 == name).get._4).max
     }
-    val spillMb: Seq[(String, Double)] = allPasses.head.map { case (name, _, _, _, _) =>
+    val spillMb: Seq[(String, Double)] = allPasses.head.map { case (name, _, _, _, _, _) =>
       name -> allPasses.map(_.find(_._1 == name).get._5).max
+    }
+    val peakMb: Seq[(String, Double)] = allPasses.head.map { case (name, _, _, _, _, _) =>
+      name -> allPasses.map(_.find(_._1 == name).get._6).max
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
@@ -152,13 +164,15 @@ object Bench {
     // systematic cost (every pass slow) — r5's q44 doubling was
     // undiagnosable from the min. Ordered per pass like `queries`.
     val passesJson = allPasses.map { pass =>
-      pass.map { case (k, v, err, _, _) =>
+      pass.map { case (k, v, err, _, _, _) =>
         "\"" + k + f"""":${if (err.isDefined) -1.0 else v}%.3f"""
       }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")
     val shufJson = shuffleMb.map { case (k, v) => "\"" + k + f"""":$v%.1f""" }
       .mkString("{", ",", "}")
     val spillJson = spillMb.map { case (k, v) => "\"" + k + f"""":$v%.1f""" }
+      .mkString("{", ",", "}")
+    val peakJson = peakMb.map { case (k, v) => "\"" + k + f"""":$v%.1f""" }
       .mkString("{", ",", "}")
     val errsJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replaceAll("[\\x00-\\x1f\"\\\\]", " ") + "\""
@@ -195,7 +209,7 @@ object Bench {
       "q54_percentiles", "q55_approx_distinct", "q56_pii_redaction")
     val r1Total = results.collect { case (k, v) if r1Set(k) && !errored(k) => v }.sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","errors":$errsJson,"queries":$qs,"pass_times":$passesJson,"shuffle_mb":$shufJson,"spill_mb":$spillJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","errors":$errsJson,"queries":$qs,"pass_times":$passesJson,"shuffle_mb":$shufJson,"spill_mb":$spillJson,"peak_exec_mb":$peakJson,"sf":"$sfDir"}"""
     val shortLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_errors":${errors.size},"sf":"$sfDir"}"""
     spark.stop()

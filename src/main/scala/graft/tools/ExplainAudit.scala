@@ -38,15 +38,17 @@ object ExplainAudit {
       ("q60_albedo_ranker_metrics", "no WholeStageCodegen") -> localRelation,
       ("q90_albedo_cg_quality", "no WholeStageCodegen") -> localRelation,
       ("q90b_fm_ranker_quality", "no WholeStageCodegen") -> localRelation,
+      ("q90c_fm_heldout_quality", "no WholeStageCodegen") -> localRelation,
       ("q119b_bpe_segmented", "no WholeStageCodegen") -> localRelation,
       ("q127_bloom_join", "no WholeStageCodegen") -> localRelation)
   }
 
-  /** The CI-enforced subset: BENCH_r13's slowest gates (where a plan
+  /** The fast CI subset: BENCH_r13's slowest gates (where a plan
     * regression costs the most wall time) plus one representative per
     * structural family — scan+agg, join+topk, window, minhash, LSH,
-    * streaming replay. Bounded so `sbt test` stays fast; the full
-    * registry audit remains this tool's main. */
+    * streaming replay. Since r15 (VERDICT r14 #4) `PlanAuditSpec`
+    * ALSO audits the full registry in CI; this subset remains for the
+    * quick inner-loop test and the CLI default. */
   val SpecGates: Seq[String] = Seq(
     "q01_agg_pricing_summary", "q03_join_top_revenue", "q07_window_topk",
     "q21_user_recent_topk", "q35_minhash_near_dups", "q64_minhash_portable",

@@ -22,4 +22,25 @@ class PlanAuditSpec extends SparkSpec {
       s"plan audit regression — adjudicate or fix before extending the " +
         s"known list: ${r.newRows.mkString("; ")}")
   }
+
+  /** r15 (VERDICT r14 #4): the FULL registry, not just the 13-gate
+    * subset — previously the other ~180 plans were only audited when a
+    * human ran the CLI. Plan construction at sf0.001 (the ML gates'
+    * eager fits are session-memoized, so this costs one fixture
+    * model-zoo pass shared with the other suites, not one per gate);
+    * a wall-clock budget asserts the audit stays a CI-sized cost
+    * instead of silently growing into the full bench. */
+  test("no new plan smells across the FULL registry (time-budgeted)") {
+    val t0 = System.nanoTime()
+    val r = ExplainAudit.auditGates(spark, sf0001,
+      Set.empty, verbose = false)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(r.failures == 0 && r.newSmells == 0,
+      s"plan audit regression — adjudicate or fix before extending the " +
+        s"known list: ${r.newRows.mkString("; ")}")
+    assert(secs < 600.0,
+      f"full-registry audit took $secs%.0f s — past the CI budget; " +
+        "profile the slow gate or move it to an explicit exclusion " +
+        "with a documented reason")
+  }
 }
