@@ -39,18 +39,33 @@ import org.apache.spark.sql.functions._
   * implementation the computed path uses. */
 object AnnIndexSnapshot {
 
+  /** `createdParams`/`createdBuckets` are single-driver diagnostics
+    * (the spec's reuse proof): they come from an existence pre-check,
+    * so a CONCURRENT driver creating the same snapshot between check
+    * and load can skew them — the loaded data itself is still correct
+    * (loadOrCreate is last-writer-wins over deterministic bytes). */
   final case class LshIndex(planes: Int, tables: Int, designCos: Double,
       buckets: DataFrame, createdParams: Boolean, createdBuckets: Boolean)
 
-  /** Snapshot key: plan identity + input-file identity + k. */
-  def indexKey(vectors: DataFrame, k: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): String = {
+  /** Snapshot key: plan identity + input-file identity + every input
+    * of the persisted derivation — k, dim (bucket bits depend on the
+    * hashed dimensionality), and the engine design constants the
+    * params bake in (occupancy target, recall target, probe radius 0).
+    * Folding the constants in means RETUNING them in a later engine
+    * version invalidates old snapshots by key instead of silently
+    * serving a design point derived under the old targets (r15
+    * review); dim in the key means two dims over the same corpus can
+    * never alias one bucket index. */
+  def indexKey(vectors: DataFrame, k: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
     val planHash = vectors.select(col(idCol), col(vecCol))
       .queryExecution.analyzed.semanticHash()
     val fp = graft.ops.PlanFingerprint.inputFingerprint(vectors)
     // semanticHash can be negative — hex of the raw bits keeps the
     // name filesystem-safe
-    f"${planHash}%08x_${fp.take(16)}_k$k"
+    f"${planHash}%08x_${fp.take(16)}_k${k}_d${dim}_occ${
+      Similarity.TopKOccupancy}_tr${
+      math.round(Similarity.TopKTargetRecall * 1000)}_r0"
   }
 
   /** Load the persisted top-k LSH index for this (corpus, k), deriving
@@ -65,7 +80,7 @@ object AnnIndexSnapshot {
       vecCol: String = "embedding"): LshIndex = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val key = indexKey(vectors, k, idCol, vecCol)
+    val key = indexKey(vectors, k, dim, idCol, vecCol)
     val paramsName = s"ann_lsh_params_$key"
     val bucketsName = s"ann_lsh_buckets_$key"
     def exists(name: String): Boolean = {

@@ -336,8 +336,10 @@ object Similarity {
       idCol: String, vecCol: String): Double = {
     val n = vectors.count()
     if (n <= TopKDesignSampleThreshold)
-      designCosAgainstPool(vectors, vectors, k, idCol, vecCol)
-    else topKDesignCosSampled(vectors, k, TopKDesignSampleSize, idCol, vecCol)
+      designCosAgainstPool(vectors, vectors, k, idCol, vecCol,
+        math.min(TopKDesignProbeQueries.toLong, n))
+    else sampledWithKnownCount(vectors, k, TopKDesignSampleSize, n,
+      idCol, vecCol)
   }
 
   /** SAMPLED design probe (r15, VERDICT r14 #3): the kth-neighbor
@@ -367,10 +369,18 @@ object Similarity {
     * sorted-smallest ids as the exact probe and are NOT restricted to
     * the pool. */
   def topKDesignCosSampled(vectors: DataFrame, k: Int, sampleTarget: Long,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): Double =
+    sampledWithKnownCount(vectors, k, sampleTarget, vectors.count(),
+      idCol, vecCol)
+
+  /** [[topKDesignCosSampled]] with the corpus count already in hand —
+    * the dispatch path ([[topKDesignCosUncached]]) has just counted
+    * for the threshold test and must not pay a second count job on
+    * exactly the path that exists to cut probe cost (r15 review). */
+  private def sampledWithKnownCount(vectors: DataFrame, k: Int,
+      sampleTarget: Long, n: Long, idCol: String, vecCol: String): Double = {
     require(sampleTarget > k,
       s"sampleTarget=$sampleTarget must exceed k=$k")
-    val n = vectors.count()
     val pool =
       if (n <= sampleTarget) vectors
       else {
@@ -380,21 +390,36 @@ object Similarity {
           pmod(xxhash64(lit("graft-designcos"), col(idCol)),
             lit(1000000L)) < cutoffPerMillion)
       }
-    designCosAgainstPool(vectors, pool, k, idCol, vecCol)
+    designCosAgainstPool(vectors, pool, k, idCol, vecCol,
+      math.min(TopKDesignProbeQueries.toLong, n))
   }
 
   /** Shared probe core: median kth-neighbor cosine of the bounded
     * query probe (the [[TopKDesignProbeQueries]] smallest ids of
     * `vectors`) against `pool` (the full corpus for the exact probe, a
-    * hash sample for [[topKDesignCosSampled]]). */
+    * hash sample for [[topKDesignCosSampled]]). `nQueries` is the
+    * probe's realized size (min(probe limit, corpus)) — known to both
+    * callers without a job. A probe query with FEWER than k pool
+    * candidates has no rn = k row; it is padded with the −0.99 floor
+    * rather than silently dropped (r15 review): dropping would take
+    * the sampled median over a different query set than the exact
+    * median, which can break the sampled ≤ exact safe-direction
+    * inequality when the realized pool is barely above k. The floor
+    * pad is trivially ≤ any exact kth cosine, so the inequality is
+    * unconditional. */
   private def designCosAgainstPool(vectors: DataFrame, pool: DataFrame,
-      k: Int, idCol: String, vecCol: String): Double = {
+      k: Int, idCol: String, vecCol: String, nQueries: Long): Double = {
     val probe = vectors.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(TopKDesignProbeQueries)
-    val kth = bruteForceTopKQueriesBroadcast(probe, pool, k, idCol, vecCol)
+    val found = bruteForceTopKQueriesBroadcast(probe, pool, k, idCol, vecCol)
       .filter(col("rn") === k)
-      .select(col("cos")).collect().map(_.getDouble(0)).sorted
-    require(kth.nonEmpty, s"topKDesignCos: corpus must exceed k=$k vectors")
+      .select(col("cos")).collect().map(_.getDouble(0))
+    require(nQueries > 0, s"topKDesignCos: empty corpus")
+    require(found.nonEmpty,
+      s"topKDesignCos: no probe query has k=$k pool candidates — the " +
+        "corpus (or the sample pool) is too small for this k")
+    val kth = (found ++
+      Array.fill((nQueries - found.length).toInt.max(0))(-0.99)).sorted
     math.min(math.max(kth(kth.length / 2), -0.99), 0.99)
   }
 

@@ -92,7 +92,9 @@ object FmRanker {
   }
 
   /** Side features quantized to [0, 1000]: numeric min-max scaled then
-    * floored (min/max over the frame — a bounded 20-value collect),
+    * floored (min/max over `frame` — a bounded 20-value collect; the
+    * q173 path passes the full frame, the held-out path passes TRAIN
+    * rows only, because scaling stats are fitted parameters),
     * booleans as 0/1000. Engine-only computation; the dump carries the
     * resulting integers, so the oracle never re-derives them. */
   private def sideExprs(frame: DataFrame): Seq[Column] = {
@@ -129,21 +131,70 @@ object FmRanker {
       : org.apache.spark.ml.classification.FMClassificationModel =
     ModelMemo.cached(spark, "fm-q173-fit-and-dump")(fitAndDumpImpl(spark))
 
-  private def fitAndDumpImpl(spark: SparkSession)
-      : org.apache.spark.ml.classification.FMClassificationModel = {
-    val frame0 = AlbedoRanker.deterministicFeatureFrame(spark)
+  /** Shared featurization core (extracted r15 — the held-out path had
+    * copy-pasted it, a silent-divergence risk the review flagged):
+    * entity indices over the FULL frame (held-out users keep valid
+    * one-hot positions — their weights just stay at init), side
+    * features quantized with min-max stats from `statsFrame` (full
+    * frame for q173; TRAIN rows only for q90c), and the pinned
+    * partitioning that makes the seeded full-batch fit bit-stable
+    * (the q44b repartition note: treeAggregate merges partitions in
+    * index order, so fixed partitioning ⇒ fixed float sum order).
+    * Returns the cached frame + entity counts; callers unpersist. */
+  private def indexedFrame(spark: SparkSession, frame0: DataFrame,
+      statsFrame: DataFrame): (DataFrame, Int, Int) = {
     val uIdx = denseIndex(frame0, "user_id", "uidx")
     val rIdx = denseIndex(frame0, "repo_id", "ridx")
     val nUsers = uIdx.count().toInt
     val nRepos = rIdx.count().toInt
     val frame = frame0.join(uIdx, "user_id").join(rIdx, "repo_id")
-      .withColumn("side", array(sideExprs(frame0): _*))
-      // pin row order so the seeded full-batch fit is bit-stable (the
-      // q44b repartition note: treeAggregate merges partitions in
-      // index order, so fixed partitioning ⇒ fixed float sum order)
+      .withColumn("side", array(sideExprs(statsFrame): _*))
       .repartition(4, col("user_id"))
       .sortWithinPartitions("user_id", "repo_id")
       .cache()
+    (frame, nUsers, nRepos)
+  }
+
+  /** Sparse keyed assembly shared by the q173 fit and the q90c
+    * held-out fit/score paths: ~20 nonzeros against
+    * dim = nSide + nUsers + nRepos (a dense one-hot frame is
+    * O(entities) per row — the sparse vector is the scale-correct
+    * shape). Bit-equivalent to a dense construction: IEEE sums are
+    * unchanged by skipping exact-zero terms. Keys ride along; the fit
+    * reads only (label, features). */
+  private def assembleKeyed(spark: SparkSession, df: DataFrame,
+      nUsers: Int, nRepos: Int): DataFrame = {
+    import spark.implicits._
+    val dim = nSide + nUsers + nRepos
+    df.select(col("user_id").cast("long"), col("repo_id").cast("long"),
+        col("label").cast("double").as("label"),
+        col("uidx"), col("ridx"), col("side"))
+      .map { r =>
+        val side = r.getAs[scala.collection.Seq[Long]]("side")
+        val entries = side.iterator.zipWithIndex
+          .collect { case (x, i) if x != 0L => (i, x.toDouble / 1000.0) }
+          .toArray ++ Array(
+            (nSide + r.getAs[Long]("uidx").toInt, 1.0),
+            (nSide + nUsers + r.getAs[Long]("ridx").toInt, 1.0))
+        (r.getLong(0), r.getLong(1), r.getDouble(2),
+          org.apache.spark.ml.linalg.Vectors.sparse(
+            dim, entries.map(_._1), entries.map(_._2)))
+      }.toDF("user_id", "repo_id", "label", "features")
+  }
+
+  /** The shared seeded estimator (one definition — q173's replay and
+    * q90c's held-out band must always measure the same model family). */
+  private def fmEstimator(): FMClassifier =
+    new FMClassifier()
+      .setFeaturesCol("features").setLabelCol("label")
+      .setFactorSize(FactorSize).setMaxIter(30)
+      .setRegParam(0.01).setStepSize(0.05).setInitStd(0.01)
+      .setMiniBatchFraction(1.0).setSolver("adamW").setSeed(42L)
+
+  private def fitAndDumpImpl(spark: SparkSession)
+      : org.apache.spark.ml.classification.FMClassificationModel = {
+    val frame0 = AlbedoRanker.deterministicFeatureFrame(spark)
+    val (frame, nUsers, nRepos) = indexedFrame(spark, frame0, frame0)
 
     // ---- sparse replay entries: side ⊕ user one-hot ⊕ repo one-hot --
     val keys = Seq(col("user_id"), col("repo_id"), col("label"))
@@ -158,36 +209,15 @@ object FmRanker {
     side.unionByName(uRows).unionByName(rRows)
       .coalesce(1).write.mode("overwrite").parquet(s"$fmDir/sparse.parquet")
 
-    // ---- sparse training features (engine-only; never dumped) ------
-    // ~20 nonzeros against dim = nSide + nUsers + nRepos: the sparse
-    // vector is the scale-correct shape (a dense one-hot frame is
-    // O(entities) per row). Bit-equivalent to the dense construction —
-    // IEEE sums are unchanged by skipping exact-zero terms — so the
-    // fit, and therefore the q173 replay, is unchanged.
+    // ---- sparse training features (engine-only; never dumped) -----
+    // keys ride through assembleKeyed and are ignored by the fit;
+    // per-partition row order is unchanged, so the seeded fit (and
+    // therefore the q173 replay) is bit-identical to the pre-r15
+    // label+features-only assembly.
     val dim = nSide + nUsers + nRepos
-    val assembled = {
-      import spark.implicits._
-      frame.select(col("label").cast("double").as("label"),
-          col("uidx"), col("ridx"), col("side"))
-        .map { r =>
-          val side = r.getAs[scala.collection.Seq[Long]]("side")
-          val entries = side.iterator.zipWithIndex
-            .collect { case (x, i) if x != 0L => (i, x.toDouble / 1000.0) }
-            .toArray ++ Array(
-              (nSide + r.getAs[Long]("uidx").toInt, 1.0),
-              (nSide + nUsers + r.getAs[Long]("ridx").toInt, 1.0))
-          (r.getDouble(0),
-            org.apache.spark.ml.linalg.Vectors.sparse(
-              dim, entries.map(_._1), entries.map(_._2)))
-        }.toDF("label", "features")
-    }
+    val assembled = assembleKeyed(spark, frame, nUsers, nRepos)
     val model = ModelMemo.cached(spark, "fm-q173") {
-      new FMClassifier()
-        .setFeaturesCol("features").setLabelCol("label")
-        .setFactorSize(FactorSize).setMaxIter(30)
-        .setRegParam(0.01).setStepSize(0.05).setInitStd(0.01)
-        .setMiniBatchFraction(1.0).setSolver("adamW").setSeed(42L)
-        .fit(assembled)
+      fmEstimator().fit(assembled)
     }
     frame.unpersist()
 
@@ -250,46 +280,20 @@ object FmRanker {
   private def heldOutScoresImpl(spark: SparkSession): DataFrame = {
     import org.apache.spark.ml.functions.vector_to_array
     val frame0 = AlbedoRanker.deterministicFeatureFrame(spark)
-    val uIdx = denseIndex(frame0, "user_id", "uidx")
-    val rIdx = denseIndex(frame0, "repo_id", "ridx")
-    val nUsers = uIdx.count().toInt
-    val nRepos = rIdx.count().toInt
-    // same pinned partitioning as the q173 fit (fixed float-sum order
-    // for the seeded full-batch solver); the split FILTERS this frame,
-    // preserving partitioning, so the train side's merge order is
-    // fixed too
-    val frame = frame0.join(uIdx, "user_id").join(rIdx, "repo_id")
-      .withColumn("side", array(sideExprs(frame0): _*))
-      .repartition(4, col("user_id"))
-      .sortWithinPartitions("user_id", "repo_id")
-      .cache()
     val cut = math.round(HeldOutTrainFrac * 1000000)
     val bucket = graft.reco.Splits.hashBucketPortable(col("user_id"), "q90c")
-    val dim = nSide + nUsers + nRepos
-    def assemble(df: DataFrame): DataFrame = {
-      import spark.implicits._
-      df.select(col("user_id").cast("long"), col("repo_id").cast("long"),
-          col("label").cast("double").as("label"),
-          col("uidx"), col("ridx"), col("side"))
-        .map { r =>
-          val side = r.getAs[scala.collection.Seq[Long]]("side")
-          val entries = side.iterator.zipWithIndex
-            .collect { case (x, i) if x != 0L => (i, x.toDouble / 1000.0) }
-            .toArray ++ Array(
-              (nSide + r.getAs[Long]("uidx").toInt, 1.0),
-              (nSide + nUsers + r.getAs[Long]("ridx").toInt, 1.0))
-          (r.getLong(0), r.getLong(1), r.getDouble(2),
-            org.apache.spark.ml.linalg.Vectors.sparse(
-              dim, entries.map(_._1), entries.map(_._2)))
-        }.toDF("user_id", "repo_id", "label", "features")
-    }
-    val model = new FMClassifier()
-      .setFeaturesCol("features").setLabelCol("label")
-      .setFactorSize(FactorSize).setMaxIter(30)
-      .setRegParam(0.01).setStepSize(0.05).setInitStd(0.01)
-      .setMiniBatchFraction(1.0).setSolver("adamW").setSeed(42L)
-      .fit(assemble(frame.filter(bucket < cut)))
-    val scored = model.transform(assemble(frame.filter(bucket >= cut)))
+    // side-feature scaling stats from TRAIN rows only (r15 review):
+    // min-max scaling is a fitted parameter, so held-out rows must not
+    // shape it — a held-out feature outside the train range simply
+    // quantizes outside [0, 1000], which the FM handles like any
+    // other real input. The split FILTERS the pinned-partitioning
+    // frame, preserving the train side's float-sum order.
+    val (frame, nUsers, nRepos) =
+      indexedFrame(spark, frame0, frame0.filter(bucket < cut))
+    val model = fmEstimator()
+      .fit(assembleKeyed(spark, frame.filter(bucket < cut), nUsers, nRepos))
+    val scored = model.transform(
+        assembleKeyed(spark, frame.filter(bucket >= cut), nUsers, nRepos))
       .select(col("user_id"), col("repo_id"), col("label"),
         vector_to_array(col("rawPrediction")).getItem(1).as("score"))
     // bounded: held-out rows of the fixture frame — materialize so the

@@ -63,16 +63,22 @@ object PrefixSkewProbe {
 
     for ((label, d) <- Seq("baseline" -> docs, "hot30pct" -> hotDocs)) {
       val n = d.count()
-      // replicate the operator's prefix construction (the
-      // PrefixJoinDiag mirror) to read posting sizes directly
+      // replicate the operator's EXACT prefix construction
+      // (Dedup.prefixJaccardCandidates: rank by (f, xxhash64 tie),
+      // integer ⌈T·n/1e6⌉ prefix bound — r15 review: the earlier
+      // string-tie/double-ceil mirror measured a DIFFERENT prefix set
+      // than the one the operator shuffles). The string column rides
+      // along purely for the diagnostic report.
+      val T = math.floor(threshold * 1e6).toLong
       val sh = Dedup.shingleSets(d, "doc_id", "text", 3)
       val inst = sh.select(col("id"), size(col("sh")).cast("long").as("n"),
         explode(col("sh")).as("t"))
       val freq = inst.groupBy(col("t")).agg(count(lit(1)).as("f"))
-      val wRank = Window.partitionBy(col("id")).orderBy(col("f"), col("t"))
+      val wRank = Window.partitionBy(col("id"))
+        .orderBy(col("f"), xxhash64(col("t")))
       val prefixes = inst.join(freq, Seq("t"))
-        .withColumn("rk", row_number().over(wRank))
-        .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .filter(expr(s"rk <= n - (($T * n + 999999) DIV 1000000) + 1"))
         .select(col("id"), col("t"))
       val posting = prefixes.groupBy(col("t"))
         .agg(count(lit(1)).as("p")).cache()
