@@ -83,12 +83,7 @@ object AnnIndexSnapshot {
     val key = indexKey(vectors, k, dim, idCol, vecCol)
     val paramsName = s"ann_lsh_params_$key"
     val bucketsName = s"ann_lsh_buckets_$key"
-    def exists(name: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(
-        Snapshots.path(baseDir, corpusVersion, name))
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
-    val hadParams = exists(paramsName)
+    val hadParams = snapshotExists(spark, baseDir, corpusVersion, paramsName)
     val params = Snapshots.loadOrCreate(spark, baseDir, corpusVersion,
         paramsName) {
       val planes = Similarity.autoPlanes(vectors, Similarity.TopKOccupancy)
@@ -101,7 +96,7 @@ object AnnIndexSnapshot {
     val planes = row.getAs[Int]("planes")
     val tables = row.getAs[Int]("tables")
     val design = row.getAs[Double]("design_cos")
-    val hadBuckets = exists(bucketsName)
+    val hadBuckets = snapshotExists(spark, baseDir, corpusVersion, bucketsName)
     val buckets = Snapshots.loadOrCreate(spark, baseDir, corpusVersion,
         bucketsName) {
       Similarity.portableBuckets(vectors, planes, dim, tables, idCol, vecCol)
@@ -119,5 +114,92 @@ object AnnIndexSnapshot {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     Similarity.selfTopKFromBuckets(base, index.buckets, k)
+  }
+
+  // ---- IVF family (r15, NOTES debt #3) ----------------------------
+
+  final case class IvfIndex(centers: DataFrame, assigned: DataFrame,
+      createdCenters: Boolean, createdAssigned: Boolean)
+
+  /** Persisted IVF index: the seeded-KMeans centroid routing table
+    * (nCells tiny rows — the broadcast side) and the one-time corpus
+    * cell assignment (the expensive n-row artifact a 100 TB serving
+    * restart must not recompute). Same keying/staleness contract as
+    * the LSH snapshot; the fit parameters (cells, seed) are in the
+    * key. A PARTIAL snapshot (one of the two names missing — e.g. a
+    * killed first run) refits deterministically: same seed + same
+    * featurized input ⇒ same model, so the surviving half is
+    * consistent with the recreated half. */
+  def ivfIndex(vectors: DataFrame, nCells: Int, baseDir: String,
+      corpusVersion: String, seed: Long = 42,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    val spark = vectors.sparkSession
+    val planHash = vectors.select(col(idCol), col(vecCol))
+      .queryExecution.analyzed.semanticHash()
+    val fp = graft.ops.PlanFingerprint.inputFingerprint(vectors)
+    val key = f"${planHash}%08x_${fp.take(16)}_c${nCells}_s$seed"
+    val centersName = s"ann_ivf_centers_$key"
+    val assignedName = s"ann_ivf_assigned_$key"
+    val hadCenters = snapshotExists(spark, baseDir, corpusVersion, centersName)
+    val hadAssigned = snapshotExists(spark, baseDir, corpusVersion, assignedName)
+    // one lazy fit feeds whichever create closures actually run; a
+    // fully-warm snapshot never fits
+    lazy val fitted =
+      Similarity.ivfFit(vectors, nCells, seed, idCol, vecCol, memoKey = None)
+    val centers = Snapshots.loadOrCreate(spark, baseDir, corpusVersion,
+      centersName)(Similarity.ivfCentersDf(spark, fitted._1))
+    val assigned = Snapshots.loadOrCreate(spark, baseDir, corpusVersion,
+      assignedName)(
+      fitted._1.transform(fitted._2).select(col("id"), col("v"), col("cell")))
+    IvfIndex(centers, assigned,
+      createdCenters = !hadCenters, createdAssigned = !hadAssigned)
+  }
+
+  /** Search through a (possibly loaded) IVF index — the exact probe/
+    * re-rank tail [[Similarity.ivfTopK]] runs. */
+  def ivfTopKWithIndex(index: IvfIndex, k: Int, nProbe: Int): DataFrame =
+    Similarity.ivfSearchFromIndex(index.assigned, index.centers, k, nProbe)
+
+  // ---- PQ family (r15, NOTES debt #3) -----------------------------
+
+  final case class PqIndex(codebook: DataFrame, codes: DataFrame,
+      createdCodebook: Boolean, createdCodes: Boolean)
+
+  /** Persisted PQ artifacts: the m×k codebook (tiny — the broadcast
+    * side of every ADC scan) and the encoded corpus codes (the n·m-row
+    * compressed index — at 100 TB the entire point is that THESE, not
+    * the float vectors, are what serving reads). Keyed like the other
+    * families with the training parameters folded in. Partial
+    * snapshots re-encode from the persisted codebook — cheap and
+    * exactly consistent (encoding is a deterministic function of
+    * codebook + corpus). */
+  def pqIndex(vectors: DataFrame, m: Int, dim: Int, kCentroids: Int,
+      iters: Int, baseDir: String, corpusVersion: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): PqIndex = {
+    import graft.llmops.{ProductQuantization => PQ}
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val planHash = vectors.select(col(idCol), col(vecCol))
+      .queryExecution.analyzed.semanticHash()
+    val fp = graft.ops.PlanFingerprint.inputFingerprint(vectors)
+    val key = f"${planHash}%08x_${fp.take(16)}_m${m}_d${dim}_k${kCentroids}_i$iters"
+    val bookName = s"ann_pq_codebook_$key"
+    val codesName = s"ann_pq_codes_$key"
+    val hadBook = snapshotExists(spark, baseDir, corpusVersion, bookName)
+    val hadCodes = snapshotExists(spark, baseDir, corpusVersion, codesName)
+    val codebook = Snapshots.loadOrCreate(spark, baseDir, corpusVersion,
+      bookName)(
+      PQ.train(vectors, m, dim, kCentroids, iters, idCol, vecCol).toDF())
+    val codes = Snapshots.loadOrCreate(spark, baseDir, corpusVersion,
+      codesName)(PQ.encode(vectors, codebook, m, dim, idCol, vecCol))
+    PqIndex(codebook, codes,
+      createdCodebook = !hadBook, createdCodes = !hadCodes)
+  }
+
+  private def snapshotExists(spark: SparkSession, baseDir: String,
+      corpusVersion: String, name: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(
+      Snapshots.path(baseDir, corpusVersion, name))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 }

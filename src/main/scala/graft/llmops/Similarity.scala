@@ -903,9 +903,20 @@ object Similarity {
   def ivfTopK(vectors: DataFrame, k: Int, nCells: Int, nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42, memoKey: Option[String] = None): DataFrame = {
+    val (model, ds) = ivfFit(vectors, nCells, seed, idCol, vecCol, memoKey)
+    val assigned = model.transform(ds).select(col("id"), col("v"), col("cell"))
+    ivfSearchFromIndex(assigned,
+      ivfCentersDf(vectors.sparkSession, model), k, nProbe)
+  }
+
+  /** The IVF fit stage, extracted (r15) so [[graft.llmops.AnnIndexSnapshot]]
+    * can persist its products: returns the fitted seeded KMeans and
+    * the featurized frame it was fit on. */
+  private[llmops] def ivfFit(vectors: DataFrame, nCells: Int, seed: Long,
+      idCol: String, vecCol: String, memoKey: Option[String])
+      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-
     val ds = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("features", array_to_vector(transform(col("v"), _.cast("double"))))
       // right-size for the iterative fit: KMeans launches one stage per
@@ -925,15 +936,24 @@ object Similarity {
         s"ivf-km:$mk:$nCells:$seed")(km.fit(ds))
       case None => km.fit(ds)
     }
-    val assigned = model.transform(ds).select(col("id"), col("v"), col("cell"))
+    (model, ds)
+  }
 
-    // tiny centroid table → broadcast; query probes nProbe nearest cells
-    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray)
-    }
-    val spark = vectors.sparkSession
+  /** Fitted centroids as the tiny broadcastable routing table. */
+  private[llmops] def ivfCentersDf(spark: org.apache.spark.sql.SparkSession,
+      model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
     import spark.implicits._
-    val centersDf = centers.toSeq.toDF("cell", "centroid")
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "centroid")
+  }
+
+  /** IVF probe routing + within-cell re-rank from an ALREADY-BUILT
+    * index (`assigned`: id, v, cell; `centersDf`: cell, centroid) —
+    * one implementation shared by [[ivfTopK]] and the persisted-index
+    * path ([[graft.llmops.AnnIndexSnapshot]], r15), so a loaded index
+    * cannot diverge from the computed operator. */
+  private[llmops] def ivfSearchFromIndex(assigned: DataFrame,
+      centersDf: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("cdist").desc)
     val probes = assigned.select(col("id").as("query_id"), col("v").as("qv"))
       .crossJoin(broadcast(centersDf))

@@ -64,6 +64,13 @@ object DesignCosProbe {
         f"exact=$exact%.4f (t=$tEx%.1f s, tables=$tablesExact) " +
         f"sampled=$sampled%.4f (t=$tSa%.1f s, tables=$tablesSampled) " +
         f"safe=${sampled <= exact + 1e-12}")
+      // the PRODUCTION entry (threshold dispatch + memo) — proves the
+      // zero-knob operator takes the sampled path past the threshold
+      val (dispatch, tDi) = timed(Similarity.topKDesignCos(emb, 5))
+      System.err.println(f"[designcos] ${f}x dispatch=$dispatch%.4f " +
+        f"(t=$tDi%.1f s, path=${
+          if (n > Similarity.TopKDesignSampleThreshold) "SAMPLED"
+          else "exact"})")
     }
     spark.stop()
   }

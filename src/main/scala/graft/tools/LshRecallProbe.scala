@@ -108,6 +108,16 @@ object LshRecallProbe {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // r15: SPARK_GRAFT_TOPK_ONLY=1 skips the near-dup/planted legs,
+    // SPARK_GRAFT_TOPK_MP_ONLY=1 additionally skips the single-probe
+    // top-k legs — at extreme factors (≥ 1000×) the derived
+    // single-probe table count (hundreds) makes those legs
+    // single-box-infeasible while the multi-probe legs stay runnable;
+    // the flags let the sampled-design-probe regime be measured
+    // without paying the known-infeasible legs.
+    val topkOnly = sys.env.get("SPARK_GRAFT_TOPK_ONLY").contains("1")
+    val mpOnly = sys.env.get("SPARK_GRAFT_TOPK_MP_ONLY").contains("1")
+    if (!topkOnly) {
     val planes1 = Similarity.autoPlanes(emb1, Similarity.NearDupOccupancy)
     val planesN = Similarity.autoPlanes(embN, Similarity.NearDupOccupancy)
     val tablesDerived = Similarity.lshTablesFor(planesN, designCos = 0.9)
@@ -182,6 +192,7 @@ object LshRecallProbe {
         f"dup_truth=$nPT dup_recall=${nHitMp.toDouble / nPT}%.3f t=$tpMp%.1f s")
       pTruth.unpersist()
     }
+    } // end !topkOnly
 
     // ---- top-k legs (r14, VERDICT r13 #3): the derived table count at
     // the TOP-K operating point — lshTopKPortable's nTables=0 default
@@ -214,7 +225,7 @@ object LshRecallProbe {
           f"planes=$planes designCos=$design%.3f tables=$lbl " +
           f"recall@5=${hits.toDouble / nT}%.3f (truth=$nT) t=$secs%.1f s")
       }
-      for (tables <- Seq(8, derived).distinct) {
+      if (!mpOnly) for (tables <- Seq(8, derived).distinct) {
         val (res, secs) = timed(stage(s"topkres_${f}_$tables",
           if (tables == derived)
             Similarity.lshTopKPortable(emb, k = 5, nPlanes = planes, dim = 64)
@@ -244,9 +255,11 @@ object LshRecallProbe {
         Similarity.lshTopK(emb, k = 5, nPlanes = planes, dim = 64,
           probeRadius = radius)))
       score(s"FLOAT-MULTIPROBE-r$radius-DEFAULT($derivedR)", resFl, secsFl)
-      val (resFl0, secsFl0) = timed(stage(s"topkres_${f}_float_sp",
-        Similarity.lshTopK(emb, k = 5, nPlanes = planes, dim = 64)))
-      score(s"FLOAT-SINGLEPROBE-DEFAULT($derived)", resFl0, secsFl0)
+      if (!mpOnly) {
+        val (resFl0, secsFl0) = timed(stage(s"topkres_${f}_float_sp",
+          Similarity.lshTopK(emb, k = 5, nPlanes = planes, dim = 64)))
+        score(s"FLOAT-SINGLEPROBE-DEFAULT($derived)", resFl0, secsFl0)
+      }
       truthK.unpersist()
     }
 
