@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.llmops.{Dedup, Quality, Similarity, Sketches, TextAnalysis => TA}
+import graft.llmops.{AnnIndexSnapshot, Dedup, Quality, Similarity, Sketches, TextAnalysis => TA}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1903,6 +1903,69 @@ object Llm {
         dim = 64, probeRadius = 1), lshRecallBand)))
   }
 
+  /** q176 (r15): the persisted-ANN-index lifecycle, driver-visible —
+    * the spec proves cold-session reuse once per build; this row makes
+    * a lifecycle regression (snapshot not reused, loaded artifacts
+    * drifting, index-backed search diverging from the computed
+    * operator) flip a boolean in the driver's own artifact every
+    * round. One row per family (lsh / ivf / pq): cold create → warm
+    * load against a FRESH temp snapshot root per invocation (so the
+    * output is deterministic across Verify double-runs and bench
+    * passes), on a bounded 500-vector slice (lifecycle mechanics, not
+    * scale — the scale story lives in SCALE.md r15). */
+  def annIndexLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).filter(col("vec_id") < 500)
+    val root = java.nio.file.Files
+      .createTempDirectory("ann-index-gate").toString
+    def eq(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+    val l1 = AnnIndexSnapshot.lshTopKIndex(emb, k = 5, dim = 64,
+      baseDir = root, corpusVersion = "v")
+    val l2 = AnnIndexSnapshot.lshTopKIndex(emb, k = 5, dim = 64,
+      baseDir = root, corpusVersion = "v")
+    val lshRow = ("lsh", l1.createdParams && l1.createdBuckets,
+      l2.createdParams || l2.createdBuckets,
+      eq(l1.buckets, l2.buckets),
+      eq(AnnIndexSnapshot.lshTopKWithIndex(emb, l2, k = 5),
+        Similarity.lshTopKPortable(emb, k = 5, dim = 64)),
+      l2.buckets.count())
+
+    val i1 = AnnIndexSnapshot.ivfIndex(emb, nCells = 8,
+      baseDir = root, corpusVersion = "v")
+    val i2 = AnnIndexSnapshot.ivfIndex(emb, nCells = 8,
+      baseDir = root, corpusVersion = "v")
+    val ivfRow = ("ivf", i1.createdCenters && i1.createdAssigned,
+      i2.createdCenters || i2.createdAssigned,
+      eq(i1.assigned, i2.assigned) && eq(i1.centers, i2.centers),
+      // search through the warm-loaded index vs through the cold-built
+      // one — same loaded artifacts ⇒ must be identical (a second
+      // computed ivfTopK would just refit; equality-to-computed is
+      // spec-proven)
+      eq(AnnIndexSnapshot.ivfTopKWithIndex(i2, k = 5, nProbe = 2),
+        AnnIndexSnapshot.ivfTopKWithIndex(i1, k = 5, nProbe = 2)),
+      i2.assigned.count())
+
+    val p1 = AnnIndexSnapshot.pqIndex(emb, m = 8, dim = 64,
+      kCentroids = 16, iters = 5, baseDir = root, corpusVersion = "v")
+    val p2 = AnnIndexSnapshot.pqIndex(emb, m = 8, dim = 64,
+      kCentroids = 16, iters = 5, baseDir = root, corpusVersion = "v")
+    val pqRow = ("pq", p1.createdCodebook && p1.createdCodes,
+      p2.createdCodebook || p2.createdCodes,
+      eq(p1.codebook, p2.codebook) && eq(p1.codes, p2.codes),
+      true, // PQ search path is oracle-gated end-to-end by q115/q117
+      p2.codes.count())
+
+    Seq(lshRow, ivfRow, pqRow)
+      .toDF("family", "created_cold", "created_warm", "artifacts_equal",
+        "search_consistent", "n_index_rows")
+      .withColumn("lifecycle_ok",
+        col("created_cold") && !col("created_warm")
+          && col("artifacts_equal") && col("search_consistent"))
+      .orderBy(col("family"))
+  }
+
   private def annRecallOracle: String =
     s"""WITH $ivfPortableCtes,
        |lnp AS (SELECT min(j) AS np FROM (SELECT unnest(range(1, 62)) AS j)
@@ -2175,6 +2238,7 @@ object Llm {
     QueryDef("q39b_ann_ivf_portable", annIvfPortable, Some(annIvfPortableOracle)),
     QueryDef("q89_ann_recall", annRecall, Some(annRecallOracle)),
     QueryDef("q89b_ann_recall_production", annRecallNonPortable, None),
+    QueryDef("q176_ann_index_lifecycle", annIndexLifecycle, None),
     QueryDef("q40_label_centroids", labelCentroids, Some(
       """SELECT label, ord AS pos, round(avg(val), 6) AS m
         |FROM (SELECT label, unnest(embedding) AS val,

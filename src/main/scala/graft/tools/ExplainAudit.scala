@@ -40,7 +40,8 @@ object ExplainAudit {
       ("q90b_fm_ranker_quality", "no WholeStageCodegen") -> localRelation,
       ("q90c_fm_heldout_quality", "no WholeStageCodegen") -> localRelation,
       ("q119b_bpe_segmented", "no WholeStageCodegen") -> localRelation,
-      ("q127_bloom_join", "no WholeStageCodegen") -> localRelation)
+      ("q127_bloom_join", "no WholeStageCodegen") -> localRelation,
+      ("q176_ann_index_lifecycle", "no WholeStageCodegen") -> localRelation)
   }
 
   /** The fast CI subset: BENCH_r13's slowest gates (where a plan
