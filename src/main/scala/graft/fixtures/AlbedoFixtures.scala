@@ -32,12 +32,16 @@ object AlbedoFixtures {
   val persistDir = "/root/repo/target/albedo_fixtures"
 
   def persist(spark: SparkSession): Unit = {
-    users(spark).coalesce(1).write.mode("overwrite")
-      .parquet(s"$persistDir/users.parquet")
-    repos(spark).coalesce(1).write.mode("overwrite")
-      .parquet(s"$persistDir/repos.parquet")
-    starrings(spark).coalesce(1).write.mode("overwrite")
-      .parquet(s"$persistDir/starrings.parquet")
+    // publish (atomic make-equal), not overwrite: identical bytes are
+    // kept in place so a concurrent driver's readers never lose part
+    // files; stale copies from older generator versions are still
+    // replaced (VERDICT r15 #1 — the q90 flake class)
+    graft.sources.Snapshots.publish(users(spark).coalesce(1),
+      s"$persistDir/users.parquet")
+    graft.sources.Snapshots.publish(repos(spark).coalesce(1),
+      s"$persistDir/repos.parquet")
+    graft.sources.Snapshots.publish(starrings(spark).coalesce(1),
+      s"$persistDir/starrings.parquet")
   }
 
   /** Read-back views of the persisted fixtures (parquet round-trip on

@@ -127,9 +127,14 @@ object AnnIndexSnapshot {
     * restart must not recompute). Same keying/staleness contract as
     * the LSH snapshot; the fit parameters (cells, seed) are in the
     * key. A PARTIAL snapshot (one of the two names missing — e.g. a
-    * killed first run) refits deterministically: same seed + same
-    * featurized input ⇒ same model, so the surviving half is
-    * consistent with the recreated half. */
+    * killed first run) is treated as ABSENT: the seeded KMeans fit is
+    * layout-sensitive (the round-robin `repartition(8)` feeding the
+    * fit makes float aggregation order — and hence the centroids —
+    * depend on the input's initial split layout, ADVICE r15 #1), so a
+    * surviving half from a killed run is NOT trusted to match a refit
+    * under today's reader layout; both artifacts are recreated from
+    * ONE fit and the survivor is atomically replaced if its bytes
+    * drifted ([[graft.sources.Snapshots.publish]] make-equal). */
   def ivfIndex(vectors: DataFrame, nCells: Int, baseDir: String,
       corpusVersion: String, seed: Long = 42,
       idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
@@ -140,18 +145,22 @@ object AnnIndexSnapshot {
     val key = f"${planHash}%08x_${fp.take(16)}_c${nCells}_s$seed"
     val centersName = s"ann_ivf_centers_$key"
     val assignedName = s"ann_ivf_assigned_$key"
+    val centersPath = Snapshots.path(baseDir, corpusVersion, centersName)
+    val assignedPath = Snapshots.path(baseDir, corpusVersion, assignedName)
     val hadCenters = snapshotExists(spark, baseDir, corpusVersion, centersName)
     val hadAssigned = snapshotExists(spark, baseDir, corpusVersion, assignedName)
-    // one lazy fit feeds whichever create closures actually run; a
-    // fully-warm snapshot never fits
-    lazy val fitted =
-      Similarity.ivfFit(vectors, nCells, seed, idCol, vecCol, memoKey = None)
-    val centers = Snapshots.loadOrCreate(spark, baseDir, corpusVersion,
-      centersName)(Similarity.ivfCentersDf(spark, fitted._1))
-    val assigned = Snapshots.loadOrCreate(spark, baseDir, corpusVersion,
-      assignedName)(
-      fitted._1.transform(fitted._2).select(col("id"), col("v"), col("cell")))
-    IvfIndex(centers, assigned,
+    if (!(hadCenters && hadAssigned)) {
+      // cold or partial: one fit produces BOTH artifacts, so they can
+      // never pair a persisted half with a differently-fit other half
+      val fitted =
+        Similarity.ivfFit(vectors, nCells, seed, idCol, vecCol, memoKey = None)
+      Snapshots.publish(Similarity.ivfCentersDf(spark, fitted._1),
+        centersPath)
+      Snapshots.publish(
+        fitted._1.transform(fitted._2).select(col("id"), col("v"), col("cell")),
+        assignedPath)
+    }
+    IvfIndex(spark.read.parquet(centersPath), spark.read.parquet(assignedPath),
       createdCenters = !hadCenters, createdAssigned = !hadAssigned)
   }
 

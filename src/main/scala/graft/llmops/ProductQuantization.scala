@@ -194,7 +194,25 @@ object ProductQuantization {
     val subv = subvectors(vectors, m, dim, idCol, vecCol)
     val codes = assign(subv, cent).select(
       col("id").as("neighbor_id"), col("sub"), col("c"))
-    val qdist = distTable(vectors.filter(queryPred), cent, m, dim, idCol, vecCol)
+    adcTail(codes,
+      distTable(vectors.filter(queryPred), cent, m, dim, idCol, vecCol), k)
+  }
+
+  /** ADC top-k through an ALREADY-ENCODED index (`codes`: id, sub, c —
+    * [[encode]]'s output, e.g. loaded from a persisted
+    * [[graft.llmops.AnnIndexSnapshot.PqIndex]]): the same distance-
+    * table lookup + keyed-sum + window tail [[adcTopK]] runs, with the
+    * corpus encode pass skipped — the 100 TB serving path, where the
+    * codes ARE the stored index and float vectors exist only on the
+    * bounded query side. */
+  def adcTopKFromIndex(codes: DataFrame, cent: DataFrame,
+      queries: DataFrame, k: Int, m: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    adcTail(codes.select(col("id").as("neighbor_id"), col("sub"), col("c")),
+      distTable(queries, cent, m, dim, idCol, vecCol), k)
+
+  private def adcTail(codes: DataFrame, qdist: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
     codes.join(broadcast(qdist), Seq("sub", "c"))

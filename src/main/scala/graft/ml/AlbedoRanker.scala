@@ -271,12 +271,13 @@ object AlbedoRanker {
     import spark.implicits._
     import org.apache.spark.ml.functions.vector_to_array
     val (model, _, test, data) = fittedRanker(spark)
-    model.transform(test)
-      .select(col("user_id").cast("long").as("user_id"),
-        col("repo_id").cast("long").as("repo_id"), col("label"),
-        vector_to_array(col("rawPrediction")).getItem(1).as("margin"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$metricsDir/scored.parquet")
+    graft.sources.Snapshots.publish(
+      model.transform(test)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("repo_id").cast("long").as("repo_id"), col("label"),
+          vector_to_array(col("rawPrediction")).getItem(1).as("margin"))
+        .coalesce(1),
+      s"$metricsDir/scored.parquet")
     data.unpersist()
     // rank → (floor(1e9/log2(rank+1)), prefix sum) — IDCG@k of a user
     // with p positives is cum_q at rank min(k, p)
@@ -284,9 +285,9 @@ object AlbedoRanker {
       val d = math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0))).toLong
       (r.toLong, d, cum + d)
     }.tail
-    discRows.toDF("rn", "disc_q", "cum_q")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$metricsDir/disc.parquet")
+    graft.sources.Snapshots.publish(
+      discRows.toDF("rn", "disc_q", "cum_q").coalesce(1),
+      s"$metricsDir/disc.parquet")
 
     // replay strictly from the dumped bytes (what DuckDB reads)
     val sc = spark.read.parquet(s"$metricsDir/scored.parquet")
@@ -371,8 +372,8 @@ object AlbedoRanker {
     // dump the deterministic frame (identical to q59's output, which
     // the driver hash-checks against DuckDB-from-fixtures)
     val frame = deterministicFeatureFrame(spark)
-    frame.coalesce(1).write.mode("overwrite")
-      .parquet(s"$marginDir/frame.parquet")
+    graft.sources.Snapshots.publish(frame.coalesce(1),
+      s"$marginDir/frame.parquet")
     // read BACK for both fit and margin math: the replay must see the
     // same bytes DuckDB reads
     val f = spark.read.parquet(s"$marginDir/frame.parquet")
@@ -393,10 +394,10 @@ object AlbedoRanker {
         .setWeightCol("instance_weight")
         .fit(assembled)
     }
-    Seq((lrm.coefficients.toArray, lrm.intercept))
-      .toDF("coef", "intercept")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$marginDir/coef.parquet")
+    graft.sources.Snapshots.publish(
+      Seq((lrm.coefficients.toArray, lrm.intercept))
+        .toDF("coef", "intercept").coalesce(1),
+      s"$marginDir/coef.parquet")
     val co = spark.read.parquet(s"$marginDir/coef.parquet")
     val fv = array(marginFeatureCols.map(c => col(c).cast("double")): _*)
     val dot = aggregate(

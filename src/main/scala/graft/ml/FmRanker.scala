@@ -206,8 +206,12 @@ object FmRanker {
     val rRows = frame.select(keys
       :+ (lit((nSide + nUsers).toLong) + col("ridx")).as("d")
       :+ lit(1000L).as("x"): _*)
-    side.unionByName(uRows).unionByName(rRows)
-      .coalesce(1).write.mode("overwrite").parquet(s"$fmDir/sparse.parquet")
+    // publish, not overwrite: the r15 q90 bench flake was exactly this
+    // path — an overwrite deleting part files a memoized reader's
+    // cached plan still referenced (VERDICT r15 #1)
+    graft.sources.Snapshots.publish(
+      side.unionByName(uRows).unionByName(rRows).coalesce(1),
+      s"$fmDir/sparse.parquet")
 
     // ---- sparse training features (engine-only; never dumped) -----
     // keys ride through assembleKeyed and are ignored by the fit;
@@ -234,9 +238,10 @@ object FmRanker {
     require(math.abs(model.intercept) < 1e3,
       "intercept out of the replay's quantization budget")
     import spark.implicits._
-    Seq((model.intercept, model.linear.toArray, featureMajor))
-      .toDF("intercept", "linear", "factors")
-      .coalesce(1).write.mode("overwrite").parquet(s"$fmDir/model.parquet")
+    graft.sources.Snapshots.publish(
+      Seq((model.intercept, model.linear.toArray, featureMajor))
+        .toDF("intercept", "linear", "factors").coalesce(1),
+      s"$fmDir/model.parquet")
     inputBoundsCheck(spark)
     model
   }

@@ -334,13 +334,19 @@ object Extras {
       format: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"))
-    // ONE stable staging dir per (format, sfDir), overwritten each
+    // ONE stable staging dir per (format, sfDir, JVM), overwritten each
     // invocation — the gate's read is lazy, so delete-in-finally would
-    // pull the rug out from under the consumer; reuse is what stops
-    // best-of-N bench passes from accumulating copies in /tmp
-    // (ADVICE r6).
+    // pull the rug out from under the consumer; per-(format,dir) reuse
+    // is what stops best-of-N bench passes from accumulating copies in
+    // /tmp (ADVICE r6). The JVM token (r16) keeps CONCURRENT drivers
+    // out of each other's staging dirs — the overwrite here is the
+    // operator under test, so unlike the replay dumps it can't become
+    // a publish; isolation, not atomicity, is the fix.
+    val jvmTag = java.lang.Integer.toHexString(
+      java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getName.hashCode) // pid@host — unique per JVM
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-rt-$format-" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      java.lang.Integer.toHexString(dir.hashCode) + s"-$jvmTag"
     roundtripDf(docs, format, s"$tmp/docs")
   }
 

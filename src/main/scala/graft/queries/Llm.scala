@@ -658,7 +658,7 @@ object Llm {
       PQ.train(emb, m = 8, dim = 64, k = 16, iters = 5)
     }
     import spark.implicits._
-    cents.toDF().coalesce(1).write.mode("overwrite").parquet(pqDir)
+    graft.sources.Snapshots.publish(cents.toDF().coalesce(1), pqDir)
     val cent = spark.read.parquet(pqDir)
     PQ.adcTopK(emb, cent, k = 10, m = 8, dim = 64,
         queryPred = col("vec_id") < 8)
@@ -766,7 +766,7 @@ object Llm {
       PQ.train(emb, m = 8, dim = 64, k = 16, iters = 5)
     }
     import spark.implicits._
-    cents.toDF().coalesce(1).write.mode("overwrite").parquet(pqDir)
+    graft.sources.Snapshots.publish(cents.toDF().coalesce(1), pqDir)
     val cent = spark.read.parquet(pqDir)
     Similarity.ivfPqTopKPortable(emb, cent, k = 10, m = 8, dim = 64,
         nProbe = 2, queryPred = col("vec_id") < 8)
@@ -1964,12 +1964,15 @@ object Llm {
     val ivfRow = ("ivf", i1.createdCenters && i1.createdAssigned,
       i2.createdCenters || i2.createdAssigned,
       eq(i1.assigned, i2.assigned) && eq(i1.centers, i2.centers),
-      // search through the warm-loaded index vs through the cold-built
-      // one — same loaded artifacts ⇒ must be identical (a second
-      // computed ivfTopK would just refit; equality-to-computed is
-      // spec-proven)
+      // search through the warm-loaded index vs the COMPUTED operator
+      // (ADVICE r15 #3 — comparing two reads of the same loaded frames
+      // only caught search-tail nondeterminism, not loaded-index-vs-
+      // computed drift). The seeded fit is session-memoized, so the
+      // extra cost is one fit per session — the same equality
+      // AnnIndexSnapshotSpec proves, now in the driver's own artifact.
       eq(AnnIndexSnapshot.ivfTopKWithIndex(i2, k = 5, nProbe = 2),
-        AnnIndexSnapshot.ivfTopKWithIndex(i1, k = 5, nProbe = 2)),
+        Similarity.ivfTopK(emb, k = 5, nCells = 8, nProbe = 2,
+          memoKey = Some(s"q176:$dir"))),
       i2.assigned.count())
 
     val p1 = AnnIndexSnapshot.pqIndex(emb, m = 8, dim = 64,
@@ -1979,7 +1982,17 @@ object Llm {
     val pqRow = ("pq", p1.createdCodebook && p1.createdCodes,
       p2.createdCodebook || p2.createdCodes,
       eq(p1.codebook, p2.codebook) && eq(p1.codes, p2.codes),
-      true, // PQ search path is oracle-gated end-to-end by q115/q117
+      // ADC search through the LOADED codes vs codes recomputed from
+      // vectors + the loaded codebook (ADVICE r15 #2 — this column was
+      // hardcoded true, reporting a check that never ran). Encoding is
+      // a deterministic function of codebook + corpus, so any
+      // divergence is loaded-artifact drift.
+      eq(graft.llmops.ProductQuantization.adcTopKFromIndex(
+          p2.codes, p2.codebook, emb.filter(col("vec_id") < 8),
+          k = 5, m = 8, dim = 64),
+        graft.llmops.ProductQuantization.adcTopK(
+          emb, p2.codebook, k = 5, m = 8, dim = 64,
+          queryPred = col("vec_id") < 8)),
       p2.codes.count())
 
     Seq(lshRow, ivfRow, pqRow)

@@ -195,10 +195,11 @@ object Ml {
       probe: String, sub: String): DataFrame = {
     import org.apache.spark.ml.functions.vector_to_array
     import org.apache.spark.sql.expressions.Window
-    model.getVectors
-      .select(col("word"), vector_to_array(col("vector")).as("vec"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$w2vDumpDir/$sub.parquet")
+    graft.sources.Snapshots.publish(
+      model.getVectors
+        .select(col("word"), vector_to_array(col("vector")).as("vec"))
+        .coalesce(1),
+      s"$w2vDumpDir/$sub.parquet")
     val q = spark.read.parquet(s"$w2vDumpDir/$sub.parquet")
       .select(col("word"),
         transform(col("vec"), x => floor(x * lit(1e6)).cast("long")).as("q"))
@@ -277,10 +278,11 @@ object Ml {
     * logic externally. */
   def lrCvReplay(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    RankerPipeline.crossValidateRaw(spark, Interactions.fromEvents(spark, dir),
-        memoKey = Some(dir))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$lrCvDumpDir/lr.parquet")
+    graft.sources.Snapshots.publish(
+      RankerPipeline.crossValidateRaw(spark,
+          Interactions.fromEvents(spark, dir), memoKey = Some(dir))
+        .coalesce(1),
+      s"$lrCvDumpDir/lr.parquet")
     val w = Window.orderBy(col("metric_q").desc, col("reg_param"),
       col("weight_col"))
     spark.read.parquet(s"$lrCvDumpDir/lr.parquet")

@@ -136,10 +136,10 @@ object Reco {
     }.modelRef
     // dump, then read BACK from parquet: round-trip on both sides keeps
     // the float bytes identical for the oracle
-    model.userFactors.coalesce(1).write.mode("overwrite")
-      .parquet(s"$factorDir/user.parquet")
-    model.itemFactors.coalesce(1).write.mode("overwrite")
-      .parquet(s"$factorDir/item.parquet")
+    graft.sources.Snapshots.publish(model.userFactors.coalesce(1),
+      s"$factorDir/user.parquet")
+    graft.sources.Snapshots.publish(model.itemFactors.coalesce(1),
+      s"$factorDir/item.parquet")
     def quantized(path: String, idName: String) =
       spark.read.parquet(path).select(col("id").as(idName),
         transform(col("features"),
@@ -232,10 +232,12 @@ object Reco {
     * is itself nondeterministic under the doublecheck gate. */
   def alsCvReplay(spark: SparkSession, dir: String): DataFrame = {
     val ratings = Interactions.ratings(spark, dir)
-    AlsRecommender.crossValidateRaw(ratings, alsActualItems(ratings),
-        ranks = Seq(8, 16), regParams = Seq(0.1, 0.5), alphas = Seq(0.1, 40.0),
-        maxIter = 3, k = 10, memoKey = Some(dir))
-      .coalesce(1).write.mode("overwrite").parquet(s"$cvDumpDir/als.parquet")
+    graft.sources.Snapshots.publish(
+      AlsRecommender.crossValidateRaw(ratings, alsActualItems(ratings),
+          ranks = Seq(8, 16), regParams = Seq(0.1, 0.5),
+          alphas = Seq(0.1, 40.0), maxIter = 3, k = 10, memoKey = Some(dir))
+        .coalesce(1),
+      s"$cvDumpDir/als.parquet")
     val w = Window.orderBy(col("metric_q").desc, col("als_rank"),
       col("reg_param"), col("alpha"))
     spark.read.parquet(s"$cvDumpDir/als.parquet")

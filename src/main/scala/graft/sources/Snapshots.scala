@@ -19,15 +19,105 @@ object Snapshots {
     s"$baseDir/$snapshotDate/$name.parquet"
 
   /** Read the memoized snapshot if present, else compute, persist,
-    * and return the persisted copy (so downstream reads columnar). */
+    * and return the persisted copy (so downstream reads columnar).
+    * The create leg is atomic (r16, ADVICE r15 #5): the computed frame
+    * lands in a unique temp sibling and is RENAMED into place, so a
+    * concurrent reader can never observe a half-written snapshot and
+    * two concurrent creators race on the rename, not on part files —
+    * the loser discards its temp (snapshot names are content keys over
+    * deterministic computes, so either writer's bytes are valid). */
   def loadOrCreate(spark: SparkSession, baseDir: String,
       snapshotDate: String, name: String)(compute: => DataFrame): DataFrame = {
     val p = path(baseDir, snapshotDate, name)
     try spark.read.parquet(p)
     catch {
       case e: AnalysisException if e.getMessage.contains("does not exist") =>
-        compute.write.mode("overwrite").parquet(p)
+        writeOnceAtomic(compute, p)
         spark.read.parquet(p)
+    }
+  }
+
+  /** Temp-write + atomic rename into `dest`; never touches an existing
+    * `dest`. Returns false when `dest` already exists or a concurrent
+    * creator won the rename race (the temp is discarded either way). */
+  private def writeOnceAtomic(df: DataFrame, dest: String): Boolean = {
+    val spark = df.sparkSession
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(destPath.getParent,
+      s".${destPath.getName}.tmp-${
+        java.util.UUID.randomUUID().toString.take(12)}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val ok =
+      try !fs.exists(destPath) && fs.rename(tmp, destPath)
+      catch { case _: java.io.IOException => false }
+    if (!ok) fs.delete(tmp, true)
+    ok
+  }
+
+  /** Order-independent content signature (row count + decimal sum of
+    * full-row xxhash64 — full-range 64-bit hashes overflow a Long sum
+    * after a handful of rows, hence decimal(38,0)). */
+  private def contentSig(df: DataFrame): (Long, String) = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
+    val r = df.agg(count(lit(1)),
+      sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+  }
+
+  /** Atomic replay-artifact publisher for FIXED destination paths
+    * (r16, VERDICT r15 #1 — the q90 bench flake).
+    *
+    * The r15 failure mode: replay dumps wrote fixed paths with
+    * `mode("overwrite")` while session-memoized/cached frames held
+    * lineage over those same paths — an overwrite (a concurrent
+    * driver, or a cold memo in a new session) deletes part files a
+    * re-executed cached plan still references →
+    * `FAILED_READ_FILE.FILE_NOT_EXIST` mid-bench. Fixed paths are a
+    * hard requirement here (the DuckDB oracle SQL embeds them), so
+    * content-keyed NAMES (the AnnIndexSnapshot discipline) don't fit;
+    * instead the path is fixed and the write is make-equal:
+    *
+    *  - dest absent → temp write + atomic rename ("created");
+    *  - dest holds IDENTICAL content (order-independent count +
+    *    xxhash64-sum compare of the bytes on disk) → dest is NOT
+    *    touched, the temp is dropped ("kept") — the steady-state
+    *    path: every live reader's lineage survives, concurrent
+    *    same-version drivers cannot delete each other's part files;
+    *  - dest holds DIFFERENT content (an artifact from an older
+    *    engine version) → atomic swap: dest renamed aside, temp
+    *    renamed in, old bytes dropped ("replaced"). Two different
+    *    ENGINE VERSIONS racing over one artifact dir is outside the
+    *    contract (same carve-out as the repo's other memos); within
+    *    one version "replaced" can only fire on the first publish of
+    *    a session, before any reader memoized the path.
+    *
+    * Precondition: `df` is deterministic for the engine version (every
+    * replay dump is seed-deterministic), so rename-race losers and
+    * "kept" callers can safely serve the existing bytes. */
+  def publish(df: DataFrame, dest: String): String = {
+    val spark = df.sparkSession
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tag = java.util.UUID.randomUUID().toString.take(12)
+    val tmp = new org.apache.hadoop.fs.Path(destPath.getParent,
+      s".${destPath.getName}.tmp-$tag")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val createdFresh =
+      try !fs.exists(destPath) && fs.rename(tmp, destPath)
+      catch { case _: java.io.IOException => false }
+    if (createdFresh) "created"
+    else if (contentSig(spark.read.parquet(tmp.toString)) ==
+        contentSig(spark.read.parquet(dest))) {
+      fs.delete(tmp, true)
+      "kept"
+    } else {
+      val old = new org.apache.hadoop.fs.Path(destPath.getParent,
+        s".${destPath.getName}.old-$tag")
+      fs.rename(destPath, old)
+      if (!fs.rename(tmp, destPath)) fs.delete(tmp, true)
+      fs.delete(old, true)
+      "replaced"
     }
   }
 

@@ -38,9 +38,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(r.failures == 0 && r.newSmells == 0,
       s"plan audit regression — adjudicate or fix before extending the " +
         s"known list: ${r.newRows.mkString("; ")}")
-    assert(secs < 600.0,
-      f"full-registry audit took $secs%.0f s — past the CI budget; " +
-        "profile the slow gate or move it to an explicit exclusion " +
-        "with a documented reason")
+    // timing is advisory by default (ADVICE r15 #4: a wall-clock
+    // assertion inside a correctness suite fails on a loaded box with
+    // no plan regression present — this repo's own bench notes record
+    // ±25% same-code drift); set GRAFT_AUDIT_TIME_GATE=1 to enforce
+    // the budget on a quiet box
+    info(f"full-registry audit took $secs%.0f s (600 s budget, " +
+      "advisory unless GRAFT_AUDIT_TIME_GATE is set)")
+    if (sys.env.get("GRAFT_AUDIT_TIME_GATE").exists(_.nonEmpty))
+      assert(secs < 600.0,
+        f"full-registry audit took $secs%.0f s — past the CI budget; " +
+          "profile the slow gate or move it to an explicit exclusion " +
+          "with a documented reason")
   }
 }
