@@ -50,12 +50,14 @@ object AnnIndexSnapshot {
   /** Snapshot key: plan identity + input-file identity + every input
     * of the persisted derivation — k, dim (bucket bits depend on the
     * hashed dimensionality), and the engine design constants the
-    * params bake in (occupancy target, recall target, probe radius 0).
+    * params bake in (occupancy target, recall target, probe radius —
+    * [[Similarity.TopKProbeRadius]], the r16 derived default).
     * Folding the constants in means RETUNING them in a later engine
     * version invalidates old snapshots by key instead of silently
     * serving a design point derived under the old targets (r15
-    * review); dim in the key means two dims over the same corpus can
-    * never alias one bucket index. */
+    * review) — the r15→r16 radius flip itself retires every r0-keyed
+    * snapshot this way; dim in the key means two dims over the same
+    * corpus can never alias one bucket index. */
   def indexKey(vectors: DataFrame, k: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): String = {
     val planHash = vectors.select(col(idCol), col(vecCol))
@@ -65,7 +67,8 @@ object AnnIndexSnapshot {
     // name filesystem-safe
     f"${planHash}%08x_${fp.take(16)}_k${k}_d${dim}_occ${
       Similarity.TopKOccupancy}_tr${
-      math.round(Similarity.TopKTargetRecall * 1000)}_r0"
+      math.round(Similarity.TopKTargetRecall * 1000)}_r${
+      Similarity.TopKProbeRadius}"
   }
 
   /** Load the persisted top-k LSH index for this (corpus, k), deriving
@@ -89,7 +92,7 @@ object AnnIndexSnapshot {
       val planes = Similarity.autoPlanes(vectors, Similarity.TopKOccupancy)
       val design = Similarity.topKDesignCos(vectors, k, idCol, vecCol)
       val tables = Similarity.lshTablesFor(planes, design,
-        Similarity.TopKTargetRecall)
+        Similarity.TopKTargetRecall, Similarity.TopKProbeRadius)
       Seq((planes, tables, design)).toDF("planes", "tables", "design_cos")
     }
     val row = params.head()
@@ -107,13 +110,16 @@ object AnnIndexSnapshot {
 
   /** Self-top-k search through a (possibly loaded) index — the exact
     * candidate/re-rank tail the computed path runs
-    * ([[Similarity.selfTopKFromBuckets]]): only the bucket PASS is
-    * skipped on a warm snapshot; vectors are still read for the final
-    * exact-cosine re-rank. */
+    * ([[Similarity.selfTopKFromBuckets]] at the engine's derived probe
+    * radius — the bucket index is radius-independent, masks expand the
+    * query side at search time): only the bucket PASS is skipped on a
+    * warm snapshot; vectors are still read for the final exact-cosine
+    * re-rank. */
   def lshTopKWithIndex(vectors: DataFrame, index: LshIndex, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    Similarity.selfTopKFromBuckets(base, index.buckets, k)
+    Similarity.selfTopKFromBuckets(base, index.buckets, k,
+      Similarity.TopKProbeRadius, index.planes)
   }
 
   // ---- IVF family (r15, NOTES debt #3) ----------------------------

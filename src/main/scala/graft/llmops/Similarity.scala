@@ -95,11 +95,13 @@ object Similarity {
     * distance `probeRadius` in each table, the index stays n·nTables
     * rows, and the zero-knob table derivation shrinks by the
     * collision-prob ratio (8× fewer tables at radius 1 at the r14
-    * 100× design point). Radius 0 (default) takes the mask-free plan
-    * — bit-identical to the pre-r15 operator, so the pinned gates'
-    * plans don't even grow a Generate node. */
+    * 100× design point). Radius 1 is the DEFAULT since r16
+    * ([[TopKProbeRadius]] — it dominates single-probe on this path,
+    * SCALE.md r15); radius 0 takes the mask-free pre-r15 plan and
+    * stays reachable explicitly (the pinned gates pass it). */
   def lshTopK(vectors: DataFrame, k: Int, nPlanes: Int = 0, dim: Int,
-      nTables: Int = 0, probeRadius: Int = 0, idCol: String = "vec_id",
+      nTables: Int = 0, probeRadius: Int = TopKProbeRadius,
+      idCol: String = "vec_id",
       vecCol: String = "embedding", seed: Long = 42): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
@@ -244,6 +246,21 @@ object Similarity {
     * count grows ∝ p^-nPlanes: holding 0.9 there costs ~3.3× the
     * tables of 0.5 for little ranking value. */
   val TopKTargetRecall = 0.5
+
+  /** The top-k family's DEFAULT probe radius (r16, VERDICT r15 #6):
+    * multi-probe at Hamming radius 1. SCALE.md r15 measured radius 1
+    * DOMINATING single-probe on both the portable and float paths —
+    * ~8× fewer derived tables at equal-or-better recall (100×
+    * operating point: 24 tables vs 193 at planes 13 / design cos 0.45;
+    * measured recall 0.610 vs 0.590 float, 0.55 vs 0.42 derived-row
+    * band) — so the zero-knob entry points ([[lshTopK]],
+    * [[lshTopKPortable]], [[graft.llmops.AnnIndexSnapshot]]) now
+    * derive tables at radius 1 and probe accordingly. Radius 0 stays
+    * reachable by passing `probeRadius = 0` explicitly (the pinned
+    * single-probe math gates do). Folded into the ANN snapshot key, so
+    * indexes derived under the old default miss by key instead of
+    * serving a stale design point. */
+  val TopKProbeRadius = 1
 
   /** Query count for [[topKDesignCos]]'s bounded probe: enough for a
     * stable median, small enough that the probe costs ~5 hash passes. */
@@ -538,18 +555,22 @@ object Similarity {
   /** Portable twin of [[lshTopK]] — same zero-knob defaults since r14
     * (`nPlanes = 0` ⇒ [[autoPlanes]] at [[TopKOccupancy]];
     * `nTables = 0` ⇒ [[lshTablesFor]] at [[topKDesignCos]] holding
-    * [[TopKTargetRecall]]); the oracled gates pin planes and 8. */
+    * [[TopKTargetRecall]]), probing at [[TopKProbeRadius]] since r16
+    * (radius 1 dominates single-probe — fewer derived tables at held
+    * recall; radius 0 stays reachable and is what the pinned
+    * single-probe math gates pass). */
   def lshTopKPortable(vectors: DataFrame, k: Int, nPlanes: Int = 0, dim: Int,
-      nTables: Int = 0, idCol: String = "vec_id",
+      nTables: Int = 0, probeRadius: Int = TopKProbeRadius,
+      idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val planes = if (nPlanes > 0) nPlanes
       else autoPlanes(vectors, TopKOccupancy)
     val numTables = if (nTables > 0) nTables
       else lshTablesFor(planes, topKDesignCos(vectors, k, idCol, vecCol),
-        TopKTargetRecall)
+        TopKTargetRecall, probeRadius)
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     val withB = portableBuckets(vectors, planes, dim, numTables, idCol, vecCol)
-    selfTopKFromBuckets(base, withB, k)
+    selfTopKFromBuckets(base, withB, k, probeRadius, planes)
   }
 
   /** Shared self-top-k tail of the portable LSH family: bucket-join
@@ -558,10 +579,25 @@ object Similarity {
     * freshly computed by [[portableBuckets]] or loaded from a
     * persisted index snapshot ([[graft.llmops.AnnIndexSnapshot]], r15)
     * — ONE implementation, so the persisted path cannot diverge from
-    * the computed one. */
+    * the computed one. `probeRadius > 0` expands the QUERY side with
+    * the Hamming-ball XOR masks (needs `nPlanes` for the mask set);
+    * the index side — and therefore a persisted snapshot — is
+    * radius-independent. */
   private[llmops] def selfTopKFromBuckets(base: DataFrame, withB: DataFrame,
-      k: Int): DataFrame = {
-    val a = withB.select(col("tbl"), col("bucket"), col("id").as("query_id"))
+      k: Int, probeRadius: Int = 0, nPlanes: Int = 0): DataFrame = {
+    require(probeRadius == 0 || nPlanes > 0,
+      "selfTopKFromBuckets: multi-probe needs the plane count for masks")
+    val a0 = withB.select(col("tbl"), col("bucket"), col("id").as("query_id"))
+    val a =
+      if (probeRadius == 0) a0
+      else {
+        val masks = array(probeMasks(nPlanes, probeRadius).map(lit): _*)
+        a0.select(col("tbl"), col("bucket"), col("query_id"),
+            explode(masks).as("mask"))
+          .select(col("tbl"),
+            col("bucket").bitwiseXOR(col("mask")).as("bucket"),
+            col("query_id"))
+      }
     val b = withB.select(col("tbl"), col("bucket"), col("id").as("neighbor_id"))
     val pairs = a.join(b, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -609,35 +645,11 @@ object Similarity {
     * [[lshTopKPortable]] exactly (spec-pinned). */
   def lshTopKPortableMultiProbe(vectors: DataFrame, k: Int,
       nPlanes: Int = 0, dim: Int, nTables: Int = 0, probeRadius: Int = 1,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val planes = if (nPlanes > 0) nPlanes
-      else autoPlanes(vectors, TopKOccupancy)
-    val numTables = if (nTables > 0) nTables
-      else lshTablesFor(planes, topKDesignCos(vectors, k, idCol, vecCol),
-        TopKTargetRecall, probeRadius)
-    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val withB = portableBuckets(vectors, planes, dim, numTables, idCol, vecCol)
-    val masks = array(probeMasks(planes, probeRadius).map(lit): _*)
-    val probes = withB
-      .select(col("tbl"), col("bucket"), col("id").as("query_id"),
-        explode(masks).as("mask"))
-      .select(col("tbl"),
-        col("bucket").bitwiseXOR(col("mask")).as("bucket"), col("query_id"))
-    val b = withB.select(col("tbl"), col("bucket"), col("id").as("neighbor_id"))
-    val pairs = probes.join(b, Seq("tbl", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"))
-      .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    pairs
-      .join(base.select(col("id").as("query_id"), col("v").as("qv")), Seq("query_id"))
-      .join(base.select(col("id").as("neighbor_id"), col("v").as("cv")), Seq("neighbor_id"))
-      .withColumn("cos", graft.functions.VectorFunctions.cosineNative(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rn"))
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    // r16: [[lshTopKPortable]] IS multi-probe by default now — this
+    // name remains for the probe tools and the explicit-radius specs
+    lshTopKPortable(vectors, k, nPlanes, dim, nTables, probeRadius,
+      idCol, vecCol)
 
   /** Embedding near-duplicate PAIRS through the bucketed LSH candidate
     * path — the 100 TB plan for the product that

@@ -142,11 +142,19 @@ class SimilaritySpec extends SparkSpec {
       df.select("query_id", "neighbor_id", "cos", "rn")
         .as[(Long, Long, Double, Int)].collect().toSet
     // radius 0 degenerates to the single-probe operator bit-for-bit
+    // (r16: the portable default is radius 1, so single-probe is the
+    // EXPLICIT radius-0 call now)
     val single = rows(Similarity.lshTopKPortable(emb, 5, nPlanes = 4,
-      dim = 64, nTables = 4))
+      dim = 64, nTables = 4, probeRadius = 0))
     val r0 = rows(Similarity.lshTopKPortableMultiProbe(emb, 5, nPlanes = 4,
       dim = 64, nTables = 4, probeRadius = 0))
     assert(r0 == single, "radius-0 multi-probe diverges from single-probe")
+    // and the portable DEFAULT is the radius-1 multi-probe point
+    assert(rows(Similarity.lshTopKPortable(emb, 5, nPlanes = 4,
+        dim = 64, nTables = 4)) ==
+      rows(Similarity.lshTopKPortableMultiProbe(emb, 5, nPlanes = 4,
+        dim = 64, nTables = 4, probeRadius = 1)),
+      "default lshTopKPortable diverges from explicit radius-1")
 
     // radius 1 at the same tables: per-query top-5 recall vs brute
     // truth can only improve (candidates are a superset)
@@ -195,14 +203,17 @@ class SimilaritySpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id", "cos", "rn")
         .as[(Long, Long, Double, Int)].collect().toSet
-    // the default radius takes the mask-free plan — identical results
-    // to an explicit radius-0 call (both must reproduce the operator
-    // the pinned gates measure)
+    // r16: the DEFAULT radius is the derived multi-probe point
+    // (TopKProbeRadius = 1) — a default call must be identical to an
+    // explicit radius-1 call, and radius 0 stays reachable explicitly
+    assert(Similarity.TopKProbeRadius == 1)
     val defaultR = rows(Similarity.lshTopK(emb, 5, nPlanes = 4,
       dim = 64, nTables = 4))
     val r0 = rows(Similarity.lshTopK(emb, 5, nPlanes = 4,
       dim = 64, nTables = 4, probeRadius = 0))
-    assert(r0 == defaultR)
+    assert(defaultR == rows(Similarity.lshTopK(emb, 5, nPlanes = 4,
+      dim = 64, nTables = 4, probeRadius = 1)),
+      "default lshTopK diverges from explicit radius-1")
 
     val brute = Similarity.bruteForceTopK(emb, emb, 1)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
