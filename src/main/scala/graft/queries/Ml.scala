@@ -83,15 +83,24 @@ object Ml {
     * VALUES relation — the q42b pattern. Uniform costs get every
     * discriminating case here wrong (see CjkGolden's scaladoc), so
     * this hash-pins the log-frequency half of the HanLP contract
-    * (SURVEY §2 row 78), not just the DP. */
+    * (SURVEY §2 row 78), not just the DP.
+    *
+    * Since r16 (VERDICT r15 #4) the gate runs the COUNTED-table
+    * production path — frequencies counted from a segmented corpus
+    * fixture through the wordCosts seam
+    * ([[graft.text.CjkSegmenter.countedFrequencies]]), not the
+    * hand-curated bands — so a broken counting job, scaling
+    * convention, or corpus fixture now fails the hash against the
+    * unchanged hand-derived readings. */
   def cjkGoldenSegments(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.text.CjkGolden.vectors.zipWithIndex
       .map { case ((p, _), i) => (i + 1L, p) }
       .toDF("phrase_id", "phrase")
       .select(col("phrase_id"), col("phrase"),
-        array_join(graft.text.CjkSegmenter.cjkAwareFreq(col("phrase")), "/")
-          .as("segmented"))
+        array_join(
+          graft.text.CjkSegmenter.cjkAwareFreqCounted(spark)(col("phrase")),
+          "/").as("segmented"))
       .orderBy(col("phrase_id"))
   }
 

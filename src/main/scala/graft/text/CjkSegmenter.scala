@@ -339,6 +339,34 @@ object CjkSegmenter {
   private lazy val starterCosts: Map[String, Int] =
     wordCosts(starterFrequencies)
 
+  /** COUNTED frequency table (r16, VERDICT r15 #4): the production
+    * path — frequencies counted from a segmented corpus
+    * ([[CjkCorpus.segmentedCorpus]] in this container; a real treebank
+    * in deployment) through the nominal-rate scaling convention,
+    * rather than the hand-curated bands. Lexicon words the corpus
+    * never realized fall back to [[DefaultWordFreq]] (the same
+    * mid-tail default the curated table uses). Session-memoized; the
+    * driver collect is bounded by the VOCABULARY size (one row per
+    * distinct word — the same closure budget as the cost map itself,
+    * MBs at a real 100k-word lexicon). q174's golden readings and the
+    * curation-sanity property are pinned over THIS table since r16. */
+  def countedFrequencies(spark: org.apache.spark.sql.SparkSession)
+      : Map[String, Long] =
+    graft.ml.ModelMemo.cached(spark, "cjk-counted-freqs") {
+      val counted = CjkCorpus
+        .countedFrequencyDf(CjkCorpus.segmentedCorpus(spark))
+        .collect().iterator
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      starterLexicon.iterator.map(_ -> DefaultWordFreq).toMap ++ counted
+    }
+
+  /** Cost map over the counted table — one log() pass per session. */
+  def countedCosts(spark: org.apache.spark.sql.SparkSession)
+      : Map[String, Int] =
+    graft.ml.ModelMemo.cached(spark, "cjk-counted-costs") {
+      wordCosts(countedFrequencies(spark))
+    }
+
   /** Min-cost lattice with log-frequency edge costs — the full HanLP
     * formulation (algorithm AND data). Same contract as
     * [[segmentRunDp]]: deterministic integers, longest word wins
@@ -387,6 +415,14 @@ object CjkSegmenter {
       freqs: Map[String, Long] = starterFrequencies): Column = {
     val costs =
       if (freqs eq starterFrequencies) starterCosts else wordCosts(freqs)
+    tokenizeColumn(text, raw => segmentTokensFreq(raw, costs))
+  }
+
+  /** [[cjkAwareFreq]] over the COUNTED table (r16) — the production
+    * default: data-derived frequencies, memoized cost map. */
+  def cjkAwareFreqCounted(spark: org.apache.spark.sql.SparkSession)(
+      text: Column): Column = {
+    val costs = countedCosts(spark)
     tokenizeColumn(text, raw => segmentTokensFreq(raw, costs))
   }
 

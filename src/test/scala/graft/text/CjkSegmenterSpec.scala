@@ -206,6 +206,43 @@ class CjkSegmenterSpec extends SparkSpec {
     }
   }
 
+  // ---- counted-table production path (r16, VERDICT r15 #4) ---------
+
+  test("counted frequencies: deterministic, full-vocabulary coverage, " +
+      "log-ratios track the corpus distribution") {
+    val f1 = CjkSegmenter.countedFrequencies(spark)
+    // a second independent count (memo bypassed) is identical —
+    // generation and counting are deterministic end to end
+    val f2 = CjkCorpus.countedFrequencyDf(CjkCorpus.segmentedCorpus(spark))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert((CjkSegmenter.starterLexicon.iterator
+      .map(_ -> CjkSegmenter.DefaultWordFreq).toMap ++ f2) == f1)
+    // every lexicon word has a counted (or defaulted) entry
+    CjkSegmenter.starterLexicon.foreach(w => assert(f1.contains(w)))
+    // ordering of the decisive bands survives counting: 的 ≫ 天鹅 ≫ 鹅
+    assert(f1("的") > f1("白天") && f1("白天") > f1("天鹅")
+      && f1("天鹅") > f1("鹅"))
+  }
+
+  test("every golden vector segments to its hand-derived reading under " +
+      "the COUNTED table (the q174 gate's production path since r16)") {
+    val cc = CjkSegmenter.countedCosts(spark)
+    CjkGolden.vectors.foreach { case (phrase, expected) =>
+      assert(CjkSegmenter.segmentRunFreq(phrase, cc).mkString("/")
+        == expected, s"for $phrase")
+    }
+  }
+
+  test("curation-sanity property holds over the COUNTED table: no " +
+      "lexicon word is beaten by its own character split") {
+    val cc = CjkSegmenter.countedCosts(spark)
+    CjkSegmenter.countedFrequencies(spark).keys.filter(_.length > 1)
+      .foreach { w =>
+        assert(CjkSegmenter.segmentRunFreq(w, cc) == Seq(w),
+          s"compound $w lost to a cheaper split under counted costs")
+      }
+  }
+
   test("property: frequency segmentation preserves characters and is " +
       "never costlier than FMM under its own cost model") {
     val rnd = new scala.util.Random(29)

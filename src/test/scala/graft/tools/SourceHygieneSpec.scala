@@ -51,7 +51,11 @@ class SourceHygieneSpec extends AnyFunSuite {
         "subspaces x centroids, broadcast back out"),
     "llmops/Similarity.scala" -> (1,
       "topKDesignCos probe — ≤ TopKDesignProbeQueries (64) kth-cosines " +
-        "by construction"))
+        "by construction"),
+    "text/CjkSegmenter.scala" -> (1,
+      "counted frequency table — one row per distinct vocabulary word " +
+        "by groupBy-count construction (the segmenter's own cost-map " +
+        "closure budget)"))
 
   /** file → (max occurrences, the bound that makes the global window
     * safe). An empty-frame `Window.orderBy` single-partitions its
