@@ -177,6 +177,30 @@ object Bench {
     val errsJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replaceAll("[\\x00-\\x1f\"\\\\]", " ") + "\""
     }.mkString("{", ",", "}")
+    // r16 (VERDICT r15 #8): the memory telemetry becomes a GATE —
+    // budgets stated, offenders named, ok=false a driver-visible
+    // regression flag. Budgets: spill must stay ~0 at the bench SF
+    // (0.5 MB tolerance for listener rounding; r15 measured zero gates
+    // above it), and per-task peak execution memory stays under 512 MB
+    // — 3× the observed max (168.5 MB, q41) and the number that
+    // transfers to a real cluster: 512 MB × 8 concurrent tasks ≈ a
+    // standard 4-8 GiB-per-executor budget. MemoryBudgetSpec asserts
+    // the same budgets in CI over the heaviest gates, so a regression
+    // is red at build time, not just flagged in the artifact.
+    val spillBudgetMb = 0.5
+    val peakBudgetMb = 512.0
+    val spillOffenders = spillMb.collect {
+      case (k, v) if v > spillBudgetMb && !errored(k) => k }
+    val peakOffenders = peakMb.collect {
+      case (k, v) if v > peakBudgetMb && !errored(k) => k }
+    val memOk = spillOffenders.isEmpty && peakOffenders.isEmpty
+    val memGateJson =
+      s"""{"spill_budget_mb":$spillBudgetMb,"peak_budget_mb":$peakBudgetMb,""" +
+        s""""spill_offenders":${
+          spillOffenders.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""peak_offenders":${
+          peakOffenders.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""ok":$memOk}"""
     val total = results.collect { case (k, v) if !errored(k) => v }.sum
     // the round-1 gate set (BENCH_r01) — its subtotal is the
     // apples-to-apples number against the 86.9 s baseline; `total`
@@ -209,9 +233,9 @@ object Bench {
       "q54_percentiles", "q55_approx_distinct", "q56_pii_redaction")
     val r1Total = results.collect { case (k, v) if r1Set(k) && !errored(k) => v }.sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","errors":$errsJson,"queries":$qs,"pass_times":$passesJson,"shuffle_mb":$shufJson,"spill_mb":$spillJson,"peak_exec_mb":$peakJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","errors":$errsJson,"queries":$qs,"pass_times":$passesJson,"shuffle_mb":$shufJson,"spill_mb":$spillJson,"peak_exec_mb":$peakJson,"memory_gate":$memGateJson,"sf":"$sfDir"}"""
     val shortLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_errors":${errors.size},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline_set_total":$r1Total%.3f,"passes":$passes,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","n_errors":${errors.size},"memory_ok":$memOk,"sf":"$sfDir"}"""
     spark.stop()
     // the complete per-query record must survive ANY stdout window:
     // persist it as a repo artifact too (BENCH_r04's captured window

@@ -188,6 +188,52 @@ object ScaleCorpus {
     rows.flatten.toDF("doc_id", "text", "pair_id", "level", "role")
   }
 
+  /** DISTRIBUTED gaussian-mixture embedding corpus (r16, VERDICT r15
+    * #5): the natural-distribution twin of the amplified fixture —
+    * [[amplifyEmbeddings]] concentrates the kth-neighbor grade by
+    * construction (exact copies), which exaggerates the sampled
+    * design probe's over-provisioning; a mixture of isotropic
+    * gaussian clusters is the shape real embedding corpora take
+    * (within-cluster neighbor cosine ≈ 1/(1+σ²) — ~0.9 at σ=0.33).
+    *
+    * Deterministic PER ID and layout-independent: every coordinate is
+    * Box-Muller over splitmix64((seed, id, d)) — no partition-seeded
+    * RNG, so any partitioning produces identical bytes. Cluster
+    * centers (nClusters × dim doubles — KBs) are driver-built and ride
+    * the task closure; generation is one map-only pass over
+    * `spark.range(n)`, the 100 TB fixture shape. */
+  def gaussianMixture(spark: org.apache.spark.sql.SparkSession, n: Long,
+      nClusters: Int = 256, dim: Int = 64, sigma: Double = 0.33,
+      seed: Long = 4242L): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian())
+    def mix(z0: Long): Long = { // splitmix64 finalizer (public domain)
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def unit(bits: Long): Double = // (0, 1]: never 0, log() safe
+      ((bits >>> 11) + 1).toDouble / (1L << 53).toDouble
+    spark.range(n).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val c = (math.floorMod(mix(seed ^ id), nClusters.toLong)).toInt
+        val v = new Array[Float](dim)
+        var d = 0
+        while (d < dim) {
+          val u1 = unit(mix(seed ^ (id * 131071L) ^ (2L * d)))
+          val u2 = unit(mix(seed ^ (id * 131071L) ^ (2L * d + 1L)))
+          val g = math.sqrt(-2.0 * math.log(u1)) *
+            math.cos(2.0 * math.Pi * u2)
+          v(d) = (centers(c)(d) + sigma * g).toFloat
+          d += 1
+        }
+        (id, v, c)
+      }
+    }.toDF("vec_id", "embedding", "label")
+  }
+
   def plantedClusters(spark: org.apache.spark.sql.SparkSession,
       nClusters: Int = 50, perCluster: Int = 10, dim: Int = 64,
       sigma: Double = 0.33, seed: Long = 4242L): DataFrame = {

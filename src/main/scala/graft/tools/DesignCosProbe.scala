@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   * grows while the exact probe's grows linearly).
   *
   * Usage: SPARK_GRAFT_SCALE_FACTOR=1000 runMain graft.tools.DesignCosProbe
+  *
+  * NATURAL-DISTRIBUTION LEG (r16, VERDICT r15 #5): the amplified
+  * fixture plants exact copies, which concentrates the kth-neighbor
+  * grade and exaggerates sampled-probe over-provisioning (measured 2×
+  * tables at 1000× in r15). SPARK_GRAFT_DESIGN_CORPUS=gaussian swaps
+  * in [[ScaleCorpus.gaussianMixture]] at SPARK_GRAFT_DESIGN_N vectors
+  * (default 2,000,000 — past the sampling threshold) and measures the
+  * same exact-vs-sampled design-cos and derived-table ratio on the
+  * corpus shape real embeddings take.
   */
 object DesignCosProbe {
   def main(args: Array[String]): Unit = {
@@ -36,6 +45,8 @@ object DesignCosProbe {
     val root = java.nio.file.Files.createTempDirectory("designcos").toString
     val embBase = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), col("label"))
+    val corpusMode = sys.env.getOrElse("SPARK_GRAFT_DESIGN_CORPUS", "amplified")
+    val gaussianN = sys.env.getOrElse("SPARK_GRAFT_DESIGN_N", "2000000").toLong
 
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
@@ -43,7 +54,9 @@ object DesignCosProbe {
 
     for (f <- Seq(1, factor).distinct) {
       val p = s"$root/emb$f"
-      ScaleCorpus.amplifyEmbeddings(embBase, f)
+      (if (corpusMode == "gaussian")
+        ScaleCorpus.gaussianMixture(spark, gaussianN * f / factor.max(1))
+      else ScaleCorpus.amplifyEmbeddings(embBase, f))
         .write.mode("overwrite").parquet(p)
       val emb = spark.read.parquet(p)
       val n = emb.count()
@@ -56,10 +69,11 @@ object DesignCosProbe {
       // sampled at the production pool size
       val (sampled, tSa) = timed(Similarity.topKDesignCosSampled(emb, 5,
         Similarity.TopKDesignSampleSize))
+      // derived at the production probe radius (r16 default)
       val tablesExact = Similarity.lshTablesFor(planes, exact,
-        Similarity.TopKTargetRecall)
+        Similarity.TopKTargetRecall, Similarity.TopKProbeRadius)
       val tablesSampled = Similarity.lshTablesFor(planes, sampled,
-        Similarity.TopKTargetRecall)
+        Similarity.TopKTargetRecall, Similarity.TopKProbeRadius)
       System.err.println(f"[designcos] ${f}x n=$n%,d planes=$planes " +
         f"exact=$exact%.4f (t=$tEx%.1f s, tables=$tablesExact) " +
         f"sampled=$sampled%.4f (t=$tSa%.1f s, tables=$tablesSampled) " +
