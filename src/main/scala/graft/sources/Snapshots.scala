@@ -106,9 +106,15 @@ object Snapshots {
     val createdFresh =
       try !fs.exists(destPath) && fs.rename(tmp, destPath)
       catch { case _: java.io.IOException => false }
+    // an UNREADABLE existing dest (a half-written dir from a killed
+    // pre-r16 overwrite run — post-r16 creations are rename-atomic and
+    // can't be half-written) is replaceable, not fatal: without this,
+    // one stale corrupt artifact would wedge every future publish
+    val destSig =
+      try Some(contentSig(spark.read.parquet(dest)))
+      catch { case scala.util.control.NonFatal(_) => None }
     if (createdFresh) "created"
-    else if (contentSig(spark.read.parquet(tmp.toString)) ==
-        contentSig(spark.read.parquet(dest))) {
+    else if (destSig.contains(contentSig(spark.read.parquet(tmp.toString)))) {
       fs.delete(tmp, true)
       "kept"
     } else {

@@ -46,7 +46,12 @@ object Sf1Bench {
     // r14 next-tier (VERDICT r13 #8): the q132 family's containment
     // siblings — the newest sf-data operators without an sf1 leg
     "q150_containment_join",
-    "q162_containment_bucketed")
+    "q162_containment_bucketed",
+    // r16: the zero-knob LSH top-k at its NEW derived default (radius
+    // 1, derived planes AND tables) — the operating point changed
+    // this round, so its 10× ratio and final plan shape need a fresh
+    // sf1 reading
+    "q38_ann_lsh")
 
   /** Fixture-constant gates from the r13 next-tier list (q60/q60b/q173
     * read AlbedoFixtures, not sf tables — amplifying `dir` changes

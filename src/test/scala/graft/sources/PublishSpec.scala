@@ -64,6 +64,21 @@ class PublishSpec extends SparkSpec {
       s"stray staging dirs: ${siblings.mkString(",")}")
   }
 
+  test("an unreadable destination (half-written dir from a killed " +
+      "pre-publish run) is replaced, not fatal") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pub").toString
+    val dest = s"$root/artifact.parquet"
+    // simulate a killed mode("overwrite") run: a dir with a garbage
+    // part file that no parquet reader can open
+    fs.mkdirs(new Path(dest))
+    val out = fs.create(new Path(dest, "part-00000-garbage.parquet"))
+    out.write("not parquet".getBytes); out.close()
+    assert(Snapshots.publish(
+      Seq((1L, "v")).toDF("id", "s").coalesce(1), dest) == "replaced")
+    assert(spark.read.parquet(dest).count() == 1)
+  }
+
   test("content compare is order-independent (a repartitioned republish " +
       "of the same rows is 'kept', not a spurious replace)") {
     import spark.implicits._
