@@ -936,7 +936,14 @@ object Similarity {
       // ~ms tasks dominating wall time (same lesson as the ML fits,
       // NOTES_r2); 8 partitions keeps all cores busy per stage without
       // the scheduling storm. Cluster runs pass a pre-partitioned df.
-      .repartition(8)
+      // LAYOUT-PINNED since r16 (ADVICE r15 #1, the q44b discipline):
+      // hash(id) partitioning + in-partition sort makes the float
+      // aggregation order — and hence the fitted centroids — a pure
+      // function of (data, seed), independent of reader conf or file
+      // listing, so a refit in ANY session reproduces a persisted
+      // snapshot's model instead of merely matching within-session.
+      .repartition(8, col("id"))
+      .sortWithinPartitions("id")
       .cache()
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
