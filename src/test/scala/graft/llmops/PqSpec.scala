@@ -254,4 +254,25 @@ class PqSpec extends SparkSpec {
     val again = PQ.train(emb, m, dim, k, iters = 3)
     assert(again == cents)
   }
+
+
+  /** r16 (ADVICE r15 #2's unit twin): the from-index ADC entry —
+    * search through PRE-ENCODED codes (the persisted-index serving
+    * path) must be bit-identical to the recompute-codes path on the
+    * same codebook. */
+  test("adcTopKFromIndex over encode() output == adcTopK bit-for-bit") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val c = PQ.train(emb, m, dim, k, iters = 3).toDF()
+    val codes = PQ.encode(emb, c, m, dim)
+    val viaIndex = PQ.adcTopKFromIndex(codes, c,
+        emb.filter($"vec_id" < 8), k = 5, m = m, dim = dim)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val computed = PQ.adcTopK(emb, c, k = 5, m = m, dim = dim,
+        queryPred = $"vec_id" < 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaIndex == computed,
+      "index-backed ADC diverges from the computed path")
+    assert(viaIndex.nonEmpty)
+  }
 }
