@@ -179,16 +179,29 @@ object Bench {
     }.mkString("{", ",", "}")
     // r16 (VERDICT r15 #8): the memory telemetry becomes a GATE —
     // budgets stated, offenders named, ok=false a driver-visible
-    // regression flag. Budgets: spill must stay ~0 at the bench SF
-    // (0.5 MB tolerance for listener rounding; r15 measured zero gates
-    // above it), and per-task peak execution memory stays under 512 MB
-    // — 3× the observed max (168.5 MB, q41) and the number that
-    // transfers to a real cluster: 512 MB × 8 concurrent tasks ≈ a
-    // standard 4-8 GiB-per-executor budget. MemoryBudgetSpec asserts
-    // the same budgets in CI over the heaviest gates, so a regression
-    // is red at build time, not just flagged in the artifact.
+    // regression flag. Spill must stay ~0 at the bench SF (0.5 MB
+    // tolerance for listener rounding) — this is the SHARP detector: a
+    // plan whose task state genuinely outgrows its memory share spills.
+    // The per-task peak budget is 768 MB since r17 (VERDICT r16
+    // "What's wrong" #1 — the 512 MB budget flipped on machine load,
+    // not regressions): peakExecutionMemory of a pool-greedy consumer
+    // (hash agg / sorter growth) reads as min(need, pool/(2·active
+    // tasks)) — Spark's guaranteed-share grant — so the SAME plan
+    // measures 64.8 MB (= pool/64) per task at a fully-occupied
+    // local[32] and 518.7 MB (= pool/8, the 4-active share) whenever
+    // task launches stagger, which co-tenant load makes routine
+    // (measured r17: q90 reads 518.7 at local[4] quiet, 70.7 at
+    // local[32] quiet, and the loaded r16 driver run at local[32]
+    // reproduced 518.7 exactly; pinning spark.buffer.pageSize did not
+    // move it — the number is a share, not a data footprint). 768 MB =
+    // 1.5× that documented legitimate envelope: still well below a
+    // multi-share blowup (pool/4 ≈ 1 GB), so a task that genuinely
+    // DEMANDS a bigger share — a new wide intermediate — flips the
+    // gate, while scheduler staggering cannot. MemoryBudgetSpec
+    // asserts the same 768 MB at its 4-core width, one consistent
+    // story: the budget is the narrow-width share envelope.
     val spillBudgetMb = 0.5
-    val peakBudgetMb = 512.0
+    val peakBudgetMb = 768.0
     val spillOffenders = spillMb.collect {
       case (k, v) if v > spillBudgetMb && !errored(k) => k }
     val peakOffenders = peakMb.collect {

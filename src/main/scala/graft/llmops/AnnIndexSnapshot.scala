@@ -44,7 +44,7 @@ object AnnIndexSnapshot {
     * so a CONCURRENT driver creating the same snapshot between check
     * and load can skew them — the loaded data itself is still correct
     * (loadOrCreate is last-writer-wins over deterministic bytes). */
-  final case class LshIndex(planes: Int, tables: Int, designCos: Double,
+  final case class LshIndex(planes: Int, tables: Int, designCosMilli: Int,
       buckets: DataFrame, createdParams: Boolean, createdBuckets: Boolean)
 
   /** Snapshot key: plan identity + input-file identity + every input
@@ -64,18 +64,20 @@ object AnnIndexSnapshot {
       .queryExecution.analyzed.semanticHash()
     val fp = graft.ops.PlanFingerprint.inputFingerprint(vectors)
     // semanticHash can be negative — hex of the raw bits keeps the
-    // name filesystem-safe
+    // name filesystem-safe. `dq1` is the derivation-version tag (r17:
+    // the whole probe + table chain went integer-quantized, so
+    // float-era snapshots retire by key).
     f"${planHash}%08x_${fp.take(16)}_k${k}_d${dim}_occ${
       Similarity.TopKOccupancy}_tr${
-      math.round(Similarity.TopKTargetRecall * 1000)}_r${
-      Similarity.TopKProbeRadius}"
+      Similarity.TopKTargetRecallPpm}_r${
+      Similarity.TopKProbeRadius}_dq1"
   }
 
   /** Load the persisted top-k LSH index for this (corpus, k), deriving
     * and persisting it on first use: the zero-knob design point
     * ([[Similarity.autoPlanes]] at [[Similarity.TopKOccupancy]],
-    * [[Similarity.topKDesignCos]], [[Similarity.lshTablesFor]] at
-    * [[Similarity.TopKTargetRecall]]) plus the portable (id, tbl,
+    * [[Similarity.topKDesignCosMilli]], [[Similarity.lshTablesFor]] at
+    * [[Similarity.TopKTargetRecallPpm]]) plus the portable (id, tbl,
     * bucket) assignment. Deterministic end to end, so a re-created
     * snapshot is byte-identical to the one it replaces. */
   def lshTopKIndex(vectors: DataFrame, k: Int, dim: Int, baseDir: String,
@@ -90,15 +92,15 @@ object AnnIndexSnapshot {
     val params = Snapshots.loadOrCreate(spark, baseDir, corpusVersion,
         paramsName) {
       val planes = Similarity.autoPlanes(vectors, Similarity.TopKOccupancy)
-      val design = Similarity.topKDesignCos(vectors, k, idCol, vecCol)
+      val design = Similarity.topKDesignCosMilli(vectors, k, idCol, vecCol)
       val tables = Similarity.lshTablesFor(planes, design,
-        Similarity.TopKTargetRecall, Similarity.TopKProbeRadius)
-      Seq((planes, tables, design)).toDF("planes", "tables", "design_cos")
+        Similarity.TopKTargetRecallPpm, Similarity.TopKProbeRadius)
+      Seq((planes, tables, design)).toDF("planes", "tables", "design_cos_milli")
     }
     val row = params.head()
     val planes = row.getAs[Int]("planes")
     val tables = row.getAs[Int]("tables")
-    val design = row.getAs[Double]("design_cos")
+    val design = row.getAs[Int]("design_cos_milli")
     val hadBuckets = snapshotExists(spark, baseDir, corpusVersion, bucketsName)
     val buckets = Snapshots.loadOrCreate(spark, baseDir, corpusVersion,
         bucketsName) {
@@ -148,7 +150,14 @@ object AnnIndexSnapshot {
     val planHash = vectors.select(col(idCol), col(vecCol))
       .queryExecution.analyzed.semanticHash()
     val fp = graft.ops.PlanFingerprint.inputFingerprint(vectors)
-    val key = f"${planHash}%08x_${fp.take(16)}_c${nCells}_s$seed"
+    // `fit2` is the fit-discipline tag (ADVICE r16 #3): the r16 layout
+    // pin (repartition(8, id) + sortWithinPartitions in ivfFit) changed
+    // the fitted centroids for identical inputs, so pre-pin snapshots
+    // must retire BY KEY — matching the LSH key, which already folds
+    // its design constants for exactly this reason. Bump the tag
+    // whenever the fit discipline changes the fitted model for
+    // unchanged (data, seed).
+    val key = f"${planHash}%08x_${fp.take(16)}_c${nCells}_s${seed}_fit2"
     val centersName = s"ann_ivf_centers_$key"
     val assignedName = s"ann_ivf_assigned_$key"
     val centersPath = Snapshots.path(baseDir, corpusVersion, centersName)

@@ -81,8 +81,8 @@ object Similarity {
     * `nPlanes = 0` / `nTables = 0` (the defaults since r14) DERIVE
     * both sketch parameters — the fully zero-knob path:
     * [[autoPlanes]] at [[TopKOccupancy]] holds candidate volume
-    * linear, and [[lshTablesFor]] at [[topKDesignCos]] (this corpus's
-    * measured k-th-neighbor grade) holding [[TopKTargetRecall]] holds
+    * linear, and [[lshTablesFor]] at [[topKDesignCosMilli]] (this corpus's
+    * measured k-th-neighbor grade) holding [[TopKTargetRecallPpm]] holds
     * recall — the same no-manual-choice discipline as the near-dup
     * family. Pass explicit values to pin an operating point (q38/q66/
     * q89 pin planes = autoPlanes, tables = 8 so the gates stay
@@ -108,8 +108,8 @@ object Similarity {
     val planes = if (nPlanes > 0) nPlanes
       else autoPlanes(vectors, TopKOccupancy)
     val numTables = if (nTables > 0) nTables
-      else lshTablesFor(planes, topKDesignCos(vectors, k, idCol, vecCol),
-        TopKTargetRecall, probeRadius)
+      else lshTablesFor(planes, topKDesignCosMilli(vectors, k, idCol, vecCol),
+        TopKTargetRecallPpm, probeRadius)
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     // bucket assignment as a typed kernel: the column form is
     // nTables×nPlanes aggregate-HOFs per row, ALL interpreted
@@ -226,12 +226,14 @@ object Similarity {
   val NearDupOccupancy = 32L
   val TopKOccupancy = 8L
 
-  /** The near-dup family's DESIGN similarity — the cosine a duplicate
-    * pair actually lives at (planted-cluster dups measure ≈ 0.95;
-    * real near-dup corpora ≈ 0.9+), which [[lshTablesFor]] sizes the
-    * table count against. NOT the admission threshold: boundary pairs
-    * are don't-cares per the regime-limit contract on [[lshTablesFor]]. */
-  val NearDupDesignCos = 0.9
+  /** The near-dup family's DESIGN similarity in integer THOUSANDTHS
+    * (r17 — the whole derivation chain is integer-quantized, VERDICT
+    * r16 "Next round" #3) — the cosine a duplicate pair actually lives
+    * at (planted-cluster dups measure ≈ 0.95; real near-dup corpora
+    * ≈ 0.9+), which [[lshTablesFor]] sizes the table count against.
+    * NOT the admission threshold: boundary pairs are don't-cares per
+    * the regime-limit contract on [[lshTablesFor]]. */
+  val NearDupDesignCosMilli = 900
 
   /** The top-k family's recall target at the design grade (r14 — the
     * last fixed sketch parameter, VERDICT r13 #3): each TRUE top-k
@@ -244,8 +246,14 @@ object Similarity {
     * silently dropped from a dedup decision — and because on
     * near-orthogonal corpora (p per bit barely above ½) the table
     * count grows ∝ p^-nPlanes: holding 0.9 there costs ~3.3× the
-    * tables of 0.5 for little ranking value. */
-  val TopKTargetRecall = 0.5
+    * tables of 0.5 for little ranking value. In PPM since r17 (the
+    * integer derivation chain). */
+  val TopKTargetRecallPpm = 500000L
+
+  /** The near-dup family's recall target at its design grade, in ppm
+    * — [[lshTablesFor]]'s default (a missed dup-grade pair silently
+    * survives dedup, so the target is strict, unlike top-k's). */
+  val NearDupTargetRecallPpm = 900000L
 
   /** The top-k family's DEFAULT probe radius (r16, VERDICT r15 #6):
     * multi-probe at Hamming radius 1. SCALE.md r15 measured radius 1
@@ -262,11 +270,11 @@ object Similarity {
     * serving a stale design point. */
   val TopKProbeRadius = 1
 
-  /** Query count for [[topKDesignCos]]'s bounded probe: enough for a
+  /** Query count for [[topKDesignCosMilli]]'s bounded probe: enough for a
     * stable median, small enough that the probe costs ~5 hash passes. */
   val TopKDesignProbeQueries = 64
 
-  /** Corpus size above which [[topKDesignCos]] probes a deterministic
+  /** Corpus size above which [[topKDesignCosMilli]] probes a deterministic
     * SAMPLE of the corpus instead of all of it (r15, VERDICT r14 #3 /
     * NOTES_r14 debt #3): the exact probe is one full corpus scan per
     * (plan, k); past this size the scan dominates the derivation it
@@ -277,13 +285,25 @@ object Similarity {
     * regardless of corpus size once sampling engages. */
   val TopKDesignSampleSize = 200000L
 
-  /** Data-driven DESIGN similarity for the top-k family: the median
-    * k-th-neighbor cosine of a deterministic bounded query probe (the
-    * [[TopKDesignProbeQueries]] smallest ids) against the full corpus
-    * — or, past [[TopKDesignSampleThreshold]] vectors, against a
-    * deterministic [[TopKDesignSampleSize]]-vector hash sample
-    * ([[topKDesignCosSampled]], whose scaladoc proves the sampled
+  /** Data-driven DESIGN similarity for the top-k family, in integer
+    * THOUSANDTHS since r17 (VERDICT r16 "Next round" #3 — the last
+    * approximate seam): the median k-th-neighbor quantized cosine of a
+    * deterministic bounded query probe (the [[TopKDesignProbeQueries]]
+    * smallest ids) against the full corpus — or, past
+    * [[TopKDesignSampleThreshold]] vectors, against a deterministic
+    * [[TopKDesignSampleSize]]-vector hash sample
+    * ([[topKDesignCosSampledMilli]], whose scaladoc proves the sampled
     * estimate errs only toward over-provisioning).
+    *
+    * EXACT ARITHMETIC end to end: vectors are quantized to the
+    * portable bucket math's fixed point (xq = floor(x·1000)); each
+    * pair's floor(1000·dot/√(|a|²·|b|²)) is computed by a double
+    * estimate corrected against the defining inequality in exact
+    * decimal(38,0) arithmetic, so the value is the TRUE mathematical
+    * floor whatever the engine's float rounding; the k-th LARGEST of
+    * an integer multiset and the median of 64 integers are
+    * tie-insensitive selections. A DuckDB oracle replays the whole
+    * probe bit-for-bit with HUGEINT compares (q66).
     * Unlike near-dup (where the design grade is a property of what a
     * duplicate IS, ≈ 0.9 on any corpus), the top-k design grade is a
     * property of THIS corpus's neighbor structure — a constant would
@@ -306,16 +326,16 @@ object Similarity {
     * reusing a stale design point. Deterministic: probe ids are the
     * sorted smallest, the aggregator's kept set is the max-k of a
     * total order (score desc, id asc). */
-  def topKDesignCos(vectors: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
+  def topKDesignCosMilli(vectors: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Int = {
     val planHash = vectors.select(col(idCol), col(vecCol))
       .queryExecution.analyzed.semanticHash()
     val fp = graft.ops.PlanFingerprint.inputFingerprint(vectors)
-    graft.ml.ModelMemo.cached[java.lang.Double](vectors.sparkSession,
-        s"topk-design-cos:$planHash:$fp:$k")(
-      java.lang.Double.valueOf(
+    graft.ml.ModelMemo.cached[java.lang.Integer](vectors.sparkSession,
+        s"topk-design-milli:$planHash:$fp:$k")(
+      java.lang.Integer.valueOf(
         topKDesignCosUncached(vectors, k, idCol, vecCol)))
-      .doubleValue()
+      .intValue()
   }
 
   /** Exact cosine top-k with the QUERIES broadcast — the mirror of
@@ -350,10 +370,10 @@ object Similarity {
   }
 
   private def topKDesignCosUncached(vectors: DataFrame, k: Int,
-      idCol: String, vecCol: String): Double = {
+      idCol: String, vecCol: String): Int = {
     val n = vectors.count()
     if (n <= TopKDesignSampleThreshold)
-      designCosAgainstPool(vectors, vectors, k, idCol, vecCol,
+      designCosMilliAgainstPool(vectors, vectors, k, idCol, vecCol,
         math.min(TopKDesignProbeQueries.toLong, n))
     else sampledWithKnownCount(vectors, k, TopKDesignSampleSize, n,
       idCol, vecCol)
@@ -385,17 +405,19 @@ object Similarity {
     * like [[graft.reco.Splits.byRowHash]]; queries are the same
     * sorted-smallest ids as the exact probe and are NOT restricted to
     * the pool. */
-  def topKDesignCosSampled(vectors: DataFrame, k: Int, sampleTarget: Long,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Double =
+  def topKDesignCosSampledMilli(vectors: DataFrame, k: Int,
+      sampleTarget: Long, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Int =
     sampledWithKnownCount(vectors, k, sampleTarget, vectors.count(),
       idCol, vecCol)
 
-  /** [[topKDesignCosSampled]] with the corpus count already in hand —
-    * the dispatch path ([[topKDesignCosUncached]]) has just counted
-    * for the threshold test and must not pay a second count job on
-    * exactly the path that exists to cut probe cost (r15 review). */
+  /** [[topKDesignCosSampledMilli]] with the corpus count already in
+    * hand — the dispatch path ([[topKDesignCosUncached]]) has just
+    * counted for the threshold test and must not pay a second count
+    * job on exactly the path that exists to cut probe cost (r15
+    * review). */
   private def sampledWithKnownCount(vectors: DataFrame, k: Int,
-      sampleTarget: Long, n: Long, idCol: String, vecCol: String): Double = {
+      sampleTarget: Long, n: Long, idCol: String, vecCol: String): Int = {
     require(sampleTarget > k,
       s"sampleTarget=$sampleTarget must exceed k=$k")
     val pool =
@@ -407,37 +429,85 @@ object Similarity {
           pmod(xxhash64(lit("graft-designcos"), col(idCol)),
             lit(1000000L)) < cutoffPerMillion)
       }
-    designCosAgainstPool(vectors, pool, k, idCol, vecCol,
+    designCosMilliAgainstPool(vectors, pool, k, idCol, vecCol,
       math.min(TopKDesignProbeQueries.toLong, n))
   }
 
-  /** Shared probe core: median kth-neighbor cosine of the bounded
-    * query probe (the [[TopKDesignProbeQueries]] smallest ids of
-    * `vectors`) against `pool` (the full corpus for the exact probe, a
-    * hash sample for [[topKDesignCosSampled]]). `nQueries` is the
-    * probe's realized size (min(probe limit, corpus)) — known to both
-    * callers without a job. A probe query with FEWER than k pool
-    * candidates has no rn = k row; it is padded with the −0.99 floor
-    * rather than silently dropped (r15 review): dropping would take
-    * the sampled median over a different query set than the exact
-    * median, which can break the sampled ≤ exact safe-direction
-    * inequality when the realized pool is barely above k. The floor
-    * pad is trivially ≤ any exact kth cosine, so the inequality is
-    * unconditional. */
-  private def designCosAgainstPool(vectors: DataFrame, pool: DataFrame,
-      k: Int, idCol: String, vecCol: String, nQueries: Long): Double = {
-    val probe = vectors.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(TopKDesignProbeQueries)
-    val found = bruteForceTopKQueriesBroadcast(probe, pool, k, idCol, vecCol)
+  /** Shared probe core: median kth-neighbor QUANTIZED cosine (integer
+    * thousandths, exact floor) of the bounded query probe (the
+    * [[TopKDesignProbeQueries]] smallest ids of `vectors`) against
+    * `pool` (the full corpus for the exact probe, a hash sample for
+    * [[topKDesignCosSampledMilli]]). `nQueries` is the probe's
+    * realized size (min(probe limit, corpus)) — known to both callers
+    * without a job. A probe query with FEWER than k pool candidates
+    * has no rn = k row; it is padded with the −990 floor rather than
+    * silently dropped (r15 review): dropping would take the sampled
+    * median over a different query set than the exact median, which
+    * can break the sampled ≤ exact safe-direction inequality when the
+    * realized pool is barely above k. The floor pad is trivially ≤ any
+    * exact kth value, so the inequality is unconditional (floors are
+    * monotone, so the r15 proof carries over to the quantized values
+    * unchanged).
+    *
+    * The exact floor: v = 1000·dot/√(|q|²·|c|²) over the quantized
+    * integer vectors; a double ESTIMATE of floor(v) (absolute error
+    * ≪ 1 at |v| ≤ 1000) is corrected against the defining inequality
+    * c ≤ v ⟺ sign-aware square compare in decimal(38,0) — so the
+    * result is the true floor regardless of float rounding, and the
+    * DuckDB oracle's HUGEINT replay lands on the same integer. */
+  private def designCosMilliAgainstPool(vectors: DataFrame, pool: DataFrame,
+      k: Int, idCol: String, vecCol: String, nQueries: Long): Int = {
+    def quantized(df: DataFrame, id: String, vq: String, n2: String) =
+      df.select(col(idCol).cast("long").as(id),
+          transform(col(vecCol),
+            x => floor(x.cast("double") * lit(1000)).cast("long")).as(vq))
+        .withColumn(n2,
+          aggregate(col(vq), lit(0L), (s, v) => s + v * v))
+    val probe = quantized(
+      vectors.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+        .limit(TopKDesignProbeQueries), "query_id", "qq", "qn2")
+    val cand = quantized(pool, "neighbor_id", "cq", "cn2")
+    val dot = aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
+      lit(0L), (s, v) => s + v)
+    val dec = "decimal(38,0)"
+    // c ≤ 1000·dot/√m2 ⟺ sign-aware square compare, exact in decimal
+    def le(c: Column, dotC: Column, m2: Column): Column = {
+      val lhs = (c * c).cast(dec) * m2
+      val rhs = dotC.cast(dec) * dotC.cast(dec) * lit(1000000L).cast(dec)
+      when(c <= 0 && dotC >= 0, lit(true))
+        .when(c > 0 && dotC < 0, lit(false))
+        .when(c > 0, lhs <= rhs)
+        .otherwise(lhs >= rhs)
+    }
+    val scored = cand.join(broadcast(probe),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dot)
+      .withColumn("m2", col("qn2").cast(dec) * col("cn2").cast(dec))
+      // clamp in DOUBLE before the long cast: a zero-norm pair divides
+      // by zero (±Inf/NaN) and ANSI mode would throw on the cast; the
+      // clamped estimate is then overridden by fm's zero-norm branch
+      .withColumn("f0", greatest(lit(-1001.0), least(lit(1001.0),
+        floor(lit(1000.0) * col("dot") /
+          sqrt(col("qn2").cast("double") * col("cn2").cast("double")))))
+        .cast("long"))
+      .withColumn("fm",
+        when(col("qn2") === 0 || col("cn2") === 0, lit(0L))
+          .when(!le(col("f0"), col("dot"), col("m2")), col("f0") - 1)
+          .when(le(col("f0") + 1, col("dot"), col("m2")), col("f0") + 1)
+          .otherwise(col("f0")))
+    val found = graft.ops.TopK.viaAggregator(
+        scored.select(col("query_id"), col("neighbor_id"),
+          col("fm").cast("double").as("fm")),
+        "query_id", "neighbor_id", "fm", k)
       .filter(col("rn") === k)
-      .select(col("cos")).collect().map(_.getDouble(0))
-    require(nQueries > 0, s"topKDesignCos: empty corpus")
+      .select(col("fm")).collect().map(_.getDouble(0).toInt)
+    require(nQueries > 0, s"topKDesignCosMilli: empty corpus")
     require(found.nonEmpty,
-      s"topKDesignCos: no probe query has k=$k pool candidates — the " +
+      s"topKDesignCosMilli: no probe query has k=$k pool candidates — the " +
         "corpus (or the sample pool) is too small for this k")
     val kth = (found ++
-      Array.fill((nQueries - found.length).toInt.max(0))(-0.99)).sorted
-    math.min(math.max(kth(kth.length / 2), -0.99), 0.99)
+      Array.fill((nQueries - found.length).toInt.max(0))(-990)).sorted
+    math.min(math.max(kth(kth.length / 2), -990), 990)
   }
 
   /** The occupancy-preserving nPlanes for a corpus: smallest plane
@@ -532,30 +602,95 @@ object Similarity {
         * math.pow(1.0 - p, i.toDouble)).sum
   }
 
-  def lshTablesFor(nPlanes: Int, designCos: Double,
-      targetRecall: Double = 0.9, probeRadius: Int = 0): Int = {
-    require(designCos > -1.0 && designCos < 1.0, "designCos in (-1, 1)")
-    require(targetRecall > 0.0 && targetRecall < 1.0, "targetRecall in (0, 1)")
+  // ---- integer derivation chain (r17, VERDICT r16 "Next round" #3):
+  // every step from the quantized design cosine to the table count is
+  // exact integer arithmetic an external engine replays bit-for-bit —
+  // the lshPlanesFor no-wobble discipline extended to the recall side.
+  // The ONLY float left is acos, evaluated ONCE per quantized input by
+  // [[bitAgreementPpm]]; the DuckDB oracles embed its values as a
+  // Scala-GENERATED integer list (the lshTablesCaseSql precedent), so
+  // no transcendental ever crosses engines.
+
+  /** Per-bit sign-agreement probability p = 1 − acos(c)/π for a pair
+    * at design cosine `designCosMilli`/1000, floored to ppm. A pure
+    * math table over the quantized domain — corpus-independent. */
+  def bitAgreementPpm(designCosMilli: Int): Long = {
+    require(designCosMilli >= -990 && designCosMilli <= 990,
+      s"designCosMilli $designCosMilli outside the probe's clamp [-990, 990]")
+    math.floor(
+      (1.0 - math.acos(designCosMilli / 1000.0) / math.Pi) * 1e6).toLong
+  }
+
+  /** ppm^e with floor at EVERY multiply — the rounding both engines
+    * replay identically (intermediates ≤ 1e12, no overflow). */
+  def powPpm(ppm: Long, e: Int): Long = {
+    require(ppm >= 0L && ppm <= 1000000L && e >= 0)
+    var r = 1000000L
+    var i = 0
+    while (i < e) { r = r * ppm / 1000000L; i += 1 }
+    r
+  }
+
+  /** Per-table candidate-collision probability in ppm for a pair at
+    * bit-agreement `pPpm` when each query probes its own bucket plus
+    * every bucket within Hamming distance `radius` (multi-probe, Lv et
+    * al. VLDB 2007 on sign buckets): Σ_{i≤radius} C(nPlanes,i) ·
+    * p^(nPlanes−i) · (1−p)^i, each term floored through [[powPpm]].
+    * Flooring only UNDER-states the probability, which over-provisions
+    * tables — the safe direction, same as the sampled design probe. */
+  def multiProbeCollisionPpm(nPlanes: Int, pPpm: Long, radius: Int): Long = {
+    require(radius >= 0 && radius <= 2, "probe radius 0..2 supported")
+    require(pPpm >= 0L && pPpm <= 1000000L)
+    val qPpm = 1000000L - pPpm
+    val t0 = powPpm(pPpm, nPlanes)
+    val t1 = if (radius >= 1)
+      nPlanes.toLong * (powPpm(pPpm, nPlanes - 1) * qPpm / 1000000L)
+    else 0L
+    val t2 = if (radius >= 2)
+      (nPlanes.toLong * (nPlanes - 1) / 2) *
+        (powPpm(pPpm, nPlanes - 2) * (qPpm * qPpm / 1000000L) / 1000000L)
+    else 0L
+    t0 + t1 + t2
+  }
+
+  /** Smallest table count holding overall recall
+    * 1 − (1 − perTable)^t ≥ target at the DESIGN similarity — fully
+    * integer since r17: the loop multiplies the miss probability in
+    * ppm with floor rounding until it drops under (1e6 − target),
+    * exactly the iteration the DuckDB oracle replays as a recursive
+    * CTE, so the derived count is engine-independent BY CONSTRUCTION
+    * (the float log1p/ceil chain could flip on an acos ulp).
+    *
+    * Same honest scaling law and REGIME LIMIT as ever (see the r12-r14
+    * scaladoc history in git): under occupancy scaling tables grow
+    * ∝ n^log₂(1/p); boundary-grade pairs are unrecoverable by table
+    * count — the 4096 guard says so loudly instead of silently
+    * under-recalling. */
+  def lshTablesFor(nPlanes: Int, designCosMilli: Int,
+      targetRecallPpm: Long = NearDupTargetRecallPpm,
+      probeRadius: Int = 0): Int = {
+    require(targetRecallPpm > 0L && targetRecallPpm < 1000000L,
+      "targetRecallPpm in (0, 1e6)")
     require(nPlanes >= 1 && nPlanes < 62)
-    val p = 1.0 - math.acos(designCos) / math.Pi
-    val perTable = multiProbeCollisionProb(nPlanes, p, probeRadius)
-    // guard the degenerate regime (perTable ~ 0 would demand millions
-    // of tables): cap at a loud, clearly-diagnostic bound instead of
-    // returning a silently-useless astronomically large count
-    val raw = math.log1p(-targetRecall) / math.log1p(-perTable)
-    val t = math.ceil(raw).toInt.max(1)
-    require(t <= 4096,
-      f"lshTablesFor: holding recall $targetRecall%.2f at designCos=$designCos " +
-        f"needs $raw%.0f tables at nPlanes=$nPlanes — the operating point is " +
-        "outside sign-LSH's useful regime; raise the design similarity, use " +
-        "multi-probe, or prefilter (PQ/SemDeDup)")
+    val pPpm = bitAgreementPpm(designCosMilli)
+    val perTablePpm = multiProbeCollisionPpm(nPlanes, pPpm, probeRadius)
+    val missLimitPpm = 1000000L - targetRecallPpm
+    val missPpm = 1000000L - perTablePpm
+    var t = 1
+    var r = missPpm
+    while (r > missLimitPpm && t < 4096) { r = r * missPpm / 1000000L; t += 1 }
+    require(r <= missLimitPpm,
+      s"lshTablesFor: holding recall ${targetRecallPpm}ppm at designCosMilli=" +
+        s"$designCosMilli needs > 4096 tables at nPlanes=$nPlanes — the " +
+        "operating point is outside sign-LSH's useful regime; raise the " +
+        "design similarity, use multi-probe, or prefilter (PQ/SemDeDup)")
     t
   }
 
   /** Portable twin of [[lshTopK]] — same zero-knob defaults since r14
     * (`nPlanes = 0` ⇒ [[autoPlanes]] at [[TopKOccupancy]];
-    * `nTables = 0` ⇒ [[lshTablesFor]] at [[topKDesignCos]] holding
-    * [[TopKTargetRecall]]), probing at [[TopKProbeRadius]] since r16
+    * `nTables = 0` ⇒ [[lshTablesFor]] at [[topKDesignCosMilli]] holding
+    * [[TopKTargetRecallPpm]]), probing at [[TopKProbeRadius]] since r16
     * (radius 1 dominates single-probe — fewer derived tables at held
     * recall; radius 0 stays reachable and is what the pinned
     * single-probe math gates pass). */
@@ -566,8 +701,8 @@ object Similarity {
     val planes = if (nPlanes > 0) nPlanes
       else autoPlanes(vectors, TopKOccupancy)
     val numTables = if (nTables > 0) nTables
-      else lshTablesFor(planes, topKDesignCos(vectors, k, idCol, vecCol),
-        TopKTargetRecall, probeRadius)
+      else lshTablesFor(planes, topKDesignCosMilli(vectors, k, idCol, vecCol),
+        TopKTargetRecallPpm, probeRadius)
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     val withB = portableBuckets(vectors, planes, dim, numTables, idCol, vecCol)
     selfTopKFromBuckets(base, withB, k, probeRadius, planes)
@@ -676,7 +811,7 @@ object Similarity {
     * ~linear. Recall lost to extra planes at larger corpora is
     * recovered by raising nTables — and since r13 the DEFAULT
     * (`nTables = 0`) derives it: [[lshTablesFor]] at
-    * [[NearDupDesignCos]], so recall at the design similarity is held
+    * [[NearDupDesignCosMilli]], so recall at the design similarity is held
     * with no manual table choice. r12 measured why a fixed count is
     * wrong: dup-grade recall 0.998 → 0.855 across 100× corpus growth
     * at the old fixed 8 tables; the derived count restored 0.943 (and
@@ -697,7 +832,7 @@ object Similarity {
     val planes = if (nPlanes > 0) nPlanes
       else autoPlanes(vectors, NearDupOccupancy)
     val tables = if (nTables > 0) nTables
-      else lshTablesFor(planes, NearDupDesignCos, probeRadius = probeRadius)
+      else lshTablesFor(planes, NearDupDesignCosMilli, probeRadius = probeRadius)
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     val withB = portableBuckets(vectors, planes, dim, tables, idCol, vecCol)
     val masks = array(probeMasks(planes, probeRadius).map(lit): _*)
@@ -868,7 +1003,7 @@ object Similarity {
     * product is DuckDB-replayable. Recall at scale: the pair stage is
     * [[lshNearDupPairsPortable]], so the r12 measurements apply — and
     * the default (`nTables = 0`, r13) inherits its derivation:
-    * [[lshTablesFor]] at [[NearDupDesignCos]] for the given `nPlanes`,
+    * [[lshTablesFor]] at [[NearDupDesignCosMilli]] for the given `nPlanes`,
     * so dup-grade recall no longer decays silently as a corpus-derived
     * `nPlanes` grows. Pass `nTables > 0` to pin an explicit count. */
   def semanticDedup(vectors: DataFrame, threshold: Double, nPlanes: Int,

@@ -609,8 +609,11 @@ object Extras {
         unix_micros(col("t_3")).as("t3_us"))
       .orderBy(col("user_id"))
 
-  private val funnelWindowCtes =
-    """e AS (SELECT user_id, event_type AS t, ts FROM events),
+  /** The funnel running-min CTE chain over an arbitrary events
+    * relation `src` — shared by the plain oracles (src = events) and
+    * q153's bounded-replay oracle (src = the replay slice). */
+  private def funnelWindowCtesFrom(src: String) =
+    s"""e AS (SELECT user_id, event_type AS t, ts FROM $src),
       |w1 AS (SELECT user_id, t, ts,
       |  min(CASE WHEN t = 'view' THEN ts END) OVER
       |    (PARTITION BY user_id ORDER BY ts
@@ -628,7 +631,25 @@ object Extras {
       |  FROM w2 GROUP BY user_id)""".stripMargin
 
   private def funnelStepsOracle: String =
-    s"""WITH $funnelWindowCtes
+    s"""WITH ${funnelWindowCtesFrom("events")}
+       |SELECT user_id, epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us,
+       |       epoch_us(t3) AS t3_us
+       |FROM per ORDER BY user_id""".stripMargin
+
+  /** q153's oracle: q122's funnel fold over the SAME bounded replay
+    * slice the stream consumes (first [[ReplayUsers]] users, earliest
+    * [[ReplayEventsPerUser]] events per user in (ts, event_id) order)
+    * — at sf0.01 the slice is the whole table, at any sf the two sides
+    * compute over identical rows by construction. */
+  private def funnelUnorderedStreamOracle: String =
+    s"""WITH ulim AS (SELECT user_id FROM events
+       |              GROUP BY user_id ORDER BY user_id LIMIT $ReplayUsers),
+       |ecap AS (SELECT user_id, event_type, ts,
+       |    row_number() OVER (PARTITION BY user_id
+       |                       ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events WHERE user_id IN (SELECT user_id FROM ulim)),
+       |${funnelWindowCtesFrom(
+              s"(SELECT user_id, event_type, ts FROM ecap WHERE rn <= $ReplayEventsPerUser)")}
        |SELECT user_id, epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us,
        |       epoch_us(t3) AS t3_us
        |FROM per ORDER BY user_id""".stripMargin
@@ -640,7 +661,7 @@ object Extras {
       "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
 
   private def funnelSummaryOracle: String =
-    s"""WITH $funnelWindowCtes,
+    s"""WITH ${funnelWindowCtesFrom("events")},
        |c AS (SELECT count(t1)::BIGINT AS n1, count(t2)::BIGINT AS n2,
        |             count(t3)::BIGINT AS n3 FROM per)
        |SELECT 1::INTEGER AS step, 'view' AS step_type, n1 AS n_reached,
@@ -704,12 +725,20 @@ object Extras {
     * fold over the same events) made driver-checkable, moving the
     * last major r9 operator from spec-only to a green gate.
     *
-    * Mechanics: the events fixture is collected (replay vehicle only
-    * — 10k rows at the gate's sf0.01, bounded and documented),
-    * seed-shuffled, and replayed through a MemoryStream in 4
-    * arbitrary waves with a watermark delay wider than the fixture's
-    * event-time span, so every event is in-contract whatever wave it
-    * lands in. Two sentinel flush events then advance the watermark
+    * Mechanics: a BOUNDED-BY-CONSTRUCTION replay slice of the events
+    * fixture is collected (MemoryStream needs driver-side rows): the
+    * first [[ReplayUsers]] user_ids (sorted) and each kept user's
+    * earliest [[ReplayEventsPerUser]] events (row_number over
+    * (ts, event_id) — a total order, so the cut set is deterministic
+    * and oracle-replayable), ≤ 512k rows at ANY sf — r17, VERDICT r16
+    * "What's wrong" #2: the previous full-table collect was bounded
+    * only by the fixture, which is not a bound. At the gate's sf0.01
+    * (150 users, ~67 events/user) the slice IS the whole table, but
+    * the oracle expresses the slice too, so the gate stays honest at
+    * any scale. The slice is then seed-shuffled and replayed through
+    * a MemoryStream in 4 arbitrary waves with a watermark delay wider
+    * than the slice's event-time span, so every event is in-contract
+    * whatever wave it lands in. Two sentinel flush events then advance the watermark
     * past every real timestamp and fire the armed event-time
     * timeouts, so the buffers DRAIN through the fold path — the gate
     * exercises finalization, not just the lookahead. Per-user final
@@ -719,12 +748,27 @@ object Extras {
     * Determinism does not depend on the shuffle seed: ANY arrival
     * order inside the delay window folds to the batch answer, which
     * is exactly what the oracle verifies. */
+  /** Replay-slice bounds for [[funnelUnorderedStream]] — the collect
+    * is ≤ ReplayUsers × ReplayEventsPerUser rows by construction. */
+  val ReplayUsers = 1000
+  val ReplayEventsPerUser = 512
+
   def funnelUnorderedStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
     val steps = Seq("view", "click", "purchase")
-    val all = Tables.events(spark, dir)
-      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"event_id",
+        unix_micros($"ts").as("us"))
+    val keptUsers = ev.select($"user_id").distinct()
+      .orderBy($"user_id").limit(ReplayUsers)
+    val perUser = Window.partitionBy($"user_id")
+      .orderBy($"us", $"event_id")
+    val all = ev.join(broadcast(keptUsers), Seq("user_id"))
+      .withColumn("__rn", row_number().over(perUser))
+      .filter($"__rn" <= ReplayEventsPerUser)
+      .select($"user_id", $"event_type", $"us")
       .as[(Long, String, Long)].collect()
     val shuffled = new scala.util.Random(153).shuffle(all.toSeq)
     val maxUs = all.iterator.map(_._3).max
@@ -903,7 +947,7 @@ object Extras {
   }
 
   private def funnelTtcOracle: String =
-    s"""WITH $funnelWindowCtes,
+    s"""WITH ${funnelWindowCtesFrom("events")},
        |conv AS (SELECT (epoch_us(t3) - epoch_us(t1)) // 1000000 AS sec
        |         FROM per WHERE t3 IS NOT NULL)
        |SELECT count(*)::BIGINT AS n_converted,
@@ -1276,7 +1320,7 @@ object Extras {
     QueryDef("q122b_funnel_summary", funnelSummary, Some(funnelSummaryOracle)),
     QueryDef("q129_funnel_horizon", funnelHorizon, Some(funnelHorizonOracle)),
     QueryDef("q153_funnel_unordered_stream", funnelUnorderedStream,
-      Some(funnelStepsOracle)),
+      Some(funnelUnorderedStreamOracle)),
     QueryDef("q130_interval_join", intervalOverlapJoin,
       Some(intervalOverlapOracle)),
     QueryDef("q131_hll_reaggregate", hllReaggregate,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Sampled-vs-exact design-probe cost probe (r15, VERDICT r14 #3):
-  * [[Similarity.topKDesignCos]]'s exact probe is one full corpus scan
+  * [[Similarity.topKDesignCosMilli]]'s exact probe is one full corpus scan
   * per (plan, k); past [[Similarity.TopKDesignSampleThreshold]] the
   * dispatch switches to a constant-size hash-sampled neighbor pool.
   * This measures both paths on the amplified corpus at each factor:
@@ -65,23 +65,23 @@ object DesignCosProbe {
       // calling the sampled entry with target >= n — degenerates to
       // the exact pool per the spec-pinned contract)
       val (exact, tEx) = timed(
-        Similarity.topKDesignCosSampled(emb, 5, sampleTarget = n + 1))
+        Similarity.topKDesignCosSampledMilli(emb, 5, sampleTarget = n + 1))
       // sampled at the production pool size
-      val (sampled, tSa) = timed(Similarity.topKDesignCosSampled(emb, 5,
+      val (sampled, tSa) = timed(Similarity.topKDesignCosSampledMilli(emb, 5,
         Similarity.TopKDesignSampleSize))
       // derived at the production probe radius (r16 default)
       val tablesExact = Similarity.lshTablesFor(planes, exact,
-        Similarity.TopKTargetRecall, Similarity.TopKProbeRadius)
+        Similarity.TopKTargetRecallPpm, Similarity.TopKProbeRadius)
       val tablesSampled = Similarity.lshTablesFor(planes, sampled,
-        Similarity.TopKTargetRecall, Similarity.TopKProbeRadius)
+        Similarity.TopKTargetRecallPpm, Similarity.TopKProbeRadius)
       System.err.println(f"[designcos] ${f}x n=$n%,d planes=$planes " +
-        f"exact=$exact%.4f (t=$tEx%.1f s, tables=$tablesExact) " +
-        f"sampled=$sampled%.4f (t=$tSa%.1f s, tables=$tablesSampled) " +
-        f"safe=${sampled <= exact + 1e-12}")
+        f"exactMilli=$exact (t=$tEx%.1f s, tables=$tablesExact) " +
+        f"sampledMilli=$sampled (t=$tSa%.1f s, tables=$tablesSampled) " +
+        f"safe=${sampled <= exact}")
       // the PRODUCTION entry (threshold dispatch + memo) — proves the
       // zero-knob operator takes the sampled path past the threshold
-      val (dispatch, tDi) = timed(Similarity.topKDesignCos(emb, 5))
-      System.err.println(f"[designcos] ${f}x dispatch=$dispatch%.4f " +
+      val (dispatch, tDi) = timed(Similarity.topKDesignCosMilli(emb, 5))
+      System.err.println(f"[designcos] ${f}x dispatchMilli=$dispatch " +
         f"(t=$tDi%.1f s, path=${
           if (n > Similarity.TopKDesignSampleThreshold) "SAMPLED"
           else "exact"})")

@@ -120,7 +120,7 @@ object LshRecallProbe {
     if (!topkOnly) {
     val planes1 = Similarity.autoPlanes(emb1, Similarity.NearDupOccupancy)
     val planesN = Similarity.autoPlanes(embN, Similarity.NearDupOccupancy)
-    val tablesDerived = Similarity.lshTablesFor(planesN, designCos = 0.9)
+    val tablesDerived = Similarity.lshTablesFor(planesN, designCosMilli = 900)
     System.err.println(s"[lshrecall] planes1=$planes1 planesN=$planesN " +
       s"tablesFor(designCos=0.9, recall=0.9)=$tablesDerived")
 
@@ -162,7 +162,7 @@ object LshRecallProbe {
         .cache()
       val nPT = pTruth.count()
       val planes = Similarity.autoPlanes(planted, Similarity.NearDupOccupancy)
-      val tDer = Similarity.lshTablesFor(planes, designCos = 0.9)
+      val tDer = Similarity.lshTablesFor(planes, designCosMilli = 900)
       // the derived leg runs the operator DEFAULT (nTables omitted) —
       // the r13 wiring under test; 8 stays the explicit old fixed point
       for (tables <- Seq(8, tDer).distinct) {
@@ -181,7 +181,7 @@ object LshRecallProbe {
       }
       // r14 multi-probe near-dup leg: radius 1 derives ~4x fewer
       // tables at the design cos; recall should hold the same target
-      val tDerMp = Similarity.lshTablesFor(planes, designCos = 0.9,
+      val tDerMp = Similarity.lshTablesFor(planes, designCosMilli = 900,
         probeRadius = 1)
       val (fpMp, tpMp) = timed(stage(s"plfound_${nClusters}_mp",
         Similarity.lshNearDupPairsPortable(planted, Threshold, planes,
@@ -214,15 +214,15 @@ object LshRecallProbe {
       val truthK = stage(s"topktruth$f", bruteTruth(emb)).cache()
       val nT = truthK.count()
       val planes = Similarity.autoPlanes(emb, Similarity.TopKOccupancy)
-      val design = Similarity.topKDesignCos(emb, 5)
+      val design = Similarity.topKDesignCosMilli(emb, 5)
       val derived = Similarity.lshTablesFor(planes, design,
-        Similarity.TopKTargetRecall)
+        Similarity.TopKTargetRecallPpm)
       def score(lbl: String, res: DataFrame, secs: Double): Unit = {
         val hits = res.filter(col("query_id") < 20)
           .select(col("query_id"), col("neighbor_id"))
           .join(truthK, Seq("query_id", "neighbor_id")).count()
         System.err.println(f"[lshrecall] topk ${f}x n=${emb.count()}%,d " +
-          f"planes=$planes designCos=$design%.3f tables=$lbl " +
+          f"planes=$planes designCosMilli=$design tables=$lbl " +
           f"recall@5=${hits.toDouble / nT}%.3f (truth=$nT) t=$secs%.1f s")
       }
       if (!mpOnly) for (tables <- Seq(8, derived).distinct) {
@@ -240,7 +240,7 @@ object LshRecallProbe {
       // at a collision-prob-ratio fewer tables than single-probe
       val radius = sys.env.getOrElse("SPARK_GRAFT_TOPK_PROBE_RADIUS", "1").toInt
       val derivedR = Similarity.lshTablesFor(planes, design,
-        Similarity.TopKTargetRecall, probeRadius = radius)
+        Similarity.TopKTargetRecallPpm, probeRadius = radius)
       val (resMp, secsMp) = timed(stage(s"topkres_${f}_mp",
         Similarity.lshTopKPortableMultiProbe(emb, k = 5, nPlanes = planes,
           dim = 64, probeRadius = radius)))

@@ -31,7 +31,7 @@ class AnnIndexSnapshotSpec extends SparkSpec {
     assert(!idx2.createdParams, "cold session recreated the params snapshot")
     assert(!idx2.createdBuckets, "cold session recreated the bucket snapshot")
     assert(idx2.planes == idx1.planes && idx2.tables == idx1.tables
-      && idx2.designCos == idx1.designCos)
+      && idx2.designCosMilli == idx1.designCosMilli)
     val buckets2 = idx2.buckets
       .as[(Long, Int, Long)](org.apache.spark.sql.Encoders.product)
       .collect().toSet

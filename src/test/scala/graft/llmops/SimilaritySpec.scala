@@ -40,20 +40,55 @@ class SimilaritySpec extends SparkSpec {
       s"recall ${recalled.toDouble / brute.size} too low")
   }
 
-  test("topKDesignCos is the median kth-neighbor cosine; derived-table " +
-      "default holds the recall band with no manual choice") {
+  test("topKDesignCosMilli is the exact-floor median kth-neighbor " +
+      "quantized cosine; derived-table default holds the recall band") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001).cache()
-    // independent truth for the design grade: per-query 5th-best cosine
-    // over all pairs, median across the 64 smallest query ids
-    val kth = Similarity.bruteForceTopK(
+    // independent EXACT truth for the integer probe (r17): recompute
+    // the whole chain locally with BigInt floors over the collected
+    // quantized vectors — any float shortcut in the operator's
+    // decimal-adjusted floor would diverge from this
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) =>
+        id -> v.map(x => math.floor(x.toDouble * 1000).toLong).toArray }
+      .toMap
+    def floorMilli(dot: Long, m2: BigInt): Int = {
+      if (m2 == 0) return 0
+      def le(c: Long): Boolean =
+        if (c <= 0 && dot >= 0) true
+        else if (c > 0 && dot < 0) false
+        else if (c > 0) BigInt(c) * c * m2 <= BigInt(1000000L) * dot * dot
+        else BigInt(c) * c * m2 >= BigInt(1000000L) * dot * dot
+      // exact floor by downward scan from the certain upper bound
+      var c = 1000L
+      while (!le(c)) c -= 1
+      c.toInt
+    }
+    val probeIds = vecs.keys.toSeq.sorted.take(Similarity.TopKDesignProbeQueries)
+    val kthVals = probeIds.map { q =>
+      val qv = vecs(q)
+      val qn2 = BigInt(qv.map(x => x * x).sum)
+      val ks = vecs.toSeq.filter(_._1 != q).map { case (_, cv) =>
+        val dot = qv.zip(cv).map { case (a, b) => a * b }.sum
+        val cn2 = BigInt(cv.map(x => x * x).sum)
+        floorMilli(dot, qn2 * cn2)
+      }.sorted(Ordering[Int].reverse)
+      if (ks.length >= 5) ks(4) else -990
+    }.sorted
+    val expected = math.min(math.max(kthVals(kthVals.length / 2), -990), 990)
+    val got = Similarity.topKDesignCosMilli(emb, 5)
+    assert(got == expected,
+      s"topKDesignCosMilli $got != BigInt-exact truth $expected")
+    // and it tracks the float kth-neighbor median within quantization
+    // noise (|cos_q - cos_f| <= ~4e-3 at this corpus's norms)
+    val kthF = Similarity.bruteForceTopK(
         emb.orderBy($"vec_id").limit(Similarity.TopKDesignProbeQueries),
         emb, 5)
       .filter($"rn" === 5).select($"cos").as[Double].collect().sorted
-    val expected = kth(kth.length / 2)
-    val got = Similarity.topKDesignCos(emb, 5)
-    assert(math.abs(got - expected) < 1e-9,
-      s"topKDesignCos $got != window-truth median $expected")
-    assert(got > 0.0 && got < 1.0)
+    assert(math.abs(got / 1000.0 - kthF(kthF.length / 2)) < 0.01,
+      s"quantized design grade $got drifted from float median ${
+        kthF(kthF.length / 2)}")
+    assert(got > 0 && got < 1000)
 
     // the ZERO-KNOB path (r14): planes AND tables both derived —
     // autoPlanes at TopKOccupancy, lshTablesFor at the measured design
@@ -78,29 +113,29 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b, "zero-knob near-dup diverges from explicit autoPlanes")
   }
 
-  test("topKDesignCosSampled (r15): sampled <= exact (the safe direction) " +
-      "and derived tables at the sampled point can only grow") {
+  test("topKDesignCosSampledMilli (r15): sampled <= exact (the safe " +
+      "direction) and derived tables at the sampled point can only grow") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001).cache()
-    val exact = Similarity.topKDesignCos(emb, 5)
+    val exact = Similarity.topKDesignCosMilli(emb, 5)
     // force sampling well below the fixture's 500 vectors at several
     // pool sizes: the subset kth-neighbor inequality must hold at each
+    // (floors are monotone, so the r15 proof survives quantization)
     for (target <- Seq(50L, 100L, 250L)) {
-      val sampled = Similarity.topKDesignCosSampled(emb, 5, target)
-      assert(sampled <= exact + 1e-12,
-        s"sampled designCos $sampled (target=$target) above exact $exact — " +
-          "the safe-direction inequality is violated")
+      val sampled = Similarity.topKDesignCosSampledMilli(emb, 5, target)
+      assert(sampled <= exact,
+        s"sampled designCosMilli $sampled (target=$target) above exact " +
+          s"$exact — the safe-direction inequality is violated")
       // and the derivation it feeds over-provisions, never under
       val planes = Similarity.autoPlanes(emb, Similarity.TopKOccupancy)
       val tExact = Similarity.lshTablesFor(planes, exact,
-        Similarity.TopKTargetRecall)
+        Similarity.TopKTargetRecallPpm)
       val tSampled = Similarity.lshTablesFor(planes, sampled,
-        Similarity.TopKTargetRecall)
+        Similarity.TopKTargetRecallPpm)
       assert(tSampled >= tExact,
         s"sampled point derives FEWER tables ($tSampled < $tExact)")
     }
     // a sample target >= the corpus degenerates to the exact probe
-    assert(math.abs(
-      Similarity.topKDesignCosSampled(emb, 5, 1000000L) - exact) < 1e-12)
+    assert(Similarity.topKDesignCosSampledMilli(emb, 5, 1000000L) == exact)
   }
 
   test("bruteForceTopKQueriesBroadcast == bruteForceTopK (mirror shapes)") {
@@ -132,6 +167,16 @@ class SimilaritySpec extends SparkSpec {
       val closed = Similarity.multiProbeCollisionProb(n, p, r)
       assert(math.abs(closed - exhaustive) < 1e-12,
         s"n=$n p=$p r=$r: closed $closed vs exhaustive $exhaustive")
+      // the integer ppm chain (r17 — the production derivation): each
+      // floor only LOWERS a term, so ppm <= closed (the safe
+      // direction), and the cumulative floor loss over <= n multiplies
+      // per term is bounded by a few ppm per step
+      val ppm = Similarity.multiProbeCollisionPpm(n,
+        math.floor(p * 1e6).toLong, r)
+      assert(ppm <= math.ceil(closed * 1e6).toLong,
+        s"n=$n p=$p r=$r: ppm chain $ppm above closed form $closed")
+      assert(ppm >= math.floor(closed * 1e6).toLong - 6L * (n + 2),
+        s"n=$n p=$p r=$r: ppm chain $ppm drifted below closed form $closed")
     }
   }
 
@@ -173,16 +218,20 @@ class SimilaritySpec extends SparkSpec {
 
     // the derivation: radius 1 needs strictly fewer tables at any
     // operating point where single-probe needs > 1
-    for (planes <- Seq(6, 10, 13); cos <- Seq(0.45, 0.9)) {
-      val t0 = Similarity.lshTablesFor(planes, cos, 0.5, probeRadius = 0)
-      val t1 = Similarity.lshTablesFor(planes, cos, 0.5, probeRadius = 1)
+    for (planes <- Seq(6, 10, 13); cq <- Seq(450, 900)) {
+      val t0 = Similarity.lshTablesFor(planes, cq, 500000L, probeRadius = 0)
+      val t1 = Similarity.lshTablesFor(planes, cq, 500000L, probeRadius = 1)
       assert(t1 <= t0)
-      if (t0 > 1) assert(t1 < t0, s"no table saving at planes=$planes cos=$cos")
+      if (t0 > 1) assert(t1 < t0, s"no table saving at planes=$planes cq=$cq")
     }
-    // the r14 100x top-k operating point (designCos 0.45, planes 13):
-    // single-probe 193 tables, radius 1 just 24 -- the 8x saving
-    assert(Similarity.lshTablesFor(13, 0.45, 0.5, probeRadius = 0) == 193)
-    assert(Similarity.lshTablesFor(13, 0.45, 0.5, probeRadius = 1) == 24)
+    // the r14 100x top-k operating point (designCosMilli 450, planes
+    // 13): single-probe 193 tables, radius 1 just 24 — the 8x saving.
+    // The r17 integer chain reproduces the float chain's value at
+    // every pinned point (floor loss over <= 13 ppm multiplies never
+    // crosses a ceil boundary here — checked over the full 27-point
+    // sweep below too).
+    assert(Similarity.lshTablesFor(13, 450, 500000L, probeRadius = 0) == 193)
+    assert(Similarity.lshTablesFor(13, 450, 500000L, probeRadius = 1) == 24)
 
     // near-dup multi-probe: radius 1 at the same planes/tables finds a
     // SUPERSET of the single-probe pairs, and every pair still carries
@@ -333,25 +382,30 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.lshPlanesFor(Long.MaxValue, 8) == 60)
   }
 
-  test("lshTablesFor: minimal table count achieving the recall target") {
+  test("lshTablesFor: minimal table count achieving the recall target " +
+      "(integer chain == float-minimal across the full sweep)") {
     // r12 (the recall side of the occupancy discipline): the returned
-    // count achieves 1-(1-p^planes)^tables >= target and is minimal
+    // count achieves 1-(1-p^planes)^tables >= target and is minimal —
+    // the r17 integer chain must still land on the FLOAT-exact minimal
+    // count at every swept point (floor loss never crosses a boundary)
     def overall(planes: Int, cos: Double, tables: Int): Double = {
       val p = 1.0 - math.acos(cos) / math.Pi
       1.0 - math.pow(1.0 - math.pow(p, planes.toDouble), tables.toDouble)
     }
-    for (planes <- Seq(4, 6, 13); cos <- Seq(0.8, 0.9, 0.95);
-         target <- Seq(0.5, 0.9, 0.99)) {
-      val t = Similarity.lshTablesFor(planes, cos, target)
-      assert(overall(planes, cos, t) >= target, s"($planes,$cos,$target)->$t")
+    for (planes <- Seq(4, 6, 13); cq <- Seq(800, 900, 950);
+         targetPpm <- Seq(500000L, 900000L, 990000L)) {
+      val cos = cq / 1000.0
+      val target = targetPpm / 1e6
+      val t = Similarity.lshTablesFor(planes, cq, targetPpm)
+      assert(overall(planes, cos, t) >= target, s"($planes,$cq,$targetPpm)->$t")
       if (t > 1) assert(overall(planes, cos, t - 1) < target,
-        s"($planes,$cos,$target)->$t not minimal")
+        s"($planes,$cq,$targetPpm)->$t not minimal")
     }
     // tables grow with planes (the corpus-growth trade made explicit)
-    assert(Similarity.lshTablesFor(13, 0.9) > Similarity.lshTablesFor(6, 0.9))
+    assert(Similarity.lshTablesFor(13, 900) > Similarity.lshTablesFor(6, 900))
     // outside sign-LSH's useful regime -> loud failure, not 10^6 tables
     val e = intercept[IllegalArgumentException] {
-      Similarity.lshTablesFor(40, 0.5, 0.9)
+      Similarity.lshTablesFor(40, 500, 900000L)
     }
     assert(e.getMessage.contains("useful regime"))
   }
@@ -362,7 +416,7 @@ class SimilaritySpec extends SparkSpec {
     // IS the r12-measured recall discipline, not a fixed table count
     val emb = graft.sources.Tables.embeddings(spark, sf0001).cache()
     val planes = Similarity.autoPlanes(emb, Similarity.NearDupOccupancy)
-    val derived = Similarity.lshTablesFor(planes, Similarity.NearDupDesignCos)
+    val derived = Similarity.lshTablesFor(planes, Similarity.NearDupDesignCosMilli)
     assert(planes == 4 && derived == 3,
       s"500-vector operating point moved: planes=$planes tables=$derived")
     val viaDefault = Similarity.lshNearDupPairsPortable(emb,

@@ -12,15 +12,19 @@ import graft.SparkSpec
   *
   * Budgets (documented): spill 0.5 MB (zero observed across all 193
   * gates at sf0.1 in r15 — any real spill indicates a wide
-  * intermediate that will knee at scale); per-task peak 768 MB on
-  * THIS 4-core session. The bench artifact's budget is 512 MB at its
-  * 32-way width; the 4-core test session runs the same work over 8×
-  * fewer concurrent tasks, so fit-heavy gates concentrate aggregation
-  * state per task (measured: q90's seeded ALS/W2V fits peak 519 MB
-  * here vs 168.5 MB at bench width — same plans, width-scaled task
-  * state). 768 MB = 1.5× the observed 4-core max; per-executor
-  * pressure transfers as width × peak either way, so the regression
-  * signal is equivalent. */
+  * intermediate that will knee at scale); per-task peak 768 MB — the
+  * SAME budget the bench artifact enforces since r17, because the
+  * statistic is width/load-sensitive BY MECHANISM, not by plan:
+  * peakExecutionMemory of a pool-greedy consumer reads as min(need,
+  * pool/(2·activeTasks)), Spark's guaranteed-share grant. Measured
+  * (r17, tools/Q90MemProbe): q90's max stage peak is 518.7 MB at
+  * local[4] = exactly pool/8 (the 4-active share of the ~4.15 GB
+  * pool), 70.7 MB at a quiet local[32] (= the pool/64 share), and the
+  * loaded r16 driver run at local[32] reproduced 518.7 exactly —
+  * staggered task launches under co-tenant load hand a task the
+  * narrow-width share. 768 MB = 1.5× that documented envelope; the
+  * spill budget remains the sharp detector (a task whose state
+  * outgrows its share SPILLS, and spill is gated at ~0). */
 class MemoryBudgetSpec extends SparkSpec {
 
   private val SpillBudgetMb = 0.5

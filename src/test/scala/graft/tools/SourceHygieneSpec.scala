@@ -45,12 +45,15 @@ class SourceHygieneSpec extends AnyFunSuite {
     "queries/Ml.scala" -> (1,
       "fitted-model synonym table — rows bounded by vocabulary top-k"),
     "queries/Extras.scala" -> (3,
-      "bounded metric/model materializations (grid results, centroids)"),
+      "q103 memory-sink sessions (input is a 10-row literal fixture); " +
+        "q153 stream-replay slice (first 1000 users x earliest 512 " +
+        "events/user by window cut — <= 512k rows at ANY sf, r17) and " +
+        "its per-user finals (<= 1001 rows after groupBy(userId))"),
     "llmops/ProductQuantization.scala" -> (3,
       "codebook training on a seeded sample — rows bounded by " +
         "subspaces x centroids, broadcast back out"),
     "llmops/Similarity.scala" -> (1,
-      "topKDesignCos probe — ≤ TopKDesignProbeQueries (64) kth-cosines " +
+      "topKDesignCosMilli probe — ≤ TopKDesignProbeQueries (64) kth values " +
         "by construction"),
     "text/CjkSegmenter.scala" -> (1,
       "counted frequency table — one row per distinct vocabulary word " +
