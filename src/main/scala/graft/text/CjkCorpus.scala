@@ -28,15 +28,17 @@ object CjkCorpus {
   /** Deterministic segmented corpus: ~`tokensBudget` tokens, one row
     * per token with a hash-derived sentence id (so sentences mix
     * words). Per-word quotas are proportional to
-    * [[CjkSegmenter.starterFrequencies]] with a floor of 1 — every
-    * lexicon word is realized at least once, so the counted table
-    * covers the full vocabulary. Fully deterministic: sorted word
-    * order, integer quota arithmetic, hash-based sentence ids. */
+    * [[CjkSegmenter.corpusFrequencies]] (curated head + the r17
+    * synthetic Zipf tail — ~10× the curated vocabulary) with a floor
+    * of 1 — every lexicon word is realized at least once, so the
+    * counted table covers the full vocabulary. Fully deterministic:
+    * sorted word order, integer quota arithmetic, hash-based sentence
+    * ids. */
   def segmentedCorpus(spark: SparkSession,
       tokensBudget: Long = 1000000L): DataFrame = {
-    require(tokensBudget >= CjkSegmenter.starterFrequencies.size,
+    require(tokensBudget >= CjkSegmenter.corpusFrequencies.size,
       "tokensBudget below vocabulary size")
-    val entries = CjkSegmenter.starterFrequencies.toSeq.sortBy(_._1)
+    val entries = CjkSegmenter.corpusFrequencies.toSeq.sortBy(_._1)
     val totalMass = entries.iterator.map(_._2).sum
     val quotas = entries.map { case (w, f) =>
       (w, math.max(1L, f * tokensBudget / totalMass))

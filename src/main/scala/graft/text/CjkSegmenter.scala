@@ -330,6 +330,50 @@ object CjkSegmenter {
     starterLexicon.iterator.map(_ -> DefaultWordFreq).toMap ++
       curatedFrequencies.flatMap { case (f, ws) => ws.map(_ -> f) }
 
+  /** Synthetic Zipf TAIL lexicon (r17, VERDICT r16 "Next round" #5):
+    * ~3,200 deterministic tail words that broaden the counted table an
+    * order of magnitude past the curated ~350, proving the counting
+    * seam, the cost-map broadcast budget and the lattice DP at size.
+    * Real breadth is DATA this container cannot download (a treebank —
+    * NOTES_r16 debt #2); the tail is therefore synthetic but
+    * structurally honest: word lengths 2-3 (the real Chinese length
+    * mix), frequencies Zipf-distributed over the sub-curated band
+    * (freq ∝ 1/rank^1.05, floored), and — the invariant that makes the
+    * drop SAFE — every tail character is used in exactly ONE tail word
+    * and is DISJOINT from every curated-lexicon and golden-vector
+    * character, so tail words can never open a new lattice path
+    * through any existing text: q174's 25 hand-derived readings are
+    * invariant BY CONSTRUCTION, not by luck. */
+  val syntheticTailFrequencies: Map[String, Long] = {
+    val used: Set[Char] =
+      (starterFrequencies.keysIterator.flatMap(_.iterator) ++
+        CjkGolden.vectors.iterator
+          .flatMap { case (p, e) => (p + e).iterator })
+        .filter(isCjk).toSet
+    val pool = (0x4e00 until 0xa000).iterator.map(_.toChar)
+      .filterNot(used).toArray
+    val nWords = 3200
+    val b = Map.newBuilder[String, Long]
+    var idx = 0
+    var rank = 1
+    while (rank <= nWords && idx + 3 <= pool.length) {
+      val len = if (rank % 8 == 0) 3 else 2
+      val w = new String(pool, idx, len)
+      idx += len
+      b += (w -> math.max(30L,
+        math.round(20000.0 / math.pow(rank.toDouble, 1.05))))
+      rank += 1
+    }
+    b.result()
+  }
+
+  /** The full fixture-corpus frequency table the segmented corpus
+    * realizes: curated head + synthetic Zipf tail. The tail mass is
+    * < 1% of the curated mass, so existing nominal frequencies move by
+    * at most the count-rounding the golden gate already absorbs. */
+  val corpusFrequencies: Map[String, Long] =
+    starterFrequencies ++ syntheticTailFrequencies
+
   /** Frequency table → integer edge-cost table (driver-side, once per
     * closure — MBs at real-lexicon size, same broadcast budget as the
     * word set). */

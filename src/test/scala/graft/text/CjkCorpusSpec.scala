@@ -15,7 +15,7 @@ class CjkCorpusSpec extends SparkSpec {
     val corpus = CjkCorpus.segmentedCorpus(spark, budget).cache()
     val counts = corpus.groupBy($"word").agg(count(lit(1)).as("c"))
       .as[(String, Long)].collect().toMap
-    val entries = CjkSegmenter.starterFrequencies
+    val entries = CjkSegmenter.corpusFrequencies
     val totalMass = entries.valuesIterator.sum
     entries.foreach { case (w, f) =>
       val expect = math.max(1L, f * budget / totalMass)
