@@ -161,6 +161,73 @@ object Sf1Bench {
       f""""$name":{"fixture_constant":true,"t":$t%.3f}"""
     }
 
+    // ---- q90-family leg (r17, VERDICT r16 "Next round" #6) ----------
+    // q90 itself is fixture-constant (AlbedoFixtures lineage, no sf
+    // tables), so its HEAVIEST FIT — the seeded ALS candidate
+    // generator, the r16 memory offender — gets a dedicated amplified
+    // leg: the fixture's interactions replicated with user-id offsets
+    // (item space fixed, users and interaction volume × factor),
+    // through the same train → recommendForUsers → NDCG lifecycle the
+    // gate runs, with per-task peak execution memory recorded.
+    val peakMem = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) peakMem.getAndAccumulate(m.peakExecutionMemory, Math.max)
+        }
+      })
+    def alsLeg(mult: Int): (Double, Double, Map[String, Int]) = {
+      import graft.queries.QualityParity
+      val base = QualityParity.fixtureInteractions(spark)
+      val inter = (if (mult == 1) base
+        else {
+          import spark.implicits._
+          val copies = (0 until mult).map(_.toLong).toDF("cp")
+          base.crossJoin(broadcast(copies))
+            .withColumn("user_id", col("user_id") + col("cp") * 10000000L)
+            .drop("cp")
+        }).cache()
+      val train = inter.filter(col("ts_ns") < QualityParity.splitNs)
+      val test = inter.filter(col("ts_ns") >= QualityParity.splitNs)
+        .select(col("user_id"), col("item_id")).distinct()
+      val users = test.select(col("user_id")).distinct()
+      val ratings = train.groupBy(col("user_id"), col("item_id"))
+        .agg(count(lit(1)).cast("double").as("rating"))
+      org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
+      peakMem.set(0L)
+      val t0 = System.nanoTime()
+      val recs = graft.reco.AlsRecommender
+        .train(ratings, rank = 16, regParam = 0.5, alpha = 40,
+          maxIter = 8, seed = 42)
+        .recommendForUsers(users, 30)
+        .select(col("user_id"), col("item_id"), col("score"))
+      val eval = graft.reco.RankingEvaluator.evaluate(recs, test, 30)
+      eval.queryExecution.toRdd.foreach(_ => ())
+      val secs = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
+      val h = histogram(eval.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      inter.unpersist()
+      spark.catalog.clearCache()
+      graft.ml.ModelMemo.clear()
+      (secs, peakMem.get() / 1048576.0, h)
+    }
+    val (a1t, a1p, a1h) = alsLeg(1)
+    val (aNt, aNp, aNh) = alsLeg(factor)
+    val alsShifts = (a1h.keySet ++ aNh.keySet).toSeq.sorted
+      .filter(k => a1h.getOrElse(k, 0) != aNh.getOrElse(k, 0))
+      .map(k => s"$k:${a1h.getOrElse(k, 0)}->${aNh.getOrElse(k, 0)}")
+    val alsShift = if (alsShifts.isEmpty) "none" else alsShifts.mkString(",")
+    System.err.println(f"[sf1] q90_als_fit_family 1x=$a1t%.2f (peak " +
+      f"$a1p%.1f MB) ${factor}x=$aNt%.2f (peak $aNp%.1f MB) " +
+      f"ratio=${aNt / a1t}%.1f shift=$alsShift")
+    val alsRow =
+      f""""q90_als_fit_family":{"sf01":$a1t%.3f,"sf1":$aNt%.3f,""" +
+        f""""ratio":${aNt / a1t}%.2f,"peak_mb_1x":$a1p%.1f,""" +
+        f""""peak_mb_${factor}x":$aNp%.1f,"plan_shift":"$alsShift"}"""
+
     val rows = TopGates.map { name =>
       val bigDir = if (name.startsWith("q96")) langDir else mainDir
       val (t01, h01) = runOnce(name, sfDir)
@@ -176,7 +243,7 @@ object Sf1Bench {
       f""""$name":{"sf01":$t01%.3f,"sf1":$t1%.3f,"ratio":${t1 / t01}%.2f,"plan_shift":"$shift"}"""
     }
     spark.stop()
-    println((rows ++ fixtureRows).mkString(
+    println((rows ++ fixtureRows :+ alsRow).mkString(
       s"""{"factor":$factor,"sf":"$sfDir","gates":{""", ",", "}}"))
   }
 }
