@@ -79,6 +79,36 @@ class PublishSpec extends SparkSpec {
     assert(spark.read.parquet(dest).count() == 1)
   }
 
+  test("session memo (r17): a repeat publish of the same producer plan " +
+      "runs no jobs — and an externally deleted destination self-heals") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pub").toString
+    val dest = s"$root/artifact.parquet"
+    val mk = () => Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1)
+    assert(Snapshots.publish(mk(), dest) == "created")
+    // memo hit: no temp dir is ever staged beside the destination (a
+    // non-memoized "kept" stages + deletes one; zero staging proves
+    // the repeat path ran no write/compare jobs at all)
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(Snapshots.publish(mk(), dest) == "kept")
+      org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
+      assert(jobs.get() == 0,
+        s"memoized repeat publish ran ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // self-heal: an externally deleted artifact must republish, not
+    // serve a stale memoized "kept"
+    fs.delete(new Path(dest), true)
+    assert(Snapshots.publish(mk(), dest) == "created")
+    assert(spark.read.parquet(dest).count() == 2)
+  }
+
   test("content compare is order-independent (a repartitioned republish " +
       "of the same rows is 'kept', not a spurious replace)") {
     import spark.implicits._
