@@ -455,6 +455,39 @@ object Similarity {
     * c ≤ v ⟺ sign-aware square compare in decimal(38,0) — so the
     * result is the true floor regardless of float rounding, and the
     * DuckDB oracle's HUGEINT replay lands on the same integer. */
+  /** The exact floor(1000·dot/√(qn2·cn2)) as column math over integer
+    * (dot, qn2, cn2) columns: a double ESTIMATE (absolute error ≪ 1 at
+    * |value| ≤ 1000) corrected against the defining inequality
+    * c ≤ 1000·dot/√(qn2·cn2) ⟺ a sign-aware square compare in exact
+    * decimal(38,0) — so the result is the true mathematical floor
+    * whatever the engine's float rounding. Zero-norm pairs define
+    * cos = 0. Package-private seam: the design probe uses it, and the
+    * property spec drives it over signed/boundary inputs a real
+    * probe's kth-largest selection could mask. */
+  private[llmops] def exactCosMilliCol(dotC: Column, qn2: Column,
+      cn2: Column): Column = {
+    val dec = "decimal(38,0)"
+    def le(c: Column): Column = {
+      val lhs = (c * c).cast(dec) * (qn2.cast(dec) * cn2.cast(dec))
+      val rhs = dotC.cast(dec) * dotC.cast(dec) * lit(1000000L).cast(dec)
+      when(c <= 0 && dotC >= 0, lit(true))
+        .when(c > 0 && dotC < 0, lit(false))
+        .when(c > 0, lhs <= rhs)
+        .otherwise(lhs >= rhs)
+    }
+    // clamp in DOUBLE before the long cast: a zero-norm pair divides
+    // by zero (±Inf/NaN) and ANSI mode would throw on the cast; the
+    // clamped estimate is then overridden by the zero-norm branch
+    val f0 = greatest(lit(-1001.0), least(lit(1001.0),
+      floor(lit(1000.0) * dotC /
+        sqrt(qn2.cast("double") * cn2.cast("double")))))
+      .cast("long")
+    when(qn2 === 0 || cn2 === 0, lit(0L))
+      .when(!le(f0), f0 - 1)
+      .when(le(f0 + 1), f0 + 1)
+      .otherwise(f0)
+  }
+
   private def designCosMilliAgainstPool(vectors: DataFrame, pool: DataFrame,
       k: Int, idCol: String, vecCol: String, nQueries: Long): Int = {
     def quantized(df: DataFrame, id: String, vq: String, n2: String) =
@@ -469,32 +502,10 @@ object Similarity {
     val cand = quantized(pool, "neighbor_id", "cq", "cn2")
     val dot = aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
       lit(0L), (s, v) => s + v)
-    val dec = "decimal(38,0)"
-    // c ≤ 1000·dot/√m2 ⟺ sign-aware square compare, exact in decimal
-    def le(c: Column, dotC: Column, m2: Column): Column = {
-      val lhs = (c * c).cast(dec) * m2
-      val rhs = dotC.cast(dec) * dotC.cast(dec) * lit(1000000L).cast(dec)
-      when(c <= 0 && dotC >= 0, lit(true))
-        .when(c > 0 && dotC < 0, lit(false))
-        .when(c > 0, lhs <= rhs)
-        .otherwise(lhs >= rhs)
-    }
     val scored = cand.join(broadcast(probe),
         col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", dot)
-      .withColumn("m2", col("qn2").cast(dec) * col("cn2").cast(dec))
-      // clamp in DOUBLE before the long cast: a zero-norm pair divides
-      // by zero (±Inf/NaN) and ANSI mode would throw on the cast; the
-      // clamped estimate is then overridden by fm's zero-norm branch
-      .withColumn("f0", greatest(lit(-1001.0), least(lit(1001.0),
-        floor(lit(1000.0) * col("dot") /
-          sqrt(col("qn2").cast("double") * col("cn2").cast("double")))))
-        .cast("long"))
-      .withColumn("fm",
-        when(col("qn2") === 0 || col("cn2") === 0, lit(0L))
-          .when(!le(col("f0"), col("dot"), col("m2")), col("f0") - 1)
-          .when(le(col("f0") + 1, col("dot"), col("m2")), col("f0") + 1)
-          .otherwise(col("f0")))
+      .withColumn("fm", exactCosMilliCol(col("dot"), col("qn2"), col("cn2")))
     val found = graft.ops.TopK.viaAggregator(
         scored.select(col("query_id"), col("neighbor_id"),
           col("fm").cast("double").as("fm")),

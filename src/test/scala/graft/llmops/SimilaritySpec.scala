@@ -138,6 +138,52 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.topKDesignCosSampledMilli(emb, 5, 1000000L) == exact)
   }
 
+  test("exactCosMilliCol == BigInt floor over signed + boundary inputs " +
+      "(the per-pair seam a probe's kth-largest selection could mask)") {
+    import spark.implicits._
+    def truth(dot: Long, qn2: Long, cn2: Long): Long = {
+      val m2 = BigInt(qn2) * cn2
+      if (m2 == 0) return 0L
+      def le(c: Long): Boolean =
+        if (c <= 0 && dot >= 0) true
+        else if (c > 0 && dot < 0) false
+        else if (c > 0) BigInt(c) * c * m2 <= BigInt(1000000L) * dot * dot
+        else BigInt(c) * c * m2 >= BigInt(1000000L) * dot * dot
+      var c = 1000L
+      while (!le(c)) c -= 1
+      c
+    }
+    val rnd = new scala.util.Random(17)
+    val cases = Seq.newBuilder[(Long, Long, Long)]
+    // boundary-exact values where 1000·dot/√(qn2·cn2) IS an integer —
+    // the floor's hardest case (double rounding either side must not
+    // move the result): dot = k·m, qn2·cn2 = (1000·m)², cos = k/1000
+    for (k <- Seq(-1000L, -501L, -1L, 0L, 1L, 499L, 999L, 1000L);
+         m <- Seq(1L, 7L, 321L))
+      cases += ((k * m, 1000L * m, 1000L * m))
+    // zero norms define cos = 0
+    cases += ((0L, 0L, 5L)); cases += ((3L, 4L, 0L))
+    // random signed pairs at realistic magnitudes (|x| ≤ 1 → dot up to
+    // 64e6, n2 up to 64e6) with |dot| clamped into Cauchy-Schwarz
+    for (_ <- 1 to 500) {
+      val qn2 = 1L + rnd.nextLong(64000000L)
+      val cn2 = 1L + rnd.nextLong(64000000L)
+      val bound = math.floor(math.sqrt(qn2.toDouble) *
+        math.sqrt(cn2.toDouble)).toLong.max(1L)
+      cases += ((rnd.between(-bound, bound + 1), qn2, cn2))
+    }
+    val df = cases.result().toDF("dot", "qn2", "cn2")
+      .withColumn("fm",
+        Similarity.exactCosMilliCol(col("dot"), col("qn2"), col("cn2")))
+    df.select($"dot", $"qn2", $"cn2", $"fm")
+      .as[(Long, Long, Long, Long)].collect().foreach {
+        case (dot, qn2, cn2, fm) =>
+          assert(fm == truth(dot, qn2, cn2),
+            s"exactCosMilliCol($dot, $qn2, $cn2) = $fm != BigInt truth ${
+              truth(dot, qn2, cn2)}")
+      }
+  }
+
   test("bruteForceTopKQueriesBroadcast == bruteForceTopK (mirror shapes)") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001).cache()
     val queries = emb.filter($"vec_id" < 20)
