@@ -184,10 +184,14 @@ object Snapshots {
           // swap lost: a concurrent creator landed dest between the
           // two renames (their bytes are valid — serve them), or the
           // rename failed outright (dest absent — RESTORE the renamed-
-          // aside artifact, the only surviving copy)
+          // aside artifact, the only surviving copy). If the restore
+          // itself loses a last-instant race (dest appears between our
+          // exists check and the rename), the winner's bytes serve and
+          // `old` is retired rather than left as debris.
           fs.delete(tmp, true)
           if (fs.exists(destPath)) fs.delete(old, true)
-          else fs.rename(old, destPath)
+          else if (!fs.rename(old, destPath) && fs.exists(destPath))
+            fs.delete(old, true)
           "kept"
         }
       }
