@@ -400,11 +400,15 @@ object Similarity {
     * corpus's (k/f)-th neighbor, so very aggressive sampling buys
     * extra tables, not missed recall.
     *
-    * Determinism: pool membership is a pure hash of the id
-    * (xxhash64 per-million bucket < cutoff), partitioning-independent
-    * like [[graft.reco.Splits.byRowHash]]; queries are the same
-    * sorted-smallest ids as the exact probe and are NOT restricted to
-    * the pool. */
+    * Determinism: pool membership is a pure hash of the id (the
+    * PORTABLE md5 per-million bucket — [[graft.reco.Splits
+    * .hashBucketPortable]], r17: the sampling seam's last
+    * engine-specific input, xxhash64, is retired so an external
+    * engine can reproduce the pool too), partitioning-independent;
+    * queries are the same sorted-smallest ids as the exact probe and
+    * are NOT restricted to the pool. md5's ~3×/byte cost over
+    * xxhash64 is one map-side hash per row on a path that exists to
+    * avoid full-corpus dot products — noise. */
   def topKDesignCosSampledMilli(vectors: DataFrame, k: Int,
       sampleTarget: Long, idCol: String = "vec_id",
       vecCol: String = "embedding"): Int =
@@ -426,8 +430,8 @@ object Similarity {
         val cutoffPerMillion =
           math.max(1L, sampleTarget * 1000000L / n)
         vectors.filter(
-          pmod(xxhash64(lit("graft-designcos"), col(idCol)),
-            lit(1000000L)) < cutoffPerMillion)
+          graft.reco.Splits.hashBucketPortable(col(idCol),
+            "graft-designcos") < cutoffPerMillion)
       }
     designCosMilliAgainstPool(vectors, pool, k, idCol, vecCol,
       math.min(TopKDesignProbeQueries.toLong, n))
