@@ -1173,7 +1173,49 @@ object Extras {
     * these in AlbedoFixtures.persist before the queries run). */
   private val fx = graft.fixtures.AlbedoFixtures.persistDir
 
+  /** q177 (r17): co-located BUCKETED join — orders and customer
+    * written once as bucketed-and-sorted tables on their join key
+    * ([[graft.sources.Bucketing.bucketedTable]], 16 buckets) and then
+    * joined: the at-rest layout discipline for repeatedly-joined keys
+    * at 100 TB. Row 94's `repartition`/AQE co-locates for ONE plan;
+    * bucketing persists the co-location so every later join on the
+    * bucket key skips its shuffle — `BucketedJoinSpec` proves the
+    * sort-merge join plans with ZERO Exchange on either side, and this
+    * gate proves the RESULT is identical to the plain join (bucketing
+    * is layout, not semantics): per-mktsegment order count and exact
+    * decimal revenue. The layout cost (one shuffle by key at write) is
+    * paid once per session; later bench passes reuse the catalog
+    * entry. */
+  def bucketedColocatedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Bucketing
+    val root = Bucketing.sessionRoot(spark)
+    val tag = math.abs(dir.hashCode).toString
+    val ord = Bucketing.bucketedTable(spark, s"graft_bkt_orders_$tag",
+      s"$root/orders_$tag",
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "o_custkey", 16)
+    val cust = Bucketing.bucketedTable(spark, s"graft_bkt_customer_$tag",
+      s"$root/customer_$tag",
+      Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+      "c_custkey", 16)
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private def bucketedColocatedJoinOracle: String =
+    """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+      |       round(SUM(o_totalprice), 2) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q177_bucketed_colocated_join", bucketedColocatedJoin,
+      Some(bucketedColocatedJoinOracle)),
     QueryDef("q49_user_profiles", userProfiles, Some(
       s"""WITH u0 AS (
          |  SELECT *,
