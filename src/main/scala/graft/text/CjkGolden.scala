@@ -77,7 +77,24 @@ object CjkGolden {
     "关于自然语言处理的研究" -> "关于/自然语言/处理/的/研究",
     // OOV-adjacent: a transliterated OOV run (阿尔法) degrades
     // per-char without absorbing the following dictionary words
-    "阿尔法狗下围棋" -> "阿/尔/法/狗/下/围棋")
+    "阿尔法狗下围棋" -> "阿/尔/法/狗/下/围棋",
+    // ---- late-r17 additions over the real-word breadth sweep: the
+    // sweep's new cheap singles (得/中/间/部/分/件...) create exactly
+    // the compound-vs-split decisions these pin. Readings are
+    // standard linguistic truth, hand-derived first. --------------
+    // 得到 must beat the now-cheap 得/到 split
+    "他得到了一本书" -> "他/得到/了/一/本/书",
+    // 中间 must survive 中 and 间 both being cheap words
+    "他站在中间" -> "他/站/在/中间",
+    // 部分 must beat 部/分 (both now priced as words)
+    "这部分内容很重要" -> "这/部分/内容/很/重要",
+    // full-sentence coverage over the swept vocabulary: measure word
+    // 件 reads as its own token between numeral and noun
+    "我妹妹昨天买了两件新衣服" -> "我/妹妹/昨天/买/了/两/件/新/衣服",
+    // OOV verb (发) degrades to a single between dictionary words
+    "经理让我把报告发给客户" -> "经理/让/我/把/报告/发/给/客户",
+    // swept family/time/activity vocabulary end to end
+    "爷爷每天早上在公园里散步" -> "爷爷/每天/早上/在/公园/里/散步")
 
   /** The oracle side: a DuckDB VALUES relation of the golden truth. */
   def oracleValuesSql: String = {
