@@ -210,9 +210,15 @@ object TextAnalysis {
     * with the corpus as its own model, made integer-exact: each doc
     * scores the mean CORPUS frequency of its trigram instances.
     * Gibberish (rare trigrams) scores low, fluent text high — the same
-    * ranking a char-LM log-prob gives, but every intermediate is a
-    * BIGINT sum (cross-engine float-log reorder error would make a
-    * hash-exact oracle flaky; one final division is deterministic).
+    * ranking a char-LM log-prob gives, but every intermediate — AND
+    * the output — is a BIGINT (cross-engine float-log reorder error
+    * would make a hash-exact oracle flaky). Late r17: the final value
+    * is `commonness_centi = (sum_c·100) div n_tri` in exact integer
+    * arithmetic; the previous `round(sum_c/n_tri, 2)` double hit a
+    * rounding-boundary divergence at sf0.1 (Spark's Round goes
+    * through BigDecimal of the SHORTEST decimal repr — 8739.925 →
+    * 8739.93 — while DuckDB rounds the binary double, slightly below
+    * the half → 8739.92). Integer floor division cannot disagree.
     *
     * Scale: trigram space is bounded (alphabet³), so the count table
     * broadcasts; instances never shuffle — one groupBy(tri) for the
@@ -237,7 +243,7 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tri"), sum(col("c")).as("sum_c"))
       .select(col(idCol), col("n_tri"),
-        round(col("sum_c") / col("n_tri").cast("double"), 2).as("commonness"))
+        expr("(sum_c * 100) div n_tri").as("commonness_centi"))
   }
 
   /** Gopher-style repetition filters (Rae et al. 2021, appendix A1),

@@ -980,7 +980,7 @@ object Llm {
       |per AS (SELECT i.doc_id, count(*) AS n_tri, sum(c.c) AS sum_c
       |        FROM inst i JOIN cnt c USING (tri) GROUP BY 1)
       |SELECT doc_id, n_tri::BIGINT AS n_tri,
-      |       round(sum_c / n_tri::DOUBLE, 2) AS commonness
+      |       CAST((sum_c * 100) // n_tri AS BIGINT) AS commonness_centi
       |FROM per ORDER BY doc_id""".stripMargin
 
   /** Overlapping-window chunking for context preparation (200 chars,

@@ -36,8 +36,9 @@ object Ml {
   def tfidfSimilarDocs(spark: SparkSession, dir: String): DataFrame =
     ContentRecommender.similarDocsPrefix(Tables.documents(spark, dir),
         "doc_id", "text", k = 5, m = 4,
-        weights = Some(docTfidfWeights(spark, dir)))
-      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"),
+        weights = Some(docTfidfWeights(spark, dir)),
+        rankRoundScale = Some(6))
+      .select(col("id_a"), col("id_b"), col("score"),
         col("rn").cast("long").as("rn"))
       .orderBy(col("id_a"), col("rn"))
 
@@ -471,10 +472,11 @@ object Ml {
          |         FROM prefix a JOIN prefix b
          |           ON a.term = b.term AND a.doc_id != b.doc_id
          |         GROUP BY 1, 2),
-         |r AS (SELECT id_a, id_b, round(score, 6) AS score,
+         |r6 AS (SELECT id_a, id_b, round(score, 6) AS score FROM sims),
+         |r AS (SELECT id_a, id_b, score,
          |        row_number() OVER (PARTITION BY id_a
          |                           ORDER BY score DESC, id_b) AS rn
-         |      FROM sims)
+         |      FROM r6)
          |SELECT id_a, id_b, score, rn FROM r WHERE rn <= 5
          |ORDER BY id_a, rn""".stripMargin)),
     QueryDef("q42b_porter_golden", porterGoldenStems,

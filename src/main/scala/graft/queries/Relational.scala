@@ -325,39 +325,79 @@ object Relational {
           round(min($"o_totalprice"), 2).as("lo"),
           round(max($"o_totalprice"), 2).as("hi"))
         .orderBy($"o_orderpriority")
-    base.agg(
-        round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 4).as("__p50"),
-        round(expr("approx_percentile(o_totalprice, 0.9, 10000)"), 4).as("__p90"),
-        round(min($"o_totalprice"), 2).as("lo"),
-        round(max($"o_totalprice"), 2).as("hi"),
-        // array form: ONE percentile buffer+sort for all four envelope
-        // points, not four independent ImperativeAggregate buffers
-        expr("percentile(o_totalprice, array(0.495, 0.505, 0.895, 0.905))")
-          .as("__env"))
+    // Envelope bounds as EXACT INTEGER order-stat interpolations (late
+    // r17): the previous `percentile(..., array(0.495,...))` doubles,
+    // rounded to 4 decimals, hit a rounding-boundary divergence at
+    // sf0.1 — Spark and DuckDB compute the same lo+frac·(hi−lo)
+    // interpolation in different float op orders, and a 1-ulp gap
+    // flips round(,4) at a ...5 boundary. Every envelope quantile here
+    // is k/200 (0.495=99/200 etc), so the interpolated order stat is
+    // the RATIONAL (cents[i]·(200−rem) + cents[i+1]·rem) / 20000
+    // dollars with integer numerator — both engines emit the BIGINT
+    // numerator (units: 1/20000 dollar) and cannot disagree. lo/hi
+    // join the integer discipline as exact cents.
+    val sk = base.agg(
+      round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 4).as("__p50"),
+      round(expr("approx_percentile(o_totalprice, 0.9, 10000)"), 4).as("__p90"),
+      count(lit(1)).as("n"))
+    val ranked = Tables.orders(spark, dir)
+      .select($"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"o_orderpriority").orderBy($"cents")))
+    // weight of this row in the /200-denominator interpolation of
+    // quantile nq/200: rows idx+1 and idx+2 carry (200−rem) and rem
+    def w(nq: Int): org.apache.spark.sql.Column = expr(
+      s"CASE WHEN rk = ((n - 1) * $nq) div 200 + 1 " +
+        s"THEN cents * (200 - ((n - 1) * $nq) % 200) " +
+        s"WHEN rk = ((n - 1) * $nq) div 200 + 2 " +
+        s"THEN cents * (((n - 1) * $nq) % 200) ELSE 0 END")
+    ranked.join(broadcast(sk), Seq("o_orderpriority"))
+      .groupBy($"o_orderpriority")
+      .agg(
+        min($"cents").as("lo"), max($"cents").as("hi"),
+        sum(w(99)).as("p50_lo"), sum(w(101)).as("p50_hi"),
+        sum(w(179)).as("p90_lo"), sum(w(181)).as("p90_hi"),
+        first($"__p50").as("__p50"), first($"__p90").as("__p90"))
       .select($"o_orderpriority", $"lo", $"hi",
-        round(element_at($"__env", 1), 4).as("p50_lo"),
-        round(element_at($"__env", 2), 4).as("p50_hi"),
-        round(element_at($"__env", 3), 4).as("p90_lo"),
-        round(element_at($"__env", 4), 4).as("p90_hi"),
-        ($"__p50".between(element_at($"__env", 1) - 0.0001,
-          element_at($"__env", 2) + 0.0001) &&
-          $"__p90".between(element_at($"__env", 3) - 0.0001,
-            element_at($"__env", 4) + 0.0001)).as("within_err"))
+        $"p50_lo", $"p50_hi", $"p90_lo", $"p90_hi",
+        ($"__p50".between($"p50_lo" / 20000.0 - 0.0001,
+          $"p50_hi" / 20000.0 + 0.0001) &&
+          $"__p90".between($"p90_lo" / 20000.0 - 0.0001,
+            $"p90_hi" / 20000.0 + 0.0001)).as("within_err"))
       .orderBy($"o_orderpriority")
   }
 
   private def percentilesApproxOracle: String =
-    """SELECT o_orderpriority,
-      | round(min(o_totalprice), 2) AS lo,
-      | round(max(o_totalprice), 2) AS hi,
-      | round(quantile_cont(o_totalprice, 0.495), 4) AS p50_lo,
-      | round(quantile_cont(o_totalprice, 0.505), 4) AS p50_hi,
-      | round(quantile_cont(o_totalprice, 0.895), 4) AS p90_lo,
-      | round(quantile_cont(o_totalprice, 0.905), 4) AS p90_hi,
+    """WITH c AS (SELECT o_orderpriority,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |r AS (SELECT o_orderpriority, cents,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY cents) AS rk FROM c),
+      |n AS (SELECT o_orderpriority, count(*) AS n FROM c GROUP BY 1)
+      |SELECT r.o_orderpriority,
+      | min(cents) AS lo, max(cents) AS hi,
+      | CAST(sum(CASE WHEN rk = ((n-1)*99)//200 + 1
+      |    THEN cents * (200 - ((n-1)*99)%200)
+      |  WHEN rk = ((n-1)*99)//200 + 2
+      |    THEN cents * (((n-1)*99)%200) ELSE 0 END) AS BIGINT) AS p50_lo,
+      | CAST(sum(CASE WHEN rk = ((n-1)*101)//200 + 1
+      |    THEN cents * (200 - ((n-1)*101)%200)
+      |  WHEN rk = ((n-1)*101)//200 + 2
+      |    THEN cents * (((n-1)*101)%200) ELSE 0 END) AS BIGINT) AS p50_hi,
+      | CAST(sum(CASE WHEN rk = ((n-1)*179)//200 + 1
+      |    THEN cents * (200 - ((n-1)*179)%200)
+      |  WHEN rk = ((n-1)*179)//200 + 2
+      |    THEN cents * (((n-1)*179)%200) ELSE 0 END) AS BIGINT) AS p90_lo,
+      | CAST(sum(CASE WHEN rk = ((n-1)*181)//200 + 1
+      |    THEN cents * (200 - ((n-1)*181)%200)
+      |  WHEN rk = ((n-1)*181)//200 + 2
+      |    THEN cents * (((n-1)*181)%200) ELSE 0 END) AS BIGINT) AS p90_hi,
       | TRUE AS within_err
-      |FROM orders
-      |GROUP BY o_orderpriority
-      |ORDER BY o_orderpriority""".stripMargin
+      |FROM r JOIN n USING (o_orderpriority)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 
   /** Sketch-based Tukey-fence twin of q88 (same rationale as
     * [[percentilesApprox]]): approximate quartiles → fences → exact
@@ -388,29 +428,50 @@ object Relational {
           count(lit(1)).as("n_rows"))
         .orderBy($"l_returnflag")
     }
-    val f = li.groupBy($"l_returnflag")
+    // Envelope quartiles as EXACT INTEGER order-stat interpolations
+    // (late r17, same mechanism and reason as [[percentilesApprox]]):
+    // 0.245/0.255/0.745/0.755 are 49/51/149/151 over 200, so each
+    // bound is a BIGINT numerator in 1/20000-dollar units; the Tukey
+    // fences then live exactly in 1/40000-dollar units (×2 absorbs the
+    // 1.5 factor, 0.001 $ = 40 units) and the outlier recount compares
+    // cents·400 against them — every hashed column is engine-exact.
+    val sk = li.groupBy($"l_returnflag")
       .agg(
         round(expr("approx_percentile(l_extendedprice, 0.25, 10000)"), 4).as("__q1"),
         round(expr("approx_percentile(l_extendedprice, 0.75, 10000)"), 4).as("__q3"),
-        count(lit(1)).as("n_rows"),
-        // array form: ONE exact-percentile buffer for all four points
-        expr("percentile(l_extendedprice, array(0.245, 0.255, 0.745, 0.755))")
-          .as("__env"))
-      .select($"l_returnflag", $"n_rows", $"__q1", $"__q3",
-        round(element_at($"__env", 1), 4).as("q1_lo"),
-        round(element_at($"__env", 2), 4).as("q1_hi"),
-        round(element_at($"__env", 3), 4).as("q3_lo"),
-        round(element_at($"__env", 4), 4).as("q3_hi"))
-      // sketch fences (the product) + envelope-derived bound fences
-      // (the oracle-replayable widest/narrowest any in-envelope
-      // quartile pair could produce, ±0.001 slack for the round-4
-      // quantization of the sketch quartiles)
+        count(lit(1)).as("n"))
+    val ranked = li
+      .select($"l_returnflag",
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"l_returnflag").orderBy($"cents")))
+    def w(nq: Int): org.apache.spark.sql.Column = expr(
+      s"CASE WHEN rk = ((n - 1) * $nq) div 200 + 1 " +
+        s"THEN cents * (200 - ((n - 1) * $nq) % 200) " +
+        s"WHEN rk = ((n - 1) * $nq) div 200 + 2 " +
+        s"THEN cents * (((n - 1) * $nq) % 200) ELSE 0 END")
+    val f = ranked.join(broadcast(sk), Seq("l_returnflag"))
+      .groupBy($"l_returnflag")
+      .agg(
+        first($"n").as("n_rows"),
+        first($"__q1").as("__q1"), first($"__q3").as("__q3"),
+        sum(w(49)).as("q1_lo"), sum(w(51)).as("q1_hi"),
+        sum(w(149)).as("q3_lo"), sum(w(151)).as("q3_hi"))
+      // sketch fences (the product, doubles — feed only the boolean) +
+      // envelope-derived bound fences in exact 1/40000-dollar integers
+      // (widest / narrowest any in-envelope quartile pair could
+      // produce, ±0.001 $ slack for the sketch's round-4 quantization)
       .withColumn("__lo_s", round($"__q1" - ($"__q3" - $"__q1") * 1.5, 4))
       .withColumn("__hi_s", round($"__q3" + ($"__q3" - $"__q1") * 1.5, 4))
-      .withColumn("__lo_w", $"q1_lo" - ($"q3_hi" - $"q1_lo") * 1.5 - 0.001)
-      .withColumn("__hi_w", $"q3_hi" + ($"q3_hi" - $"q1_lo") * 1.5 + 0.001)
-      .withColumn("__lo_n", $"q1_hi" - ($"q3_lo" - $"q1_hi") * 1.5 + 0.001)
-      .withColumn("__hi_n", $"q3_lo" + ($"q3_lo" - $"q1_hi") * 1.5 - 0.001)
+      .withColumn("__lo_w",
+        $"q1_lo" * 2 - ($"q3_hi" - $"q1_lo") * 3 - 40)
+      .withColumn("__hi_w",
+        $"q3_hi" * 2 + ($"q3_hi" - $"q1_lo") * 3 + 40)
+      .withColumn("__lo_n",
+        $"q1_hi" * 2 - ($"q3_lo" - $"q1_hi") * 3 + 40)
+      .withColumn("__hi_n",
+        $"q3_lo" * 2 + ($"q3_lo" - $"q1_hi") * 3 - 40)
     // f's subtree (one sketch + one exact-percentile multiset per
     // group) is the expensive part and is referenced TWICE below
     // (broadcast into the recount and in the final join) — collect its
@@ -418,47 +479,69 @@ object Relational {
     // runs once, not twice (ADVICE r6; deterministic, so correctness
     // is unaffected)
     val fL = Materialize.localThenUnpersist(f)
-    val counted = li.join(broadcast(fL), Seq("l_returnflag"))
+    val c400 = (round($"l_extendedprice" * 100).cast("long") * 400).as("__c400")
+    val counted = li.select($"l_returnflag", $"l_extendedprice", c400)
+      .join(broadcast(fL), Seq("l_returnflag"))
       .groupBy($"l_returnflag")
       .agg(
         sum(when($"l_extendedprice" < $"__lo_s" || $"l_extendedprice" > $"__hi_s", 1L)
           .otherwise(0L)).as("__n_out"),
-        sum(when($"l_extendedprice" < $"__lo_w" || $"l_extendedprice" > $"__hi_w", 1L)
+        sum(when($"__c400" < $"__lo_w" || $"__c400" > $"__hi_w", 1L)
           .otherwise(0L)).as("n_out_min"),
-        sum(when($"l_extendedprice" < $"__lo_n" || $"l_extendedprice" > $"__hi_n", 1L)
+        sum(when($"__c400" < $"__lo_n" || $"__c400" > $"__hi_n", 1L)
           .otherwise(0L)).as("n_out_max"))
     fL.join(counted, Seq("l_returnflag"))
       .select($"l_returnflag", $"n_rows",
         $"q1_lo", $"q1_hi", $"q3_lo", $"q3_hi",
         $"n_out_min", $"n_out_max",
-        ($"__q1".between($"q1_lo" - 0.0001, $"q1_hi" + 0.0001) &&
-          $"__q3".between($"q3_lo" - 0.0001, $"q3_hi" + 0.0001) &&
+        ($"__q1".between($"q1_lo" / 20000.0 - 0.0001,
+          $"q1_hi" / 20000.0 + 0.0001) &&
+          $"__q3".between($"q3_lo" / 20000.0 - 0.0001,
+            $"q3_hi" / 20000.0 + 0.0001) &&
           $"__n_out".between($"n_out_min", $"n_out_max")).as("within_err"))
       .orderBy($"l_returnflag")
   }
 
   private def iqrOutliersApproxOracle: String =
-    """WITH f AS (SELECT l_returnflag,
-      |    count(*) AS n_rows,
-      |    round(quantile_cont(l_extendedprice, 0.245), 4) AS q1_lo,
-      |    round(quantile_cont(l_extendedprice, 0.255), 4) AS q1_hi,
-      |    round(quantile_cont(l_extendedprice, 0.745), 4) AS q3_lo,
-      |    round(quantile_cont(l_extendedprice, 0.755), 4) AS q3_hi
-      |  FROM lineitem GROUP BY 1),
+    """WITH c AS (SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |r AS (SELECT l_returnflag, cents,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY cents) AS rk FROM c),
+      |nn AS (SELECT l_returnflag, count(*) AS n FROM c GROUP BY 1),
+      |f AS (SELECT r.l_returnflag, max(n) AS n_rows,
+      |  CAST(sum(CASE WHEN rk = ((n-1)*49)//200 + 1
+      |     THEN cents * (200 - ((n-1)*49)%200)
+      |   WHEN rk = ((n-1)*49)//200 + 2
+      |     THEN cents * (((n-1)*49)%200) ELSE 0 END) AS BIGINT) AS q1_lo,
+      |  CAST(sum(CASE WHEN rk = ((n-1)*51)//200 + 1
+      |     THEN cents * (200 - ((n-1)*51)%200)
+      |   WHEN rk = ((n-1)*51)//200 + 2
+      |     THEN cents * (((n-1)*51)%200) ELSE 0 END) AS BIGINT) AS q1_hi,
+      |  CAST(sum(CASE WHEN rk = ((n-1)*149)//200 + 1
+      |     THEN cents * (200 - ((n-1)*149)%200)
+      |   WHEN rk = ((n-1)*149)//200 + 2
+      |     THEN cents * (((n-1)*149)%200) ELSE 0 END) AS BIGINT) AS q3_lo,
+      |  CAST(sum(CASE WHEN rk = ((n-1)*151)//200 + 1
+      |     THEN cents * (200 - ((n-1)*151)%200)
+      |   WHEN rk = ((n-1)*151)//200 + 2
+      |     THEN cents * (((n-1)*151)%200) ELSE 0 END) AS BIGINT) AS q3_hi
+      |  FROM r JOIN nn USING (l_returnflag) GROUP BY 1),
       |ff AS (SELECT *,
-      |    q1_lo - (q3_hi - q1_lo) * 1.5 - 0.001 AS lo_w,
-      |    q3_hi + (q3_hi - q1_lo) * 1.5 + 0.001 AS hi_w,
-      |    q1_hi - (q3_lo - q1_hi) * 1.5 + 0.001 AS lo_n,
-      |    q3_lo + (q3_lo - q1_hi) * 1.5 - 0.001 AS hi_n
+      |    q1_lo * 2 - (q3_hi - q1_lo) * 3 - 40 AS lo_w,
+      |    q3_hi * 2 + (q3_hi - q1_lo) * 3 + 40 AS hi_w,
+      |    q1_hi * 2 - (q3_lo - q1_hi) * 3 + 40 AS lo_n,
+      |    q3_lo * 2 + (q3_lo - q1_hi) * 3 - 40 AS hi_n
       |  FROM f)
       |SELECT ff.l_returnflag, ff.n_rows,
       |  ff.q1_lo, ff.q1_hi, ff.q3_lo, ff.q3_hi,
-      |  CAST(sum(CASE WHEN l.l_extendedprice < lo_w OR l.l_extendedprice > hi_w
+      |  CAST(sum(CASE WHEN c.cents * 400 < lo_w OR c.cents * 400 > hi_w
       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_out_min,
-      |  CAST(sum(CASE WHEN l.l_extendedprice < lo_n OR l.l_extendedprice > hi_n
+      |  CAST(sum(CASE WHEN c.cents * 400 < lo_n OR c.cents * 400 > hi_n
       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_out_max,
       |  TRUE AS within_err
-      |FROM lineitem l JOIN ff USING (l_returnflag)
+      |FROM c JOIN ff USING (l_returnflag)
       |GROUP BY 1, 2, 3, 4, 5, 6
       |ORDER BY 1""".stripMargin
 

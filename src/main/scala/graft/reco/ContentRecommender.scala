@@ -100,22 +100,34 @@ object ContentRecommender {
     * champion-list approximation) or pass `postingCap = 0` for the
     * exact-but-quadratic-candidate join. The guard costs one count()
     * over the already-cached prefix index, never over pairs. */
+  /** `rankRoundScale`: when set, the per-query ranking (and the
+    * emitted score) use `round(score, scale)` with the id tie-break —
+    * so two candidates whose float sums agree to `scale` decimals but
+    * differ in the last ulps rank IDENTICALLY regardless of the
+    * engine's summation order. Late r17: the q41 gate's sf0.1 sweep
+    * caught exactly this — Spark and DuckDB summed the same prefix
+    * products in different orders and ranked a 6-decimal tie
+    * differently. Default None keeps raw-score ranking (library
+    * callers that never hash-compare across engines). */
   def similarDocsPrefix(docs: DataFrame, idCol: String, textCol: String,
       k: Int, m: Int = 4, weights: Option[DataFrame] = None,
-      postingCap: Int = 2048, allowCapTruncation: Boolean = false): DataFrame = {
+      postingCap: Int = 2048, allowCapTruncation: Boolean = false,
+      rankRoundScale: Option[Int] = None): DataFrame = {
     val w = weights.getOrElse(tfidfWeights(docs, idCol, textCol))
     val prefix = cappedPrefixIndex(w, m, postingCap, allowCapTruncation)
     val a = prefix.select(col("term"), col("id").as("id_a"), col("w").as("w_a"))
     val b = prefix.select(col("term"), col("id").as("id_b"), col("w").as("w_b"))
+    val rankScore = rankRoundScale
+      .map(s => round(col("score"), s)).getOrElse(col("score"))
     val win = Window.partitionBy(col("id_a"))
-      .orderBy(col("score").desc, col("id_b"))
+      .orderBy(rankScore.desc, col("id_b"))
     a.join(b, Seq("term"))
       .filter(col("id_a") =!= col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(sum(col("w_a") * col("w_b")).as("score"))
       .withColumn("rn", row_number().over(win))
       .filter(col("rn") <= k)
-      .select(col("id_a"), col("id_b"), col("score"), col("rn"))
+      .select(col("id_a"), col("id_b"), rankScore.as("score"), col("rn"))
   }
 
   /** Top-m prefix selection + champion-list truncation, returned

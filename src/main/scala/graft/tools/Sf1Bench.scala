@@ -132,8 +132,14 @@ object Sf1Bench {
     // ---- run each gate once per scale, final-plan histograms -------
     val registry = graft.SparkEntry.registry.map(q => q.name -> q).toMap
     def runOnce(name: String, dir: String): (Double, Map[String, Int]) = {
-      val df = registry(name).run(spark, dir)
+      // Timer starts BEFORE run(): for most gates run() is millisecond
+      // plan construction, but the streaming-replay gates (q153/q103)
+      // execute their MemoryStream replay eagerly inside run() — the
+      // pre-r17 timer missed it and their sweep rows timed only the
+      // final local frame (SCALE.md r17 documented quirk, now fixed;
+      // matches Bench.scala's run-through-write timing convention).
       val t0 = System.nanoTime()
+      val df = registry(name).run(spark, dir)
       // Drive the Dataset's OWN QueryExecution: a DataFrameWriter (the
       // bench's noop sink) plans a FRESH QueryExecution around the
       // logical plan, leaving df.queryExecution un-executed and its

@@ -89,7 +89,7 @@ class QualitySpec extends SparkSpec {
       (4L, "xq zvw qjk pzx wvq kjq zzx qqw jjz xxq wqz jkz zqx")
     ).toDF("doc_id", "text")
     val s = TextAnalysis.trigramCommonness(docs, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(s(4L) < s(1L) && s(4L) < s(2L) && s(4L) < s(3L),
       s"gibberish should score lowest: $s")
   }
