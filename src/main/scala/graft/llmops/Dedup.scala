@@ -61,8 +61,11 @@ object Dedup {
     perDoc.join(dupPerDoc, Seq("id"), "left")
       .select(col("id").as("doc_id"), col("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
-        round(coalesce(col("n_dup_windows"), lit(0L)) / col("n_windows"), 4)
-          .as("dup_coverage"))
+        // basis points via integer floor division (late r17): the
+        // previous round(ratio, 4) double could flip at a half-way
+        // shortest-repr boundary cross-engine (the q76 flake class)
+        expr("(coalesce(n_dup_windows, CAST(0 AS BIGINT)) * 10000)" +
+          " div n_windows").as("dup_coverage_bp"))
   }
 
   /** Hashed w-token windows: one (id, h) row per window of w
@@ -328,16 +331,26 @@ object Dedup {
   /** [[exactJaccard]] over pre-materialized shingle sets — callers that
     * already computed (and cached) the sets avoid re-running the
     * shingle kernel. */
-  def exactJaccardOn(sh: DataFrame, pairs: DataFrame): DataFrame = {
-    pairs
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+  def exactJaccardOn(sh: DataFrame, pairs: DataFrame): DataFrame =
+    exactJaccardCountsOn(sh, pairs)
       .withColumn("jaccard",
         when(col("uni") > 0, col("inter") / col("uni").cast("double")).otherwise(0.0))
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
+
+  /** The shared pair-counts core: (id_a, id_b, inter, uni) as BIGINTs.
+    * Gate/oracle callers derive integer ppm from these (late r17 —
+    * a hashed `round(inter/uni, 6)` double can flip at a half-way
+    * shortest-repr boundary cross-engine, the q76 flake class);
+    * library callers keep the double `jaccard` above. */
+  def exactJaccardCountsOn(sh: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
 
   /** EXACT similarity join via prefix filtering (AllPairs/PPJoin
     * family, Bayardo et al. WWW'07): all pairs with shingle-set

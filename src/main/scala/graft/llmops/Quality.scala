@@ -106,15 +106,15 @@ object Quality {
     * corpus. Per-token contributions are quantized to integer
     * micro-nats BEFORE summing (the Bm25 move), so doc scores are an
     * exact BIGINT sum — no float-sum order nondeterminism across
-    * engines or partition layouts; the two final divisions and exp
-    * run on identical inputs everywhere.
+    * engines or partition layouts; the final mean is an exact integer
+    * floor over that sum (late r17).
     *
     * Scale: one shuffle on token for the count table, one keyed join
     * of instances to counts (shuffle or broadcast — Catalyst picks by
     * vocab size), one shuffle on doc for the sum. Linear; no driver
     * state. Docs with zero tokens emit nothing.
     *
-    * @return (doc_id, n_tokens, avg_nll, ppl) per non-empty doc.
+    * @return (doc_id, n_tokens, nll_sum_u, avg_nll_micro) per non-empty doc.
     */
   def unigramPerplexity(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
@@ -124,16 +124,21 @@ object Quality {
     val counts = inst.groupBy(col("t")).agg(count(lit(1)).as("c"))
     val stats = counts.agg(sum(col("c")).as("n_tok"),
       count(lit(1)).as("v"))
-    val avg = col("nll_sum_u") / (col("n_tokens") * 1000000.0)
     inst.join(counts, Seq("t"))
       .crossJoin(broadcast(stats))
       .withColumn("nll_u", (-round(log((col("c") + 1).cast("double") /
         (col("n_tok") + col("v")).cast("double")) * 1000000)).cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("nll_u")).as("nll_sum_u"))
-      .select(col("doc_id"), col("n_tokens"),
-        round(avg, 6).as("avg_nll"),
-        round(exp(avg), 2).as("ppl"))
+      // integer micro-nll mean (late r17): the rounded double avg_nll
+      // and exp-derived ppl could flip at a half-way shortest-repr
+      // boundary cross-engine (the q76 flake class); the floor of the
+      // integer ratio is exact (numerator ≪ 2^53, non-integer rationals
+      // ≥ 1/n from any integer ≫ 1 ulp). ppl, a monotone function of
+      // this column, is derivable by callers: exp(avg_nll_micro/1e6).
+      .select(col("doc_id"), col("n_tokens"), col("nll_sum_u"),
+        floor(col("nll_sum_u").cast("double") / col("n_tokens"))
+          .cast("long").as("avg_nll_micro"))
   }
 
   /** Interpolated bigram LM perplexity — the KenLM-lite upgrade of
@@ -151,7 +156,7 @@ object Quality {
     * corpus totals are a broadcast scalar. Linear end to end. Docs
     * with fewer than two tokens emit nothing (no bigram evidence).
     *
-    * @return (doc_id, n_bigrams, avg_nll, ppl) per doc with ≥2 tokens.
+    * @return (doc_id, n_bigrams, nll_sum_u, avg_nll_micro) per doc with ≥2 tokens.
     */
   def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.7): DataFrame = {
@@ -171,7 +176,6 @@ object Quality {
       lit(lambda) * (col("c2").cast("double") / col("c1a").cast("double")) +
         lit(1.0 - lambda) * ((col("c1b") + 1).cast("double") /
           (col("n_tok") + col("v")).cast("double"))
-    val avg = col("nll_sum_u") / (col("n_bigrams") * 1000000.0)
     bigr
       .join(c2, Seq("w1", "w2"))
       .join(c1.select(col("t").as("w1"), col("c1").as("c1a")), Seq("w1"))
@@ -180,9 +184,11 @@ object Quality {
       .withColumn("nll_u", (-round(log(p) * 1000000)).cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_u")).as("nll_sum_u"))
-      .select(col("doc_id"), col("n_bigrams"),
-        round(avg, 6).as("avg_nll"),
-        round(exp(avg), 2).as("ppl"))
+      // integer micro-nll mean — same portability rationale as
+      // [[unigramPerplexity]] (late r17)
+      .select(col("doc_id"), col("n_bigrams"), col("nll_sum_u"),
+        floor(col("nll_sum_u").cast("double") / col("n_bigrams"))
+          .cast("long").as("avg_nll_micro"))
   }
 
   /** Token-budgeted best-first selection per source — the "data

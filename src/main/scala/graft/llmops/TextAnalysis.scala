@@ -58,6 +58,41 @@ object TextAnalysis {
       "stopword_ratio" -> round(nStop / greatest(nTokens, lit(1)).cast("double"), 6))
   }
 
+  /** [[qualitySignals]] with the ratio columns as integer ppm via
+    * floor division (late r17, the gate/oracle form): `round(p/q, 6)`
+    * doubles can flip at a half-way shortest-repr boundary
+    * cross-engine (the q76 flake class); `(p·1e6) div q` cannot.
+    * [[qualityScore]] keeps consuming the double signals — its blend
+    * is engine-internal, never hash-compared. */
+  def qualitySignalsPpm(text: Column, stopwords: Seq[String])
+      : Seq[(String, Column)] = {
+    val t = coalesce(text, lit(""))
+    val toks = tokens(t)
+    val nChars = length(t).cast("long")
+    val nTokens = size(toks).cast("long")
+    val nPunct = nChars - length(regexp_replace(t, "[\\p{Punct}]", ""))
+    val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("long")
+    val nStop = size(filter(toks,
+      w => array_contains(lit(stopwords.toArray), lower(w)))).cast("long")
+    // floor(double-division) here IS the exact integer floor: p·1e6
+    // and q are exact in double (≪ 2^53), the quotient is correctly
+    // rounded (error < 1 ulp ≈ 1e-10 at this scale), and a NON-integer
+    // rational p·1e6/q sits ≥ 1/q ≥ 1e-8 away from any integer — so
+    // rounding can never carry the quotient across an integer. Both
+    // engines therefore floor the same value.
+    def ppm(p: Column, q: Column): Column =
+      floor((p * 1000000L).cast("double") / greatest(q, lit(1L)))
+        .cast("long")
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTokens,
+      "punct_ppm" -> ppm(nPunct, nChars),
+      "alpha_ppm" -> ppm(nAlpha, nChars),
+      "mean_token_len_ppm" ->
+        ppm(nChars - greatest(nTokens - 1L, lit(0L)), nTokens),
+      "stopword_ppm" -> ppm(nStop, nTokens))
+  }
+
   /** Aggregate 0..1 quality score from the signals (monotone blend of
     * length-in-range, stopword presence, low symbol noise). */
   def qualityScore(text: Column, stopwords: Seq[String] = englishStopwords): Column = {
@@ -280,17 +315,21 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("w5"),
         sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup5"))
-    val chars = greatest(col("n_chars"), lit(1L)).cast("double")
+    // ppm via integer floor division (late r17): round(ratio, 6)
+    // doubles could flip at a half-way shortest-repr boundary
+    // cross-engine (the q76 flake class); integer div cannot
     base.select(col("doc_id"), col("n_chars"))
       .join(topCov(2, "cov2"), Seq("doc_id"), "left")
       .join(topCov(3, "cov3"), Seq("doc_id"), "left")
       .join(d5, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        round(coalesce(col("cov2"), lit(0L)) / chars, 6).as("top2_frac"),
-        round(coalesce(col("cov3"), lit(0L)) / chars, 6).as("top3_frac"),
-        round(coalesce(col("dup5"), lit(0L)) /
-          greatest(coalesce(col("w5"), lit(0L)), lit(1L)).cast("double"), 6)
-          .as("dup5_frac"))
+        expr("(coalesce(cov2, CAST(0 AS BIGINT)) * 1000000)" +
+          " div greatest(n_chars, 1)").as("top2_ppm"),
+        expr("(coalesce(cov3, CAST(0 AS BIGINT)) * 1000000)" +
+          " div greatest(n_chars, 1)").as("top3_ppm"),
+        expr("(coalesce(dup5, CAST(0 AS BIGINT)) * 1000000)" +
+          " div greatest(coalesce(w5, CAST(0 AS BIGINT)), 1)")
+          .as("dup5_ppm"))
   }
 
   /** Word-association mining: pointwise mutual information over

@@ -20,7 +20,7 @@ object Llm {
       .orderBy(col("doc_id"))
 
   def qualitySignals(spark: SparkSession, dir: String): DataFrame = {
-    val sig = TA.qualitySignals(col("text"), stop)
+    val sig = TA.qualitySignalsPpm(col("text"), stop)
     Tables.documents(spark, dir)
       .select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
       .orderBy(col("doc_id"))
@@ -63,7 +63,7 @@ object Llm {
       |                        THEN 1 ELSE 0 END) AS n_dup
       |        FROM w GROUP BY doc_id)
       |SELECT doc_id, n_windows, CAST(n_dup AS BIGINT) AS n_dup_windows,
-      |       round(n_dup / n_windows, 4) AS dup_coverage
+      |       CAST((n_dup * 10000) // n_windows AS BIGINT) AS dup_coverage_bp
       |FROM per ORDER BY doc_id""".stripMargin
 
   /** Benchmark decontamination ([[Dedup.decontaminate]]): docs with
@@ -227,10 +227,13 @@ object Llm {
       |       FROM (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2)
       |       GROUP BY doc_id)
       |SELECT t.doc_id,
-      |       round(coalesce(cov2, 0) / greatest(n_chars, 1), 6) AS top2_frac,
-      |       round(coalesce(cov3, 0) / greatest(n_chars, 1), 6) AS top3_frac,
-      |       round(coalesce(dup5, 0) / greatest(coalesce(w5, 0), 1), 6)
-      |         AS dup5_frac
+      |       CAST((coalesce(cov2, 0) * 1000000) // greatest(n_chars, 1)
+      |         AS BIGINT) AS top2_ppm,
+      |       CAST((coalesce(cov3, 0) * 1000000) // greatest(n_chars, 1)
+      |         AS BIGINT) AS top3_ppm,
+      |       CAST((coalesce(dup5, 0) * 1000000)
+      |         // greatest(coalesce(w5, 0), 1) AS BIGINT)
+      |         AS dup5_ppm
       |FROM t LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
       |       LEFT JOIN c5 USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin
@@ -578,13 +581,16 @@ object Llm {
     truth.join(lsh, Seq("id_a", "id_b"), "left")
       .agg(
         count(lit(1)).as("n_truth_pairs"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_lsh_hits"),
-        round(sum(coalesce(col("hit"), lit(0L))) / count(lit(1)), 3)
-          .as("recall"))
-      .withColumn("band_lo", lit(0.5))
-      .withColumn("within_band", col("recall") >= col("band_lo"))
-      .select(col("n_truth_pairs"), col("n_lsh_hits"), col("recall"),
-        col("band_lo"), col("within_band"))
+        sum(coalesce(col("hit"), lit(0L))).as("n_lsh_hits"))
+      // integer milli-recall via floor division (late r17): the
+      // round(ratio, 3) double could flip at a half-way shortest-repr
+      // boundary cross-engine (the q76 flake class)
+      .withColumn("recall_milli",
+        expr("(n_lsh_hits * 1000) div n_truth_pairs"))
+      .withColumn("band_lo_milli", lit(500L))
+      .withColumn("within_band", col("recall_milli") >= col("band_lo_milli"))
+      .select(col("n_truth_pairs"), col("n_lsh_hits"), col("recall_milli"),
+        col("band_lo_milli"), col("within_band"))
   }
 
   private def embeddingNearDupRecallOracle: String =
@@ -628,9 +634,9 @@ object Llm {
       |        ON t.id_a = l.id_a AND t.id_b = l.id_b)
       |SELECT count(*) AS n_truth_pairs,
       |       CAST(sum(hit) AS BIGINT) AS n_lsh_hits,
-      |       round(sum(hit) / count(*), 3) AS recall,
-      |       0.5 AS band_lo,
-      |       (round(sum(hit) / count(*), 3) >= 0.5) AS within_band
+      |       CAST((sum(hit) * 1000) // count(*) AS BIGINT) AS recall_milli,
+      |       CAST(500 AS BIGINT) AS band_lo_milli,
+      |       ((sum(hit) * 1000) // count(*) >= 500) AS within_band
       |FROM j""".stripMargin
 
   // ---- q115: product-quantization ADC search ----------------------
@@ -1258,8 +1264,9 @@ object Llm {
       |              AS BIGINT) AS nll_u
       |       FROM inst JOIN c USING (t), st)
       |SELECT doc_id, count(*) AS n_tokens,
-      |       round(sum(nll_u) / (count(*) * 1000000.0), 6) AS avg_nll,
-      |       round(exp(sum(nll_u) / (count(*) * 1000000.0)), 2) AS ppl
+      |       CAST(sum(nll_u) AS BIGINT) AS nll_sum_u,
+      |       CAST(floor(sum(nll_u) / count(*)::DOUBLE) AS BIGINT)
+      |         AS avg_nll_micro
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** q126 (r8): interpolated bigram LM perplexity
@@ -1299,8 +1306,9 @@ object Llm {
       |       JOIN (SELECT t AS w1, c1 AS c1a FROM c1) USING (w1)
       |       JOIN (SELECT t AS w2, c1 AS c1b FROM c1) USING (w2), st)
       |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-      |       round(sum(nll_u) / (count(*) * 1000000.0), 6) AS avg_nll,
-      |       round(exp(sum(nll_u) / (count(*) * 1000000.0)), 2) AS ppl
+      |       CAST(sum(nll_u) AS BIGINT) AS nll_sum_u,
+      |       CAST(floor(sum(nll_u) / count(*)::DOUBLE) AS BIGINT)
+      |         AS avg_nll_micro
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** q132 (r8): exact similarity join via prefix filtering
@@ -1946,13 +1954,17 @@ object Llm {
           Seq("query_id", "neighbor_id"), "left")
         .agg(
           count(lit(1)).as("n_truth_pairs"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
-          round(sum(coalesce(col("hit"), lit(0L))) / count(lit(1)), 3)
-            .as("recall_at_5"))
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        // integer milli-recall via floor division (late r17): the
+        // round(ratio, 3) double could flip at a half-way
+        // shortest-repr boundary cross-engine (the q76 flake class)
+        .withColumn("recall_at_5_milli",
+          expr("(n_hits * 1000) div n_truth_pairs"))
         .select(lit(name).as("variant"), col("n_truth_pairs"),
-          col("n_hits"), col("recall_at_5"),
-          lit(bandLo).as("band_lo"),
-          (col("recall_at_5") >= bandLo).as("within_band"))
+          col("n_hits"), col("recall_at_5_milli"),
+          lit(math.round(bandLo * 1000)).as("band_lo_milli"),
+          (col("recall_at_5_milli") >= math.round(bandLo * 1000))
+            .as("within_band"))
     }.reduce(_ union _).orderBy(col("variant"))
   }
 
@@ -2139,23 +2151,44 @@ object Llm {
        |SELECT * FROM (
        |  SELECT 'ivf' AS variant, count(*) AS n_truth_pairs,
        |         CAST(sum(hit) AS BIGINT) AS n_hits,
-       |         round(sum(hit) / count(*), 3) AS recall_at_5,
-       |         $ivfRecallBand AS band_lo,
-       |         (round(sum(hit) / count(*), 3) >= $ivfRecallBand) AS within_band
+       |         CAST((sum(hit) * 1000) // count(*) AS BIGINT)
+       |           AS recall_at_5_milli,
+       |         CAST(${math.round(ivfRecallBand * 1000)} AS BIGINT)
+       |           AS band_lo_milli,
+       |         ((sum(hit) * 1000) // count(*)
+       |           >= ${math.round(ivfRecallBand * 1000)}) AS within_band
        |  FROM jivf
        |  UNION ALL
        |  SELECT 'lsh', count(*), CAST(sum(hit) AS BIGINT),
-       |         round(sum(hit) / count(*), 3), $lshRecallBand,
-       |         (round(sum(hit) / count(*), 3) >= $lshRecallBand)
+       |         CAST((sum(hit) * 1000) // count(*) AS BIGINT),
+       |         CAST(${math.round(lshRecallBand * 1000)} AS BIGINT),
+       |         ((sum(hit) * 1000) // count(*)
+       |           >= ${math.round(lshRecallBand * 1000)})
        |  FROM jlsh)
        |ORDER BY variant""".stripMargin
 
-  /** Per-label mean embedding, flattened to (label, pos, m). */
+  /** Per-label mean embedding, flattened to (label, pos, m). Late r17:
+    * the mean is computed over the portable milli fixed point
+    * (floor(x·1000), the repo-wide embedding quantization) and emitted
+    * as an exact integer micro-mean — `round(avg(x), 6)` summed
+    * doubles in engine-specific order and could flip the 6th decimal
+    * at a boundary (the q41/q54b op-order class); integer sums are
+    * order-independent and the floor division is exact. */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos").cast("long").as("pos"))
-      .agg(round(avg(col("x")), 6).as("m"))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        floor(col("x").cast("double") * 1000).cast("long").as("xm"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("xm")).as("sum_milli"), count(lit(1)).as("n"))
+      // floor (not `div`): sum_milli can be NEGATIVE and Spark's `div`
+      // truncates toward zero while DuckDB's `//` floors — the
+      // floor-of-double form is exact here (|numerator| ≪ 2^53 and
+      // non-integer rationals sit ≥ 1/n from any integer, ≫ 1 ulp)
+      // and FLOORS in both engines
+      .select(col("label"), col("pos"), col("sum_milli"),
+        floor((col("sum_milli") * 1000).cast("double") / col("n"))
+          .cast("long").as("m_micro"))
       .orderBy(col("label"), col("pos"))
 
   /** Exact 2-gram Jaccard over a bounded all-pairs set — the oracled
@@ -2165,8 +2198,13 @@ object Llm {
     val pairs = docs.select(col("doc_id").as("id_a"))
       .crossJoin(docs.select(col("doc_id").as("id_b")))
       .filter(col("id_a") < col("id_b"))
-    Dedup.exactJaccard(docs, pairs, "doc_id", "text", shingleK = 2)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    Dedup.exactJaccardCountsOn(
+        Dedup.shingleSets(docs, "doc_id", "text", 2), pairs)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        // integer ppm (late r17): round(jaccard, 6) doubles could flip
+        // at a half-way shortest-repr boundary cross-engine
+        expr("(inter * 1000000) div greatest(uni, CAST(1 AS BIGINT))")
+          .as("jaccard_ppm"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -2213,8 +2251,11 @@ object Llm {
         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
         |SELECT p.id_a, p.id_b,
-        |  round(coalesce(i.i, 0) /
-        |    (ca.n + cb.n - coalesce(i.i, 0))::DOUBLE, 6) AS jaccard
+        |  CAST(coalesce(i.i, 0) AS BIGINT) AS inter,
+        |  CAST(ca.n + cb.n - coalesce(i.i, 0) AS BIGINT) AS uni,
+        |  CAST((coalesce(i.i, 0) * 1000000)
+        |    // greatest(ca.n + cb.n - coalesce(i.i, 0), 1) AS BIGINT)
+        |    AS jaccard_ppm
         |FROM pairs p
         |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
         |JOIN cnt ca ON ca.doc_id = p.id_a
@@ -2236,14 +2277,14 @@ object Llm {
          |SELECT doc_id,
          | length(txt) AS n_chars,
          | len(toks) AS n_tokens,
-         | round((length(txt) - length(regexp_replace(txt, '[!-/:-@\\[-`{-~]', '', 'g')))
-         |   / greatest(length(txt), 1)::DOUBLE, 6) AS punct_ratio,
-         | round(length(regexp_replace(txt, '[^A-Za-z]', '', 'g'))
-         |   / greatest(length(txt), 1)::DOUBLE, 6) AS alpha_ratio,
-         | round((length(txt) - greatest(len(toks) - 1, 0))
-         |   / greatest(len(toks), 1)::DOUBLE, 6) AS mean_token_len,
-         | round(len(list_filter(toks, w -> list_contains([${stop.map("'" + _ + "'").mkString(",")}], lower(w))))
-         |   / greatest(len(toks), 1)::DOUBLE, 6) AS stopword_ratio
+         | CAST(((length(txt) - length(regexp_replace(txt, '[!-/:-@\\[-`{-~]', '', 'g')))
+         |   * 1000000) // greatest(length(txt), 1) AS BIGINT) AS punct_ppm,
+         | CAST((length(regexp_replace(txt, '[^A-Za-z]', '', 'g'))
+         |   * 1000000) // greatest(length(txt), 1) AS BIGINT) AS alpha_ppm,
+         | CAST(((length(txt) - greatest(len(toks) - 1, 0))
+         |   * 1000000) // greatest(len(toks), 1) AS BIGINT) AS mean_token_len_ppm,
+         | CAST((len(list_filter(toks, w -> list_contains([${stop.map("'" + _ + "'").mkString(",")}], lower(w))))
+         |   * 1000000) // greatest(len(toks), 1) AS BIGINT) AS stopword_ppm
          |FROM t
          |ORDER BY doc_id""".stripMargin)),
     QueryDef("q32_fingerprint_md5", fingerprints, Some(
@@ -2361,7 +2402,11 @@ object Llm {
     QueryDef("q89b_ann_recall_production", annRecallNonPortable, None),
     QueryDef("q176_ann_index_lifecycle", annIndexLifecycle, None),
     QueryDef("q40_label_centroids", labelCentroids, Some(
-      """SELECT label, ord AS pos, round(avg(val), 6) AS m
+      """SELECT label, ord AS pos,
+        | CAST(sum(CAST(floor(val::DOUBLE * 1000) AS BIGINT)) AS BIGINT)
+        |   AS sum_milli,
+        | CAST(floor((sum(CAST(floor(val::DOUBLE * 1000) AS BIGINT)) * 1000)
+        |   / count(*)::DOUBLE) AS BIGINT) AS m_micro
         |FROM (SELECT label, unnest(embedding) AS val,
         |             unnest(range(len(embedding))) AS ord
         |      FROM embeddings)

@@ -335,31 +335,22 @@ object Relational {
     // the RATIONAL (cents[i]·(200−rem) + cents[i+1]·rem) / 20000
     // dollars with integer numerator — both engines emit the BIGINT
     // numerator (units: 1/20000 dollar) and cannot disagree. lo/hi
-    // join the integer discipline as exact cents.
+    // join the integer discipline as exact cents. Scale note: the
+    // per-priority row_number concentrates each group in one task —
+    // the SAME concentration class as the exact `percentile` multiset
+    // buffer it replaces, and like it this is GATE-ONLY
+    // instrumentation (envelope=true); the production path above is
+    // sketch-only (ADVICE r5 #3).
     val sk = base.agg(
       round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 4).as("__p50"),
-      round(expr("approx_percentile(o_totalprice, 0.9, 10000)"), 4).as("__p90"),
-      count(lit(1)).as("n"))
-    val ranked = Tables.orders(spark, dir)
-      .select($"o_orderpriority",
-        round($"o_totalprice" * 100).cast("long").as("cents"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"o_orderpriority").orderBy($"cents")))
-    // weight of this row in the /200-denominator interpolation of
-    // quantile nq/200: rows idx+1 and idx+2 carry (200−rem) and rem
-    def w(nq: Int): org.apache.spark.sql.Column = expr(
-      s"CASE WHEN rk = ((n - 1) * $nq) div 200 + 1 " +
-        s"THEN cents * (200 - ((n - 1) * $nq) % 200) " +
-        s"WHEN rk = ((n - 1) * $nq) div 200 + 2 " +
-        s"THEN cents * (((n - 1) * $nq) % 200) ELSE 0 END")
-    ranked.join(broadcast(sk), Seq("o_orderpriority"))
-      .groupBy($"o_orderpriority")
-      .agg(
-        min($"cents").as("lo"), max($"cents").as("hi"),
-        sum(w(99)).as("p50_lo"), sum(w(101)).as("p50_hi"),
-        sum(w(179)).as("p90_lo"), sum(w(181)).as("p90_hi"),
-        first($"__p50").as("__p50"), first($"__p90").as("__p90"))
+      round(expr("approx_percentile(o_totalprice, 0.9, 10000)"), 4).as("__p90"))
+    val env = graft.ops.IntegerEnvelope.numerators(
+      Tables.orders(spark, dir).select($"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents")),
+      "o_orderpriority", "cents", Seq(99, 101, 179, 181))
+      .withColumnRenamed("q99", "p50_lo").withColumnRenamed("q101", "p50_hi")
+      .withColumnRenamed("q179", "p90_lo").withColumnRenamed("q181", "p90_hi")
+    env.join(broadcast(sk), Seq("o_orderpriority"))
       .select($"o_orderpriority", $"lo", $"hi",
         $"p50_lo", $"p50_hi", $"p90_lo", $"p90_hi",
         ($"__p50".between($"p50_lo" / 20000.0 - 0.0001,
@@ -438,26 +429,15 @@ object Relational {
     val sk = li.groupBy($"l_returnflag")
       .agg(
         round(expr("approx_percentile(l_extendedprice, 0.25, 10000)"), 4).as("__q1"),
-        round(expr("approx_percentile(l_extendedprice, 0.75, 10000)"), 4).as("__q3"),
-        count(lit(1)).as("n"))
-    val ranked = li
-      .select($"l_returnflag",
-        round($"l_extendedprice" * 100).cast("long").as("cents"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"l_returnflag").orderBy($"cents")))
-    def w(nq: Int): org.apache.spark.sql.Column = expr(
-      s"CASE WHEN rk = ((n - 1) * $nq) div 200 + 1 " +
-        s"THEN cents * (200 - ((n - 1) * $nq) % 200) " +
-        s"WHEN rk = ((n - 1) * $nq) div 200 + 2 " +
-        s"THEN cents * (((n - 1) * $nq) % 200) ELSE 0 END")
-    val f = ranked.join(broadcast(sk), Seq("l_returnflag"))
-      .groupBy($"l_returnflag")
-      .agg(
-        first($"n").as("n_rows"),
-        first($"__q1").as("__q1"), first($"__q3").as("__q3"),
-        sum(w(49)).as("q1_lo"), sum(w(51)).as("q1_hi"),
-        sum(w(149)).as("q3_lo"), sum(w(151)).as("q3_hi"))
+        round(expr("approx_percentile(l_extendedprice, 0.75, 10000)"), 4).as("__q3"))
+    val f = graft.ops.IntegerEnvelope.numerators(
+        li.select($"l_returnflag",
+          round($"l_extendedprice" * 100).cast("long").as("cents")),
+        "l_returnflag", "cents", Seq(49, 51, 149, 151))
+      .withColumnRenamed("q49", "q1_lo").withColumnRenamed("q51", "q1_hi")
+      .withColumnRenamed("q149", "q3_lo").withColumnRenamed("q151", "q3_hi")
+      .withColumnRenamed("n", "n_rows").drop("lo", "hi")
+      .join(broadcast(sk), Seq("l_returnflag"))
       // sketch fences (the product, doubles — feed only the boolean) +
       // envelope-derived bound fences in exact 1/40000-dollar integers
       // (widest / narrowest any in-envelope quartile pair could

@@ -17,8 +17,7 @@ class BigramPplSpec extends SparkSpec {
     val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
     // c1: a=3 b=3 x=1, N=7 V=3; c2: (a,b)=3 (b,a)=1
     val got = Quality.bigramPerplexity(docs, "doc_id", "text")
-      .select($"doc_id", $"n_bigrams",
-        ($"avg_nll" * $"n_bigrams" * 1000000.0).cast("long").as("sum_u"))
+      .select($"doc_id", $"n_bigrams", $"nll_sum_u")
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     val ab = nllU(3, 3, 3, 7, 3)
     val ba = nllU(1, 3, 3, 7, 3)
@@ -38,7 +37,7 @@ class BigramPplSpec extends SparkSpec {
     val docs = (1L to 9L).map(i => (i, "a b")) ++ Seq((10L, "a q"))
     val got = Quality.bigramPerplexity(docs.toDF("doc_id", "text"),
         "doc_id", "text")
-      .select($"doc_id", $"avg_nll").as[(Long, Double)].collect().toMap
+      .select($"doc_id", $"avg_nll_micro").as[(Long, Long)].collect().toMap
     assert(got(10L) > got(1L), "rare transition must score higher nll")
   }
 

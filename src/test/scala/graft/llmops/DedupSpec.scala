@@ -202,15 +202,16 @@ class DedupSpec extends SparkSpec {
       (5L, "r1 r2 r3 r4 r1 r2 r3 r4 r1 r2 r3 r4")          // within-doc repeat
     ).toDF("doc_id", "text")
     val got = Dedup.substringDupScan(docs, "doc_id", "text", w = 4)
-      .as[(Long, Long, Long, Double)].collect()
+      .as[(Long, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(!got.contains(4L), "short doc must be excluded")
-    // docs 1/2: 5 windows each (8-4+1), exactly one duplicated
-    assert(got(1L) == ((5L, 1L, 0.2)) && got(2L) == ((5L, 1L, 0.2)),
+    // docs 1/2: 5 windows each (8-4+1), exactly one duplicated;
+    // coverage in integer basis points (1/5 = 2000 bp)
+    assert(got(1L) == ((5L, 1L, 2000L)) && got(2L) == ((5L, 1L, 2000L)),
       s"copied span mis-scored: $got")
-    assert(got(3L) == ((5L, 0L, 0.0)), "unique doc must score zero")
+    assert(got(3L) == ((5L, 0L, 0L)), "unique doc must score zero")
     // doc 5: 9 windows, period 4 -> every window recurs within the doc
-    assert(got(5L)._1 == 9L && got(5L)._2 == 9L && got(5L)._3 == 1.0,
+    assert(got(5L)._1 == 9L && got(5L)._2 == 9L && got(5L)._3 == 10000L,
       s"within-doc repeat mis-scored: ${got(5L)}")
   }
 

@@ -100,17 +100,17 @@ class QualitySpec extends SparkSpec {
     val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "   "))
       .toDF("doc_id", "text")
     val got = Quality.unigramPerplexity(docs, "doc_id", "text")
-      .as[(Long, Long, Double, Double)].collect()
+      .as[(Long, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(!got.contains(3L), "empty doc must emit nothing")
-    // doc1: (2*693147 + 1386294) / 3e6 = 0.924196
-    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - 0.924196) < 1e-6,
-      s"doc1 nll wrong: ${got(1L)}")
-    // doc2: (693147 + 1386294) / 2e6 = 1.0397205; ppl ~ sqrt(8)
-    assert(got(2L)._1 == 2L && math.abs(got(2L)._2 - 1.039721) < 1e-6,
-      s"doc2 nll wrong: ${got(2L)}")
-    assert(math.abs(got(2L)._3 - 2.83) < 0.005, s"ppl wrong: ${got(2L)}")
-    assert(got(2L)._2 > got(1L)._2, "rarer tokens must raise the nll")
+    // doc1: sum 2*693147 + 1386294 = 2772588; floor(/3) = 924196
+    assert(got(1L)._1 == 3L && got(1L)._2 == 2772588L
+      && got(1L)._3 == 924196L, s"doc1 nll wrong: ${got(1L)}")
+    // doc2: sum 693147 + 1386294 = 2079441; floor(/2) = 1039720
+    // (ppl = exp(avg_nll_micro/1e6) ~ sqrt(8), derivable by callers)
+    assert(got(2L)._1 == 2L && got(2L)._2 == 2079441L
+      && got(2L)._3 == 1039720L, s"doc2 nll wrong: ${got(2L)}")
+    assert(got(2L)._3 > got(1L)._3, "rarer tokens must raise the nll")
   }
 
   test("portable hash split: ~90/10, deterministic, partition-independent") {

@@ -79,14 +79,15 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, "x y z w v x y z w v")               // 5-gram repeats: 2 of 6
     ).toDF("doc_id", "text")
     val got = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
-      .as[(Long, Double, Double, Double)].collect()
+      .as[(Long, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-    assert(got(1L) == ((0.882353, 0.941176, 0.0)),
+    // integer ppm, floor semantics: floor(1e6*15/17)=882352 etc
+    assert(got(1L) == ((882352L, 941176L, 0L)),
       s"looping doc mis-scored: ${got(1L)}")   // 15/17, 16/17, 0
-    assert(got(2L) == ((0.294118, 0.470588, 0.0)),
+    assert(got(2L) == ((294117L, 470588L, 0L)),
       s"unique doc mis-scored: ${got(2L)}")    // 5/17, 8/17, 0
-    assert(got(3L) == ((0.0, 0.0, 0.0)), "short doc must score zero")
-    assert(got(4L)._3 == 0.333333,
+    assert(got(3L) == ((0L, 0L, 0L)), "short doc must score zero")
+    assert(got(4L)._3 == 333333L,
       s"duplicate 5-gram fraction wrong: ${got(4L)}")  // 2/6
     assert(got(1L)._1 > got(2L)._1, "repetition must rank above unique")
   }
