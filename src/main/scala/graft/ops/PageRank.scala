@@ -118,6 +118,18 @@ object PageRank {
         }
       if (i % 4 == 0) ranks = ranks.localCheckpoint(true)
     }
+    // r17 optimization round: cut the iterations left LAZY since the
+    // last in-loop checkpoint BEFORE releasing nodeBase — the unpersist
+    // below used to fire while the caller's plan was still unexecuted,
+    // so the final (iters mod 4) rounds re-derived the whole nodeBase
+    // subtree (nodes-distinct union + base/r0) from the source PER USE:
+    // the q104 gate plan showed 8 parquet scans of events and ~12
+    // exchanges for its last two iterations (plans/r17/
+    // q104_pagerank_before.txt). Checkpointing here executes those
+    // rounds while the cache is alive; the caller receives a plan that
+    // reads materialized blocks (guide §2.4 — remove repeated subtree
+    // shuffles outright).
+    if (iters % 4 != 0) ranks = ranks.localCheckpoint(true)
     nodeBase.unpersist()
     ranks.select(col("node"), col("r").as("rank_q"))
   }
