@@ -832,6 +832,16 @@ object Llm {
         Window.partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("__canon"))
       .select(col("doc_id"), col("text"))
+      // r17 optimization round: the dedup-survivor corpus feeds TWO
+      // consumers (the MinHash signature build and the final survivors
+      // join), and the scan → langId → md5-window chain re-executed
+      // once per consumer — profiled as two ~1.7 s single-task window
+      // stages per gate run (AQE coalesces the small md5 exchange to
+      // one partition, serializing the window). One eager checkpoint
+      // executes the chain once; both consumers read materialized
+      // blocks (guide §2.4: shared subtree, one computation). The
+      // rows are bit-identical, so the oracle hash is unchanged.
+      .localCheckpoint(true)
     val pairs = Dedup.minhashCandidatesPortable(exactCanon, "doc_id", "text",
       shingleK = 2, numHashes = 32, bands = 8, threshold = 0.3)
     val labels = graft.ops.ConnectedComponents.hashMin(pairs, "id_a", "id_b")
