@@ -431,18 +431,28 @@ object Dedup {
       diskGuard: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     if (diskGuard) assertTransientDiskBudget(docs, textCol, "prefixFilterJoin")
-    // the integer ppm threshold T and every T-based candidate filter
-    // live in prefixJaccardCandidates (extracted r12); this method only
-    // verifies with the double `jaccard >= threshold` directly
-    // NOT cached: columnar-caching array rows costs more than
-    // re-running the shingle kernel (bench-adjudicated r8: the cached
-    // variant ran 12→21 s at sf0.1 across three passes). Re-deriving
-    // the same uncached lineage inside the candidate helper is
-    // plan-identical.
+    val T = math.floor(threshold * 1e6).toLong
     val sh = shingleSets(docs, idCol, textCol, shingleK)
-    val candidates = prefixJaccardCandidates(docs, idCol, textCol,
-      shingleK, threshold, collisionGuard)
-    val shh = hashedShingleSets(sh)
+    if (collisionGuard) assertHashesCollisionFree(
+      sh.select(col("id"), explode(col("sh")).as("t")))
+    // r17 optimization round: the tokenize→shingle→hash kernel used to
+    // re-execute once per plan consumer (the freq exchange, the
+    // ranked-join instance side, and the verify arrays — three
+    // independent lineages over the same text), and the freq/rank
+    // exchanges carried STRING shingles. Hashing FIRST and eagerly
+    // checkpointing the hashed sets runs the kernel exactly once;
+    // every downstream stage (candidates and verify) reads 64-bit
+    // identities from materialized blocks (guide §2.3 narrower types +
+    // §2.4 shared subtree). Answer-equivalent under the operator's
+    // standing 64-bit collision contract: freq counted per hash equals
+    // freq per string absent collisions (collisionGuard still checks
+    // the STRING identities when requested). The r8 adjudication
+    // rejected COLUMNAR CACHING of the string-array rows (12→21 s at
+    // sf0.1); the checkpoint materializes the post-kernel LONG arrays
+    // instead — re-adjudicated r17: all four family gates faster
+    // back-to-back (q132 6.83→4.77 s etc., OPTIMIZATION_r17.md).
+    val shh = hashedShingleSets(sh).localCheckpoint(true)
+    val candidates = prefixCandidatesFromHashed(shh, T)
     val withInter =
       if (verifyBuckets > 0) bucketedIntersections(shh, candidates, verifyBuckets)
       else candidates
@@ -479,23 +489,31 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     val T = math.floor(threshold * 1e6).toLong
     val sh = shingleSets(docs, idCol, textCol, shingleK)
-    // set size RIDES THROUGH the explode as a column (r11): sh is a
-    // distinct set so size(sh) == the per-id instance count, and
-    // carrying it kills the second Window pass the r10 form paid
-    // (count over partitionBy(id) — same exchange as the rank window
-    // but a separate sort-and-scan operator). A size(sh) JOIN would
-    // re-evaluate the shingle-kernel lineage instead
-    // (bench-adjudicated slower in r8, as was caching sh).
-    val inst = sh.select(col("id"), size(col("sh")).cast("long").as("n"),
-      explode(col("sh")).as("t"))
-    if (collisionGuard) assertHashesCollisionFree(inst)
-    val freq = inst.groupBy(col("t")).agg(count(lit(1)).as("f"))
+    if (collisionGuard) assertHashesCollisionFree(
+      sh.select(col("id"), explode(col("sh")).as("t")))
+    prefixCandidatesFromHashed(hashedShingleSets(sh), T, grouped)
+  }
+
+  /** The candidate core over HASHED shingle sets (id, sh array<bigint>)
+    * — r17: both the frequency aggregation and the rank join move
+    * 64-bit identities end to end (the string→hash projection used to
+    * sit AFTER the freq join, so both of those exchanges carried the
+    * shingle strings). Frequency per hash equals frequency per string
+    * under the family's standing collision contract, and any
+    * consistent global order is complete for the prefix theorem, so
+    * the candidate set — and the verified answer — are unchanged.
+    *
+    * Set size RIDES THROUGH the explode as a column (r11): sh is a
+    * distinct set so size(sh) == the per-id instance count, and
+    * carrying it kills the second Window pass the r10 form paid. */
+  private def prefixCandidatesFromHashed(shh: DataFrame, T: Long,
+      grouped: Boolean = true): DataFrame = {
+    val inst = shh.select(col("id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("tid"))
+    val freq = inst.groupBy(col("tid")).agg(count(lit(1)).as("f"))
     val wRank = Window.partitionBy(col("id")).orderBy(col("f"), col("tid"))
-    // Strings drop here: everything downstream moves (id, tid, f)
-    // longs. Any consistent global order is complete for the prefix
-    // theorem, so hash tie-breaks are as valid as string tie-breaks.
-    val ranked = inst.join(freq, Seq("t"))
-      .select(col("id"), col("n"), xxhash64(col("t")).as("tid"), col("f"))
+    val ranked = inst.join(freq, Seq("tid"))
+      .select(col("id"), col("n"), col("tid"), col("f"))
       .withColumn("rk", row_number().over(wRank).cast("long"))
     val prefixes = ranked
       // prefix length via the SAME integer T: ⌈T·n/1e6⌉ ≤ ⌈t·n⌉ exactly
@@ -775,20 +793,22 @@ object Dedup {
     // candidate filters and the verify on the SAME integer threshold.
     val T = math.floor(threshold * 1e6).toLong
     val sh = shingleSets(docs, idCol, textCol, shingleK)
-    // set size rides through the explode (r11, see prefixFilterJoin)
-    val inst = sh.select(col("id"), size(col("sh")).cast("long").as("n"),
-      explode(col("sh")).as("t"))
-    if (collisionGuard) assertHashesCollisionFree(inst)
-    val freq = inst.groupBy(col("t")).agg(count(lit(1)).as("f"))
+    if (collisionGuard) assertHashesCollisionFree(
+      sh.select(col("id"), explode(col("sh")).as("t")))
+    // r17: hash first + one eager checkpoint of the hashed sets — the
+    // text kernel runs once and every exchange below moves longs (see
+    // prefixFilterJoin; same answer-equivalence argument). BOTH sides
+    // rank — the left to select its prefix, the right (full index) so
+    // the positional filter has rk_b; the right side still ships EVERY
+    // position (containment puts no floor on |B|, so the indexed side
+    // cannot prefix).
+    val shh = hashedShingleSets(sh).localCheckpoint(true)
+    val inst = shh.select(col("id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("tid"))
+    val freq = inst.groupBy(col("tid")).agg(count(lit(1)).as("f"))
     val wRank = Window.partitionBy(col("id")).orderBy(col("f"), col("tid"))
-    // the r10 narrow-lane rework (see prefixFilterJoin): strings drop
-    // at the freq join; ranks, candidates and verify arrays all move
-    // 64-bit hashed identities. BOTH sides rank — the left to select
-    // its prefix, the right (full index) so the positional filter has
-    // rk_b; the right side still ships EVERY position (containment
-    // puts no floor on |B|, so the indexed side cannot prefix).
-    val ranked = inst.join(freq, Seq("t"))
-      .select(col("id"), col("n"), xxhash64(col("t")).as("tid"), col("f"))
+    val ranked = inst.join(freq, Seq("tid"))
+      .select(col("id"), col("n"), col("tid"), col("f"))
       .withColumn("rk", row_number().over(wRank).cast("long"))
     val prefixes = ranked
       // prefix length via the SAME integer T: ⌈T·n/1e6⌉ ≤ ⌈t·n⌉ exactly
@@ -814,7 +834,6 @@ object Dedup {
       // inter ≥ ⌈t·n_a⌉  ⇔  ub·1e6 ≥ T·n_a, exact longs
       .filter(col("ub") * 1000000L >= lit(T) * col("n_a"))
       .select(col("id_a"), col("id_b"), col("n_a"))
-    val shh = hashedShingleSets(sh)
     val withInter =
       if (verifyBuckets > 0)
         // containment candidates don't carry n_b (the indexed side
