@@ -237,16 +237,32 @@ object Extras {
     val stream = spark.readStream.schema(toDf(waves.head).schema)
       .option("recursiveFileLookup", "true").parquet(stage)
     val name = "q103_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = EventStreams.sessionizeCustom(stream, gapMinutes = 30).toDF()
-      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-      .format("memory").queryName(name).start()
-    // write waves sequentially, draining between: wave 1 is fully
-    // processed (watermark advanced) before wave 2 exists
-    waves.zipWithIndex.foreach { case (rows, i) =>
-      toDf(rows).coalesce(1).write.parquet(s"$stage/wave$i")
-      q.processAllAvailable()
+    // r17 optimization round: the q153 rationale applied here — each
+    // micro-batch pays state-store setup × shuffle-partition count,
+    // and this gate's replay is a 10-row fixture, so 32 state stores
+    // per batch is pure overhead (profiled: 4 batch stages × 32 tasks
+    // × ~0.4 s state-store CPU each). Scope the stateful query to 4
+    // partitions and restore the session value after; results are
+    // partitioning-independent.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // query handle held OUTSIDE the try so an exception during wave
+    // replay cannot leak a running streaming query (the q153 pattern)
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = EventStreams.sessionizeCustom(stream, gapMinutes = 30).toDF()
+        .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .format("memory").queryName(name).start()
+      // write waves sequentially, draining between: wave 1 is fully
+      // processed (watermark advanced) before wave 2 exists
+      waves.zipWithIndex.foreach { case (rows, i) =>
+        toDf(rows).coalesce(1).write.parquet(s"$stage/wave$i")
+        q.processAllAvailable()
+      }
+    } finally {
+      if (q != null) try q.stop() catch { case _: Throwable => () }
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
-    q.stop()
     // the emitted sessions are a handful of rows: pull them local so
     // the memory-sink view and the staged waves can be dropped HERE
     // instead of accumulating one table + tempdir per bench pass
