@@ -45,16 +45,22 @@ object AlbedoFixtures {
   }
 
   /** Read-back views of the persisted fixtures (parquet round-trip on
-    * both sides keeps timestamp precision identical for the oracle). */
-  def usersP(spark: SparkSession): DataFrame = {
-    persistOnce(spark); spark.read.parquet(s"$persistDir/users.parquet")
-  }
-  def reposP(spark: SparkSession): DataFrame = {
-    persistOnce(spark); spark.read.parquet(s"$persistDir/repos.parquet")
-  }
-  def starringsP(spark: SparkSession): DataFrame = {
-    persistOnce(spark); spark.read.parquet(s"$persistDir/starrings.parquet")
-  }
+    * both sides keeps timestamp precision identical for the oracle).
+    * r17: the read-back HANDLE is session-memoized like Tables.apply —
+    * schema inference once per session, every action still scans the
+    * persisted parquet (no data caching). */
+  def usersP(spark: SparkSession): DataFrame =
+    graft.ml.ModelMemo.cached(spark, s"fixture:$persistDir/users") {
+      persistOnce(spark); spark.read.parquet(s"$persistDir/users.parquet")
+    }
+  def reposP(spark: SparkSession): DataFrame =
+    graft.ml.ModelMemo.cached(spark, s"fixture:$persistDir/repos") {
+      persistOnce(spark); spark.read.parquet(s"$persistDir/repos.parquet")
+    }
+  def starringsP(spark: SparkSession): DataFrame =
+    graft.ml.ModelMemo.cached(spark, s"fixture:$persistDir/starrings") {
+      persistOnce(spark); spark.read.parquet(s"$persistDir/starrings.parquet")
+    }
 
   @volatile private var persisted = false
   private def persistOnce(spark: SparkSession): Unit = synchronized {

@@ -21,7 +21,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** r17 optimization round: `spark.read.parquet` runs a driver-side
+    * schema-inference job (a footer read) on EVERY call, and gates load
+    * 1–3 tables each — ~50–120 ms × hundreds of loads per bench run of
+    * pure fixed overhead (profiled as the per-gate `parquet at
+    * Tables.scala` stages). Memoize the lazily-planned HANDLE per
+    * (session, dir, table): schema inference and file listing happen
+    * once per session — exactly what a catalog table gives a real
+    * deployment (guide §6, file-listing caching). No data or results
+    * are cached: every action on the handle still scans the parquet
+    * inputs. */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.ml.ModelMemo.cached(spark, s"table:$dir:$name")(load(spark, dir, name))
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table: $name")
     if (name == "events") {
       // The events fixture has shipped in two layouts over time:
