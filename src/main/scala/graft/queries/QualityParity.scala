@@ -106,11 +106,12 @@ object QualityParity {
         // session so repeat invocations skip the index rebuild
         val docs = repoDocs(spark)
         val weights = graft.ml.ModelMemo.cached(spark, "tfidf-repo-fixture") {
-          val w = graft.reco.ContentRecommender.tfidfWeights(docs,
+          // r17: eager checkpoint instead of cache+count — same fit,
+          // materialized once per session into blocks clearCache does
+          // not evict (the docTfidfWeights rationale)
+          graft.reco.ContentRecommender.tfidfWeights(docs,
             "repo_id", "text", minDf = 1, maxDfFrac = 0.8,
-            nDocs = Some(docs.count())).cache()
-          w.count() // materialize once at fit time
-          w
+            nDocs = Some(docs.count())).localCheckpoint(true)
         }
         new ContentUserRecommender(train, docs,
           "repo_id", "text", recentK = 3, prefixM = 4,
