@@ -425,6 +425,16 @@ object Dedup {
     * r12 probes burned >70 GB and died mid-verify.
     *
     * Output: (id_a, id_b, jaccard) for id_a < id_b, jaccard ≥ t. */
+
+  /** Dev-only A/B hook (r18, VERDICT r17 "Next round" #4): the eager
+    * hashed-set materialization vs re-deriving the kernel per consumer.
+    * Default = cut (the r17 shape); GRAFT_DEDUP_SKIP_CUT=1 keeps the
+    * long-key narrowing but skips the materialization. Bench/Verify
+    * never set it. */
+  private def maybeCutHashedSets(df: DataFrame): DataFrame =
+    if (sys.env.get("GRAFT_DEDUP_SKIP_CUT").contains("1")) df
+    else graft.ops.Checkpoints.cut(df)
+
   def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.5,
       verifyBuckets: Int = 0, collisionGuard: Boolean = false,
@@ -451,7 +461,7 @@ object Dedup {
     // sf0.1); the checkpoint materializes the post-kernel LONG arrays
     // instead — re-adjudicated r17: all four family gates faster
     // back-to-back (q132 6.83→4.77 s etc., OPTIMIZATION_r17.md).
-    val shh = hashedShingleSets(sh).localCheckpoint(true)
+    val shh = maybeCutHashedSets(hashedShingleSets(sh))
     val candidates = prefixCandidatesFromHashed(shh, T)
     val withInter =
       if (verifyBuckets > 0) bucketedIntersections(shh, candidates, verifyBuckets)
@@ -802,7 +812,7 @@ object Dedup {
     // the positional filter has rk_b; the right side still ships EVERY
     // position (containment puts no floor on |B|, so the indexed side
     // cannot prefix).
-    val shh = hashedShingleSets(sh).localCheckpoint(true)
+    val shh = maybeCutHashedSets(hashedShingleSets(sh))
     val inst = shh.select(col("id"), size(col("sh")).cast("long").as("n"),
       explode(col("sh")).as("tid"))
     val freq = inst.groupBy(col("tid")).agg(count(lit(1)).as("f"))

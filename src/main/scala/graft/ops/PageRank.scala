@@ -116,7 +116,7 @@ object PageRank {
           joined.crossJoin(broadcast(dangling))
             .select(col("node"), (col("base") + expr(dexp)).as("r"))
         }
-      if (i % 4 == 0) ranks = ranks.localCheckpoint(true)
+      if (i % 4 == 0) ranks = Checkpoints.cut(ranks)
     }
     // r17 optimization round: cut the iterations left LAZY since the
     // last in-loop checkpoint BEFORE releasing nodeBase — the unpersist
@@ -129,7 +129,7 @@ object PageRank {
     // rounds while the cache is alive; the caller receives a plan that
     // reads materialized blocks (guide §2.4 — remove repeated subtree
     // shuffles outright).
-    if (iters % 4 != 0) ranks = ranks.localCheckpoint(true)
+    if (iters % 4 != 0) ranks = Checkpoints.cut(ranks)
     nodeBase.unpersist()
     ranks.select(col("node"), col("r").as("rank_q"))
   }

@@ -841,7 +841,7 @@ object Llm {
       // executes the chain once; both consumers read materialized
       // blocks (guide §2.4: shared subtree, one computation). The
       // rows are bit-identical, so the oracle hash is unchanged.
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoints.cut(_))
     val pairs = Dedup.minhashCandidatesPortable(exactCanon, "doc_id", "text",
       shingleK = 2, numHashes = 32, bands = 8, threshold = 0.3)
     val labels = graft.ops.ConnectedComponents.hashMin(pairs, "id_a", "id_b")

@@ -38,7 +38,7 @@ object Ml {
       // semantics the seeded model fits already have.
       ContentRecommender.tfidfWeights(docs, "doc_id", "text",
         minDf = 1, maxDfFrac = 0.8, nDocs = Some(docs.count()))
-        .localCheckpoint(true)
+        .transform(graft.ops.Checkpoints.cut(_))
     }
 
   /** TF-IDF similar-docs via prefix-filtered inverted-index join (the

@@ -111,7 +111,8 @@ object QualityParity {
           // not evict (the docTfidfWeights rationale)
           graft.reco.ContentRecommender.tfidfWeights(docs,
             "repo_id", "text", minDf = 1, maxDfFrac = 0.8,
-            nDocs = Some(docs.count())).localCheckpoint(true)
+            nDocs = Some(docs.count()))
+            .transform(graft.ops.Checkpoints.cut(_))
         }
         new ContentUserRecommender(train, docs,
           "repo_id", "text", recentK = 3, prefixM = 4,

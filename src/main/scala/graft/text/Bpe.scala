@@ -80,7 +80,7 @@ object Bpe {
     val exploded = words
       .select(col("word"), col("cnt"), posexplode(col("syms")).as(Seq("pos", "sym")))
       .withColumn("nxt", lead(col("sym"), 1).over(byPos))
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoints.cut(_))
 
     val best = exploded
       .filter(col("nxt").isNotNull)
@@ -88,7 +88,7 @@ object Bpe {
       .agg(sum(col("cnt")).as("pair_count"))
       .orderBy(col("pair_count").desc, col("l"), col("r"))
       .limit(1)
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoints.cut(_))
 
     val amongMatches = Window.partitionBy(col("word"), col("m")).orderBy("pos")
     val withinRun = Window.partitionBy(col("word"), col("grp")).orderBy("pos")
@@ -115,14 +115,14 @@ object Bpe {
     * right_sym/pair_count, final segmented vocabulary). */
   def train(docs: DataFrame, textCol: String, maxWords: Int, rounds: Int)
       : (DataFrame, DataFrame) = {
-    var words = symbolize(wordTable(docs, textCol, maxWords)).localCheckpoint(true)
+    var words = graft.ops.Checkpoints.cut(symbolize(wordTable(docs, textCol, maxWords)))
     var merges = Vector.empty[DataFrame]
     for (rank <- 1 to rounds) {
       val (best, next) = mergeRound(words)
       merges :+= best.select(
         lit(rank).as("merge_rank"),
         col("l").as("left_sym"), col("r").as("right_sym"), col("pair_count"))
-      words = next.localCheckpoint(true)
+      words = graft.ops.Checkpoints.cut(next)
     }
     (merges.reduce(_ unionAll _), words)
   }

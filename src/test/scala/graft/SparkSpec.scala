@@ -16,6 +16,9 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // size-derived scan splits (the Bench/Verify r18 stance): fixture
+      // files are tiny, so the core-count floor only adds task overhead
+      .config("spark.sql.files.minPartitionNum", "1")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", wh) // keep bucketed tables out of the repo
       .config("spark.ui.enabled", "false")
