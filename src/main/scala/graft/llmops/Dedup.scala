@@ -50,22 +50,30 @@ object Dedup {
     */
   def substringDupScan(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 8): DataFrame = {
+    // r18 single-pass shape: the pre-r18 plan consumed the window set
+    // THREE times (global h-frequency agg, per-doc count, semi-join +
+    // per-doc dup count) — three explode+md5 computes and two full
+    // shuffles of `wins` by h plus a doc-id join. A count() window
+    // keyed by h attaches each window instance's global occurrence
+    // count in ONE pass, so one explode, one exchange by h (sort
+    // within partitions instead of a second full shuffle), one
+    // exchange by id, and both per-doc aggregates fall out of a
+    // single groupBy. Row-identical: occ ≥ 2 marks exactly the
+    // instances whose hash occurs ≥ 2 times anywhere.
     val wins = tokenWindows(docs, idCol, textCol, w)
-    // windows occurring >= 2 times anywhere are duplicated spans
-    val dupH = wins.groupBy(col("h")).agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= 2).select(col("h"))
-    val perDoc = wins.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_windows"))
-    val dupPerDoc = wins.join(dupH, Seq("h"), "left_semi")
-      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_windows"))
-    perDoc.join(dupPerDoc, Seq("id"), "left")
+    val occ = wins.withColumn("occ", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+    occ.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"),
+        coalesce(sum(when(col("occ") >= 2, 1L).otherwise(0L)), lit(0L))
+          .as("n_dup_windows"))
       .select(col("id").as("doc_id"), col("n_windows"),
-        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        col("n_dup_windows"),
         // basis points via integer floor division (late r17): the
         // previous round(ratio, 4) double could flip at a half-way
         // shortest-repr boundary cross-engine (the q76 flake class)
-        expr("(coalesce(n_dup_windows, CAST(0 AS BIGINT)) * 10000)" +
-          " div n_windows").as("dup_coverage_bp"))
+        expr("(n_dup_windows * 10000) div n_windows")
+          .as("dup_coverage_bp"))
   }
 
   /** Hashed w-token windows: one (id, h) row per window of w
@@ -74,8 +82,12 @@ object Dedup {
     * [[decontaminate]] so both agree on tokenization and hashing. */
   private[graft] def tokenWindows(docs: DataFrame, idCol: String,
       textCol: String, w: Int): DataFrame =
-    docs
-      .select(col(idCol).cast("long").as("id"),
+    // r18: one md5 per token window (≈ per token) is CPU-bound —
+    // spread the single-split fixture scan (identity at production
+    // split counts; ops/Adaptive scaladoc)
+    graft.ops.Adaptive.spread(
+        docs.select(col(idCol).cast("long").as("id"), col(textCol)))
+      .select(col("id"),
         filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
           .as("toks"))
       .withColumn("n", size(col("toks")))
@@ -1121,7 +1133,11 @@ object Dedup {
     val p = portableP
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
+    // r18: the 32-permutation md5 kernel is CPU-bound — spread its
+    // input so a single-split fixture scan doesn't serialize it
+    // (identity at production split counts; ops/Adaptive scaladoc)
+    graft.ops.Adaptive.spread(
+        docs.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -1200,7 +1216,11 @@ object Dedup {
       textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    // r18: per-token md5 + 60 bit votes is CPU-bound — spread the
+    // single-split fixture scan (identity at production split counts)
+    graft.ops.Adaptive.spread(
+        docs.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (id, text) =>
@@ -1245,7 +1265,13 @@ object Dedup {
     val nBlocks = maxHamming + 1
     val width = 60 / nBlocks
     val mask = (1L << width) - 1L
-    val sh = simhashes60Portable(docs, idCol, textCol).cache()
+    // r18: eager cut, not cache() — the plan fans `sh` into several
+    // BROADCAST subtrees that execute as concurrent jobs; a lazy cache
+    // is not yet materialized when they race, so each job recomputed
+    // the whole SimHash kernel (profiled: FIVE identical 1.2 s single-
+    // task stages per pass). The cut materializes once, up front.
+    val sh = graft.ops.Checkpoints.cut(
+      simhashes60Portable(docs, idCol, textCol))
     val blockStructs = array((0 until nBlocks).map { i =>
       struct(lit(i).as("q"),
         shiftrightunsigned(col("sh"), i * width).bitwiseAND(mask).as("qkey"))

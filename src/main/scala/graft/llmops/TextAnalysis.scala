@@ -232,6 +232,22 @@ object TextAnalysis {
       }.toDF("doc_id", "labeled_lang", "pred_lang", "n_subwords")
   }
 
+  /** Bulk language gate: rows whose [[langId]] equals `lang`, via the
+    * typed scalar twin (same rationale as [[langIdStatsBulk]]: the
+    * expression form's array HOFs are CodegenFallback — interpreted —
+    * and r18 profiling showed the q96 language gate spending 2 s in
+    * one interpreted scan task). Typed, so the predicate is opaque to
+    * Catalyst and stays ABOVE a caller's Adaptive.spread instead of
+    * being pushed back into the single-split scan. Row set identical
+    * to `filter(langId(col) === lang)` — the twins are spec-pinned
+    * and q34 oracle-gates the scalar against the DuckDB mirror. */
+  def langFilterBulk(docs: DataFrame, textCol: String,
+      lang: String): DataFrame = {
+    val idx = docs.schema.fieldIndex(textCol)
+    docs.filter((r: org.apache.spark.sql.Row) =>
+      langIdScalar(r.getString(idx)) == lang)
+  }
+
   /** Bulk rolling fingerprints: (id, fp_rolling). */
   def rollingBulk(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession

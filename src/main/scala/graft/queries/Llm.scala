@@ -414,7 +414,12 @@ object Llm {
     val emb = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < 5000)
       .select(col("vec_id"), col("embedding"))
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    // r18: the streamed side of the broadcast nested-loop product ran
+    // as ONE task (single-split fixture scan) computing all ~12.5M
+    // cosines serially (profiled 1.7 s + 1.5 s stages) — spread it so
+    // the kernel uses every core (identity at production split counts)
+    val a = graft.ops.Adaptive.spread(
+      emb.select(col("vec_id").as("id_a"), col("embedding").as("va")))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("cos", round(
@@ -826,7 +831,14 @@ object Llm {
     val docs = Tables.documents(spark, dir)
     val admitted = docs.filter(col("text").isNotNull &&
       length(trim(col("text"))) >= 20)
-    val en = admitted.filter(TA.langId(col("text")) === "en")
+    // r18: the language gate ran as ONE interpreted task (single-split
+    // fixture scan × CodegenFallback array HOFs; profiled 2.7 s serial
+    // stage) — spread the scan AND use the typed scalar-twin kernel.
+    // The typed predicate is opaque to Catalyst, so it cannot be
+    // pushed back below the spread into the single-split scan (which
+    // is what happened with the expression form).
+    val en = TA.langFilterBulk(graft.ops.Adaptive.spread(admitted),
+      "text", "en")
     val exactCanon = en
       .withColumn("__canon", min(col("doc_id")).over(
         Window.partitionBy(md5(col("text")))))

@@ -78,6 +78,11 @@ object QualityParity {
     val train = inter.filter(col("ts_ns") < splitNs)
     val test = inter.filter(col("ts_ns") >= splitNs)
       .select(col("user_id"), col("item_id")).distinct().cache()
+    // r18: materialize both caches BEFORE the evaluations fan out as
+    // concurrent jobs below — concurrent readers of a still-cold cache
+    // each recompute the subtree instead of sharing it (the q65
+    // profiled race)
+    inter.count(); test.count()
     val users = test.select(col("user_id")).distinct()
 
     val k = 30
@@ -120,7 +125,7 @@ object QualityParity {
           .recommendForUsers(users, k)
       })
 
-    val out = recommenders.map { case (name, recs) =>
+    val metricFrames = recommenders.map { case (name, recs) =>
       val (lo, hi) = bands(name)
       RankingEvaluator.evaluate(
           recs.select(col("user_id"), col("item_id"), col("score")), test, k)
@@ -133,7 +138,28 @@ object QualityParity {
           lit(hi).as("band_hi"))
         .withColumn("within_band",
           col("ndcg") >= col("band_lo") && col("ndcg") <= col("band_hi"))
-    }.reduce(_.unionByName(_)).orderBy(col("recommender"))
+    }
+    // r18 (guide §2.6 overlap independent jobs): the five evaluations
+    // share nothing past the warmed caches and each collapses to ONE
+    // metric row, but evaluated as a single 5-way union they ran ~84
+    // strictly sequential stages — each stage's straggler tail leaving
+    // the other 31 cores idle. Submitting the five collects from a
+    // small pool lets each evaluation's tail back-fill with the next
+    // one's tasks (FIFO scheduling does the right thing). Rows, values
+    // and final ordering are IDENTICAL: same per-frame plans, same
+    // union row set, same orderBy.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val rows = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fs = metricFrames.map(f => scala.concurrent.Future(f.collect()))
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs),
+        scala.concurrent.duration.Duration.Inf).flatten
+    } finally pool.shutdown()
+    val out = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), metricFrames.head.schema)
+      .orderBy(col("recommender"))
     // the result is 5 rows (one per CG) — materialize it into a local relation so the
     // fixture caches can be released NOW instead of pinning executor
     // memory for the life of the session (ADVICE r3 #5: cache leak)

@@ -714,8 +714,13 @@ object Relational {
     * 3-of-3 probe rule, the pruned join and the stats. */
   def bloomJoinSuppliers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, dir)
-      .select($"l_suppkey", $"l_extendedprice", $"l_discount")
+    // r18: the Bloom probe (k md5-derived positions per row) + partial
+    // agg ran as ONE task over the single-split fixture scan (profiled
+    // 1.7 s) — spread it (identity at production split counts, where
+    // the zero-added-shuffle phase-1 contract holds as documented)
+    val li = graft.ops.Adaptive.spread(
+      Tables.lineitem(spark, dir)
+        .select($"l_suppkey", $"l_extendedprice", $"l_discount"))
     val dim = Tables.supplier(spark, dir)
       .filter($"s_nationkey" === 3)
       .select($"s_suppkey", $"s_name")
@@ -1424,7 +1429,13 @@ object Relational {
     * both engines. */
   def iqrOutliers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, dir).select($"l_returnflag", $"l_extendedprice")
+    // r18: exact percentile ships every value to its group's merge
+    // task, and the single-split fixture scan buffered all of them in
+    // ONE partial-agg task (profiled 0.9 s serial stage) — spread the
+    // scan so the partial pass parallelizes (identity at production
+    // split counts; ops/Adaptive scaladoc)
+    val li = graft.ops.Adaptive.spread(
+      Tables.lineitem(spark, dir).select($"l_returnflag", $"l_extendedprice"))
     val fences = li.groupBy($"l_returnflag")
       .agg(expr("percentile(l_extendedprice, 0.25)").as("q1"),
         expr("percentile(l_extendedprice, 0.75)").as("q3"))

@@ -44,6 +44,10 @@ class SourceHygieneSpec extends AnyFunSuite {
         "— the map-only portable variant is the scale path"),
     "queries/Ml.scala" -> (1,
       "fitted-model synonym table — rows bounded by vocabulary top-k"),
+    "queries/QualityParity.scala" -> (1,
+      "q90 per-recommender metric row — RankingEvaluator.evaluate " +
+        "aggregates to EXACTLY one row per CG by construction; the §2.6 " +
+        "overlap collects five 1-row frames concurrently"),
     "queries/Extras.scala" -> (3,
       "q103 memory-sink sessions (input is a 10-row literal fixture); " +
         "q153 stream-replay slice (first 1000 users x earliest 512 " +
