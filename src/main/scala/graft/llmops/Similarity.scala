@@ -195,7 +195,12 @@ object Similarity {
     val signs = Array.tabulate(nTables, nPlanes, dim)(portableSign)
     val spark = vectors.sparkSession
     import spark.implicits._
-    vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // r18: nTables × nPlanes × dim multiply-adds per row is CPU-bound
+    // — spread the single-split fixture scan (identity at production
+    // split counts; ops/Adaptive scaladoc). The r18 sf1 leg showed the
+    // 10× embedding corpus STILL scanning as one split.
+    graft.ops.Adaptive.spread(
+        vectors.select(col(idCol).as("id"), col(vecCol).as("v")))
       .as[(Long, Seq[Float])].flatMap { case (id, v) =>
         val qv = Array.tabulate(v.length)(d => math.floor(v(d).toDouble * 1000).toLong)
         (0 until nTables).iterator.map { t =>

@@ -52,7 +52,14 @@ object ContentRecommender {
     val n = nDocs.getOrElse(docs.count())
     val dfCap = math.min((n * maxDfFrac).toLong,
       if (maxDfAbs > 0) maxDfAbs else Long.MaxValue)
-    val terms = docs.select(col(idCol).as("id"),
+    // r18: tokenize + stopword-filter + explode is per-row CPU work —
+    // spread the single-split fixture scan so the fit chain
+    // parallelizes (identity at production split counts). The r18 sf1
+    // leg measured the serialized fit at 10×: q41 sf1 151 s vs 33 s
+    // before the size-derived scan splits landed.
+    val terms = graft.ops.Adaptive.spread(
+        docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"),
         explode(Tokenize.removeStopwords(
           Tokenize.cjkAware(col(textCol)), Tokenize.englishStopwords)).as("term"))
     val tf = terms.groupBy(col("id"), col("term"))

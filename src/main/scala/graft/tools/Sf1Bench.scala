@@ -51,7 +51,13 @@ object Sf1Bench {
     // 1, derived planes AND tables) — the operating point changed
     // this round, so its 10× ratio and final plan shape need a fresh
     // sf1 reading
-    "q38_ann_lsh")
+    "q38_ann_lsh",
+    // r18: gates whose operators were restructured this round (q98
+    // single-pass window shape; q65/q64 kernel spread + q65 eager
+    // cut) — the sf1 leg proves the new shapes hold at 10×
+    "q98_substring_dup_scan",
+    "q65_simhash_portable",
+    "q64_minhash_portable")
 
   /** Fixture-constant gates from the r13 next-tier list (q60/q60b/q173
     * read AlbedoFixtures, not sf tables — amplifying `dir` changes
